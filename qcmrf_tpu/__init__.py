@@ -1,0 +1,38 @@
+"""qcmrf_tpu — a TPU-native quantum-circuit-MRF framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
+``np84/qcmrf`` research artifact (circuit compiler, statevector simulation,
+exact classical inference, evaluation + figures), re-designed TPU-first:
+vectorized gathers instead of per-state Python loops, fused diagonal-phase
+kernels instead of AND-gate workspace qubits, ICI-sharded statevectors for
+models beyond single-chip memory, and autodiff-based MRF training.
+"""
+
+from qcmrf_tpu.circuits.compiler import QCMRF, compile_qcmrf
+from qcmrf_tpu.circuits.ir import Circuit, Gate
+from qcmrf_tpu.circuits.params import gamma_to_theta, theta_to_gamma
+from qcmrf_tpu.evaluation.metrics import KL, extract_probs, fidelity, kl
+from qcmrf_tpu.models.mrf import MRF, chain_mrf, grid_mrf
+from qcmrf_tpu.models.suite import GRAPHS, ModelSuite, generate_suite, load_suite
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "QCMRF",
+    "compile_qcmrf",
+    "Circuit",
+    "Gate",
+    "MRF",
+    "chain_mrf",
+    "grid_mrf",
+    "fidelity",
+    "kl",
+    "KL",
+    "extract_probs",
+    "theta_to_gamma",
+    "gamma_to_theta",
+    "GRAPHS",
+    "ModelSuite",
+    "generate_suite",
+    "load_suite",
+]

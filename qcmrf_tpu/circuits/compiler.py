@@ -1,0 +1,217 @@
+"""QCMRF circuit compiler: MRF -> circuit IR.
+
+Reproduces the construction of the reference's ``QCMRF._build``
+(/root/reference/QCMRF.py:199-243) exactly, on the IR of
+:mod:`qcmrf_tpu.circuits.ir`:
+
+* qubit budget ``n + num_cliques + 1`` (QCMRF.py:78): qubits ``0..n-1``
+  hold the variables with the reflection ``v -> (n-1)-v`` (QCMRF.py:219),
+  qubit ``n`` is the shared AND-workspace qubit (only materialized by the
+  basis-gate lowering), qubits ``n+1+ii`` are per-clique ancillas;
+* a Hadamard wall on the variable qubits (QCMRF.py:204-205);
+* per clique a controlled factor unitary cU_C of per-state blocks
+  [AND(flags) -> cp(2*gamma_i) -> AND†] (QCMRF.py:221-228), represented
+  here as one fused ``flags_phase`` per clique state (the diagonal
+  semantics of the sandwich), skipping near-zero gamma exactly as the
+  reference does (QCMRF.py:223);
+* the real-part-extraction sandwich H · cU_C · X · cU_C^-1 · X · H on the
+  clique ancilla (QCMRF.py:230-236);
+* ancilla and variable measurements (QCMRF.py:238-243).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from qcmrf_tpu.circuits import params as cparams
+from qcmrf_tpu.circuits.ir import Circuit
+from qcmrf_tpu.models.mrf import MRF
+
+
+@dataclasses.dataclass
+class QCMRF:
+    """A compiled QCMRF: the MRF model plus its measurement circuit.
+
+    API-parity facade for the reference's ``QCMRF(QuantumCircuit)`` class
+    (QCMRF.py:13-157) — same constructor arguments and properties, but
+    idiomatically a *composition* of an :class:`MRF` and a :class:`Circuit`
+    rather than a circuit subclass.
+    """
+
+    mrf: MRF
+    circuit: Circuit
+    with_measurements: bool = True
+    with_barriers: bool = False
+
+    # ---- constructor ------------------------------------------------------
+
+    @staticmethod
+    def build(
+        cliques: Sequence[Sequence[int]],
+        theta=None,
+        gamma=None,
+        beta: float = 1.0,
+        name: str = "QCMRF",
+        with_measurements: bool = True,
+        with_barriers: bool = False,
+        init_key=None,
+    ) -> "QCMRF":
+        import jax.numpy as jnp
+
+        # dimension check happens in MRF.create; resolve theta first
+        probe = MRF.create(cliques)
+        dim = probe.dimension
+        if gamma is not None:
+            gamma = np.asarray(gamma, dtype=np.float64)
+            if gamma.shape != (dim,):
+                raise ValueError(
+                    "The QCMRF parameter vector has an incorrect dimension. "
+                    f"Expected: {dim}"
+                )
+            theta = np.asarray(cparams.gamma_to_theta(gamma, beta))
+        elif theta is None:
+            # uniform U(-5, 0) init, parity with QCMRF.py:210-213
+            if init_key is not None:
+                import jax
+
+                theta = jax.random.uniform(
+                    init_key, (dim,), minval=-5.0, maxval=0.0
+                )
+                theta = np.asarray(theta, dtype=np.float64)
+            else:
+                theta = np.random.uniform(low=-5.0, high=0.0, size=dim)
+        else:
+            theta = np.asarray(theta, dtype=np.float64)
+            if theta.shape != (dim,):
+                raise ValueError(
+                    "The parameter vector has an incorrect dimension. "
+                    f"Expected: {dim}"
+                )
+            cparams.validate_theta_domain(theta)
+
+        mrf = MRF.create(cliques, theta=theta, beta=beta)
+        circuit = compile_qcmrf(
+            mrf,
+            with_measurements=with_measurements,
+            with_barriers=with_barriers,
+            name=name,
+        )
+        return QCMRF(
+            mrf=mrf,
+            circuit=circuit,
+            with_measurements=with_measurements,
+            with_barriers=with_barriers,
+        )
+
+    # ---- reference-parity properties ---------------------------------------
+
+    @property
+    def dimension(self) -> int:
+        return self.mrf.dimension
+
+    @property
+    def cliques(self):
+        return [list(C) for C in self.mrf.cliques]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.mrf.n
+
+    num_nodes = num_vertices  # alias (QCMRF.py:109)
+
+    @property
+    def num_cliques(self) -> int:
+        return self.mrf.num_cliques
+
+    @property
+    def max_clique(self) -> int:
+        return self.mrf.max_clique
+
+    @property
+    def theta(self) -> List[float]:
+        return np.asarray(self.mrf.theta, dtype=np.float64).tolist()
+
+    @property
+    def gamma(self) -> List[float]:
+        g = cparams.theta_to_gamma(
+            np.asarray(self.mrf.theta, np.float64), float(self.mrf.beta)
+        )
+        return np.asarray(g).tolist()
+
+    @property
+    def num_qubits(self) -> int:
+        return self.circuit.num_qubits
+
+    # ---- layout -----------------------------------------------------------
+
+    @property
+    def workspace_qubit(self) -> int:
+        return self.mrf.n
+
+    @property
+    def ancilla_qubits(self) -> List[int]:
+        n = self.mrf.n
+        return [n + 1 + ii for ii in range(self.mrf.num_cliques)]
+
+
+def compile_qcmrf(
+    mrf: MRF,
+    with_measurements: bool = True,
+    with_barriers: bool = False,
+    name: str = "QCMRF",
+) -> Circuit:
+    """Emit the QCMRF circuit IR for an MRF (see module docstring)."""
+    n = mrf.n
+    K = mrf.num_cliques
+    num_main = n + 1  # variables + workspace (QCMRF.py:202)
+    nq = n + K + 1
+    qc = Circuit(num_qubits=nq, num_clbits=nq, name=name)
+
+    theta = np.asarray(mrf.theta, dtype=np.float64)
+    cparams.validate_theta_domain(theta)
+    gamma = np.asarray(
+        cparams.theta_to_gamma(theta, float(mrf.beta)), dtype=np.float64
+    )
+
+    for q in range(n):
+        qc.h(q)
+    if with_barriers:
+        qc.barrier()
+
+    i = 0
+    for ii, C in enumerate(mrf.cliques):
+        anc = num_main + ii
+        var_qubits = [(n - 1) - v for v in C]  # reflection, QCMRF.py:219
+
+        # cU_C as a list of fused per-state diagonal phases
+        blocks = []  # (flags, angle)
+        for y in itertools.product([0, 1], repeat=len(C)):
+            if not np.isclose(gamma[i], 0):  # skip rule, QCMRF.py:223
+                flags = tuple(int(b) * 2 - 1 for b in y)
+                blocks.append((flags, 2.0 * gamma[i]))
+            i += 1
+
+        # Real part extraction: H · cU_C · X · cU_C^-1 · X · H (QCMRF.py:230-236)
+        qc.h(anc)
+        for flags, angle in blocks:
+            qc.flags_phase(var_qubits, flags, angle, control=anc)
+        qc.x(anc)
+        for flags, angle in reversed(blocks):
+            qc.flags_phase(var_qubits, flags, -angle, control=anc)
+        qc.x(anc)
+        qc.h(anc)
+
+        if with_measurements:
+            qc.measure(anc, anc)  # success when 0 (QCMRF.py:239)
+        if with_barriers:
+            qc.barrier()
+
+    if with_measurements:
+        for q in range(n):
+            qc.measure(q, q)  # QCMRF.py:242-243
+
+    return qc

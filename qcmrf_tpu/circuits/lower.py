@@ -1,0 +1,179 @@
+"""Lowering pass: high-level QCMRF IR -> hardware basis ``[cx, id, rz, sx, x]``.
+
+TPU-native replacement for the qiskit transpiler call of the reference
+(``transpile(CIRCS, basis_gates=['cx','id','rz','sx','x'])``,
+/root/reference/run_experiment.py:52) and for qiskit's ``AND`` library gate
+(QCMRF.py:9, :224-227). Pure circuit-IR rewriting — exact (tracks global
+phase so lowered and source circuits agree as full statevectors, not just
+up to phase), with two styles:
+
+* ``fused`` (default): each ``flags_phase`` becomes one multi-controlled
+  phase over (pattern qubits + control), with X conjugation for negative
+  flags. No workspace qubit traffic — the efficient form.
+* ``literal``: reproduces the reference's gate structure
+  [AND(flags) -> cp -> AND†] through the shared workspace qubit ``n``
+  (QCMRF.py:224-227), with AND synthesized as an X-conjugated
+  multi-controlled X. For gate-count parity studies.
+
+Multi-controlled phase synthesis uses the exact Z-string expansion of the
+all-ones projector: ``e^{i t |1..1><1..1|} = e^{i t/2^m} *
+prod_{S != {}} e^{i t (-1)^{|S|} Z_S / 2^m}``, each Z-string rotation
+realized as a CX parity chain around one RZ. Exact for any m; gate count
+O(2^m), which is optimal-order for unstructured diagonal phases and small
+here (m <= max|C| + 1 = 5 in the reference suite).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import List, Sequence
+
+from qcmrf_tpu.circuits.ir import Circuit, Gate
+
+BASIS = ("cx", "id", "rz", "sx", "x")
+
+_H_GLOBAL_PHASE = math.pi / 4  # H = e^{i pi/4} RZ(pi/2) SX RZ(pi/2)
+
+
+def _emit_h(qc: Circuit, q: int) -> None:
+    qc.rz(math.pi / 2, q)
+    qc.sx(q)
+    qc.rz(math.pi / 2, q)
+    qc.add_global_phase(_H_GLOBAL_PHASE)
+
+
+def _emit_sxdg(qc: Circuit, q: int) -> None:
+    # SXdg = e^{+i pi/2} RZ(pi) SX RZ(pi): verified by direct matrix algebra
+    qc.rz(math.pi, q)
+    qc.sx(q)
+    qc.rz(math.pi, q)
+    qc.add_global_phase(math.pi / 2)
+
+
+def _emit_cp(qc: Circuit, lam: float, a: int, b: int) -> None:
+    # cp(lam) = e^{i lam/4} . rz(lam/2)_a rz(lam/2)_b cx rz(-lam/2)_b cx
+    qc.rz(lam / 2, a)
+    qc.rz(lam / 2, b)
+    qc.cx(a, b)
+    qc.rz(-lam / 2, b)
+    qc.cx(a, b)
+    qc.add_global_phase(lam / 4)
+
+
+def _emit_zstring_rotation(qc: Circuit, alpha: float, qubits: Sequence[int]) -> None:
+    """exp(i * alpha * Z_{q0} Z_{q1} ... ) via CX parity chain + RZ(-2 alpha)."""
+    qs = list(qubits)
+    for i in range(len(qs) - 1):
+        qc.cx(qs[i], qs[i + 1])
+    qc.rz(-2.0 * alpha, qs[-1])
+    for i in range(len(qs) - 2, -1, -1):
+        qc.cx(qs[i], qs[i + 1])
+
+
+def _emit_mcp(qc: Circuit, theta: float, qubits: Sequence[int]) -> None:
+    """Multi-controlled phase: e^{i theta} on the all-ones state of qubits."""
+    qs = list(qubits)
+    m = len(qs)
+    if m == 0:
+        qc.add_global_phase(theta)
+        return
+    if m == 1:
+        # p(theta) = e^{i theta/2} rz(theta)
+        qc.rz(theta, qs[0])
+        qc.add_global_phase(theta / 2)
+        return
+    scale = theta / (1 << m)
+    qc.add_global_phase(scale)  # S = {} term
+    for r in range(1, m + 1):
+        # coefficient of Z_S in prod (1-Z_i)/2 is (-1)^{|S|} / 2^m
+        sign = -1.0 if (r % 2) else 1.0
+        for S in itertools.combinations(qs, r):
+            _emit_zstring_rotation(qc, sign * scale, S)
+
+
+def _emit_mcx(qc: Circuit, controls: Sequence[int], target: int) -> None:
+    """Multi-controlled X = H(t) . MCP(pi, controls+[t]) . H(t)."""
+    _emit_h(qc, target)
+    _emit_mcp(qc, math.pi, list(controls) + [target])
+    _emit_h(qc, target)
+
+
+def _emit_flags_phase_fused(qc: Circuit, g: Gate) -> None:
+    *pattern, ctrl = g.qubits
+    neg = [q for q, f in zip(pattern, g.flags) if f < 0]
+    for q in neg:
+        qc.x(q)
+    _emit_mcp(qc, g.params[0], list(pattern) + [ctrl])
+    for q in neg:
+        qc.x(q)
+
+
+def _emit_flags_phase_literal(qc: Circuit, g: Gate, workspace: int) -> None:
+    """Reference structure: AND(flags)->workspace; cp(angle, ws, ctrl); AND†."""
+    *pattern, ctrl = g.qubits
+    neg = [q for q, f in zip(pattern, g.flags) if f < 0]
+
+    def and_gate():
+        for q in neg:
+            qc.x(q)
+        _emit_mcx(qc, pattern, workspace)
+        for q in neg:
+            qc.x(q)
+
+    and_gate()
+    _emit_cp(qc, g.params[0], workspace, ctrl)
+    and_gate()  # MCX is self-inverse
+
+
+def lower(circuit: Circuit, style: str = "fused",
+          workspace: int | None = None) -> Circuit:
+    """Lower a circuit to the ``[cx, id, rz, sx, x]`` basis.
+
+    ``workspace`` names the shared AND-workspace qubit used by
+    ``style='literal'``; defaults to the QCMRF convention (the qubit after
+    the last pattern qubit is unknowable from the IR alone, so the caller
+    should pass ``mrf.n`` — for circuits compiled by
+    :func:`qcmrf_tpu.circuits.compiler.compile_qcmrf` the default of
+    ``max flags_phase pattern qubit + 1`` recovers exactly that).
+    """
+    if style not in ("fused", "literal"):
+        raise ValueError(f"unknown lowering style {style!r}")
+    if workspace is None:
+        pattern_max = -1
+        for g in circuit.gates:
+            if g.name == "flags_phase":
+                pattern_max = max(pattern_max, max(g.qubits[:-1]))
+        workspace = pattern_max + 1
+    out = Circuit(circuit.num_qubits, circuit.num_clbits,
+                  name=circuit.name + "_lowered")
+    out.global_phase = circuit.global_phase
+    for g in circuit.gates:
+        if g.name in ("cx", "x", "sx", "rz", "id"):
+            out.gates.append(g)
+        elif g.name in ("measure", "barrier"):
+            out.gates.append(g)
+        elif g.name == "h":
+            _emit_h(out, g.qubits[0])
+        elif g.name == "sxdg":
+            _emit_sxdg(out, g.qubits[0])
+        elif g.name == "cp":
+            _emit_cp(out, g.params[0], *g.qubits)
+        elif g.name == "flags_phase":
+            if style == "fused":
+                _emit_flags_phase_fused(out, g)
+            else:
+                _emit_flags_phase_literal(out, g, workspace)
+        else:
+            raise ValueError(f"cannot lower gate {g.name}")
+    return out
+
+
+def basis_gate_counts(circuit: Circuit, style: str = "fused") -> dict:
+    """Op counts after lowering — the gate-count parity metric
+    (reference transpiles to this basis at run_experiment.py:52)."""
+    lowered = lower(circuit, style=style)
+    counts = lowered.count_ops()
+    counts.pop("measure", None)
+    counts.pop("barrier", None)
+    return counts

@@ -1,0 +1,174 @@
+"""Evaluation harness: fidelity / success-rate tables over a result suite.
+
+TPU-native re-implementation of the reference's ``eval.py``
+(/root/reference/eval.py): same CLI semantics (``--results``, ``--scale``,
+``--mode file|gibbs|pam``), same result-format sniffing (dict with
+``quasi_dists`` -> hardware with norm 1; bare list -> raw counts with norm
+10 000; eval.py:55-60), same post-selection (keys with ``int(k, 2) < 2**n``,
+eval.py:115-122), same aggregation (mean/std/best fidelity, success rate
+``Z/norm``, fidelity clamped to [0, 1]; eval.py:123-143).
+
+Differences by design:
+
+* exact reference probabilities come from the vectorized JAX MRF core (one
+  ``logsumexp`` instead of 2**n native ``logpot`` calls through kiopto);
+* the gibbs/pam comparison modes run the jit-compiled samplers of
+  :mod:`qcmrf_tpu.models.sample`;
+* additionally reports KL and the theoretical success rate Z/2**n.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.evaluation import metrics
+from qcmrf_tpu.models import sample as msample
+from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.models.suite import ModelSuite, SHOTS
+from qcmrf_tpu.utils.table import format_table
+
+
+@dataclasses.dataclass
+class GraphResult:
+    graph: List[List[int]]
+    fidelities: List[float]
+    successes: List[float]
+    kls: List[float]
+
+    @property
+    def mean_f(self) -> float:
+        return float(np.mean(self.fidelities))
+
+    @property
+    def std_f(self) -> float:
+        return float(np.std(self.fidelities))
+
+    @property
+    def best_f(self) -> float:
+        return float(np.max(self.fidelities))
+
+    @property
+    def mean_delta(self) -> float:
+        return float(np.mean(self.successes))
+
+    @property
+    def std_delta(self) -> float:
+        return float(np.std(self.successes))
+
+    @property
+    def mean_kl(self) -> float:
+        return float(np.mean(self.kls))
+
+
+def load_result_dists(path: str):
+    """Load a result file; returns (dists, norm) with the reference's
+    format sniffing (eval.py:49-62)."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(path)
+    with open(path) as f:
+        results_file = json.load(f)
+    try:
+        dists = results_file["quasi_dists"]
+        norm = 1
+    except (TypeError, KeyError):
+        dists = results_file
+        norm = SHOTS
+    return dists, norm
+
+
+def _counts_from_samples(state_ids: np.ndarray, N: int) -> np.ndarray:
+    return np.bincount(state_ids, minlength=N).astype(np.float64)
+
+
+def evaluate_suite(
+    suite: ModelSuite,
+    dists: Optional[Sequence[Dict[str, float]]] = None,
+    norm: float = SHOTS,
+    mode: str = "file",
+    key: Optional[jax.Array] = None,
+    num_samples: int = SHOTS,
+) -> List[GraphResult]:
+    """Evaluate every (graph, rep) model; returns per-graph aggregates.
+
+    ``mode='file'`` compares against measured distributions ``dists`` (one
+    per circuit, suite order); ``'gibbs'``/``'pam'`` run the classical
+    samplers instead (eval.py:95-113).
+    """
+    if mode == "file" and dists is None:
+        raise ValueError("mode='file' requires result distributions")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    out: List[GraphResult] = []
+    idx = 0
+    for j, C in enumerate(suite.graphs):
+        gr = GraphResult(graph=C, fidelities=[], successes=[], kls=[])
+        for i, theta in enumerate(suite.thetas[j]):
+            mrf = MRF.create(C, theta=theta)
+            n, N = mrf.n, mrf.num_states
+            p = np.asarray(mrf.gibbs_probs(), dtype=np.float64)
+
+            if mode == "gibbs":
+                key, sub = jax.random.split(key)
+                s = np.asarray(
+                    msample.sample_gibbs(sub, mrf, num_samples, thin=10,
+                                         burn=10)
+                )
+                q = _counts_from_samples(s, N)
+                Z = q.sum()
+                this_norm = num_samples
+            elif mode == "pam":
+                key, sub = jax.random.split(key)
+                s = np.asarray(msample.sample_pam(sub, mrf, num_samples))
+                q = _counts_from_samples(s, N)
+                Z = q.sum()
+                this_norm = num_samples
+            elif mode == "file":
+                Q = dists[idx]
+                q = np.zeros(N)
+                Z = 0.0
+                for k, v in Q.items():
+                    kid = int(k, 2)
+                    if kid < N:
+                        q[kid] = v
+                        Z += v
+                this_norm = norm
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+
+            q = q / Z if Z != 0 else q
+            mF = float(metrics.fidelity(p, q))
+            mF = max(min(mF, 1.0), 0.0)  # clamp, eval.py:125-126
+            gr.fidelities.append(mF)
+            gr.successes.append(float(Z / this_norm))
+            gr.kls.append(float(metrics.kl(p, q)))
+            idx += 1
+        out.append(gr)
+    return out
+
+
+def results_table(results: List[GraphResult], with_kl: bool = False) -> str:
+    """Render the eval table (same columns as eval.py:68, optionally +KL)."""
+    header = ["graph", "fidelity", "max fidelity", "success rate"]
+    if with_kl:
+        header.append("KL")
+    rows = []
+    for r in results:
+        row = [
+            str(r.graph),
+            "{:.3f} ±{:.3f}".format(r.mean_f, r.std_f),
+            "{:.3f}".format(r.best_f),
+            "{:.3f} ±{:.3f}".format(r.mean_delta, r.std_delta),
+        ]
+        if with_kl:
+            row.append("{:.4f}".format(r.mean_kl))
+        rows.append(row)
+    return format_table(header, rows)

@@ -1,0 +1,137 @@
+"""Experiment driver: generate/load a suite, execute it, dump counts JSON.
+
+TPU-native re-implementation of the reference's ``run_experiment.py``
+simulation path (/root/reference/run_experiment.py:42-61): builds the 70
+circuits of a suite, executes them at 10 000 shots each, and writes
+``result_simulation_{scale}.json`` as a JSON list of 70 ``{bitstring:
+count}`` dicts — byte-compatible schema with the stored files so the
+evaluation harness (ours or the reference's) consumes either.
+
+Execution engines:
+
+* ``analytic`` (default): per-circuit joint outcome distribution in closed
+  form + categorical shot sampling — the flagship TPU path;
+* ``statevector``: gate-level dense simulation of the compiled circuit IR
+  (validation path, identical statistics);
+* ``noisy:<preset>``: noise-channel emulation producing hardware-like
+  counts (see :mod:`qcmrf_tpu.noise`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+
+from qcmrf_tpu.circuits.compiler import compile_qcmrf
+from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.models.suite import (
+    SHOTS,
+    ModelSuite,
+    generate_suite,
+    load_suite,
+    reference_models_path,
+)
+from qcmrf_tpu.sim import batch as sbatch
+from qcmrf_tpu.sim import dense, sampler
+
+
+def run_suite(
+    suite: ModelSuite,
+    shots: int = SHOTS,
+    engine: str = "analytic",
+    seed: int = 0,
+) -> List[Dict[str, int]]:
+    """Execute every circuit of the suite; returns counts dicts in order."""
+    key = jax.random.PRNGKey(seed)
+    counts_list: List[Dict[str, int]] = []
+
+    if engine.startswith("noisy"):
+        from qcmrf_tpu.noise import backends as nbackends
+
+        preset = engine.split(":", 1)[1] if ":" in engine else "torino"
+        model = nbackends.preset(preset)
+        for j, C in enumerate(suite.graphs):
+            for theta in suite.thetas[j]:
+                mrf = MRF.create(C, theta=theta)
+                key, sub = jax.random.split(key)
+                counts_list.append(
+                    nbackends.sample_noisy_counts(sub, mrf, model, shots)
+                )
+        return counts_list
+
+    for j, C in enumerate(suite.graphs):
+        thetas = np.asarray(suite.thetas[j], dtype=np.float32)
+        n = max(v for c in C for v in c) + 1
+        K = len(C)
+        width = n + K + 1
+        if engine == "analytic":
+            keys = sbatch.batched_sample_outcomes(
+                C, thetas, jax.random.fold_in(key, j), shots
+            )
+            for b in range(thetas.shape[0]):
+                counts_list.append(
+                    sampler.counts_from_samples(np.asarray(keys[b]), width)
+                )
+        elif engine == "statevector":
+            for i in range(thetas.shape[0]):
+                mrf = MRF.create(C, theta=thetas[i])
+                probs = dense.simulate_probs(compile_qcmrf(mrf))
+                key, sub = jax.random.split(key)
+                counts_list.append(
+                    sampler.sample_counts(sub, probs, shots, width)
+                )
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+    return counts_list
+
+
+def main(argv: Optional[List[str]] = None) -> str:
+    parser = argparse.ArgumentParser(
+        prog="QCMRF experiment driver (TPU-native).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--scale", type=str, default="0.5",
+                        help="Variance of parameter prior.")
+    parser.add_argument("--shots", type=int, default=SHOTS)
+    parser.add_argument("--engine", type=str, default="analytic",
+                        help="analytic | statevector | noisy:<preset>")
+    parser.add_argument("--models", type=str, default=None,
+                        help="Load suite from this models_*.json instead of "
+                             "regenerating from seed 1984.")
+    parser.add_argument("--outdir", type=str, default=".")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    if args.models:
+        suite = load_suite(args.models, float(args.scale))
+    else:
+        ref = reference_models_path(float(args.scale))
+        if os.path.isfile(ref):
+            suite = load_suite(ref, float(args.scale))
+        else:
+            suite = generate_suite(float(args.scale))
+
+    os.makedirs(args.outdir, exist_ok=True)
+    models_path = os.path.join(args.outdir, f"models_{args.scale}.json")
+    suite.save(models_path)
+
+    counts = run_suite(suite, shots=args.shots, engine=args.engine,
+                       seed=args.seed)
+    tag = args.engine.replace(":", "_")
+    out_path = os.path.join(
+        args.outdir, f"result_{tag}_{args.scale}.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(json.dumps(counts, indent=4))
+    print(f"wrote {out_path} ({len(counts)} circuits, {args.shots} shots)")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Closed-form QCMRF outcome distribution — the TPU fast path.
+
+The QCMRF circuit's measurement statistics factorize exactly (derived from
+the verified semantics in SURVEY.md Appendix A item 5): every per-clique
+real-part-extraction sandwich multiplies the amplitude of variable-state
+``x`` by ``cos(2*gamma_C(x)) = exp(beta*theta_C(x)/2)`` on its ancilla-0
+branch and ``-i*sin(2*gamma_C(x))`` on the ancilla-1 branch, and all blocks
+are diagonal in ``x``. Hence the joint outcome distribution is
+
+    P(x, a_1..a_K) = 2^{-n} * prod_k [ c2_k(x) if a_k = 0 else 1 - c2_k(x) ]
+
+with ``c2_k(x) = exp(beta * theta_{k, y_k(x)})``. Consequences:
+
+* the *unconditional* marginal of ``x`` is uniform — sampling the circuit
+  reduces to "draw x uniformly, then flip K independent Bernoulli ancillas" —
+  embarrassingly parallel over shots, ideal for TPU;
+* post-selection on all-zero ancillas yields the Gibbs distribution with
+  success rate ``delta = Z / 2**n``.
+
+This module is the flagship execution path for QCMRF circuits; the gate-level
+engines (:mod:`qcmrf_tpu.sim.dense`, :mod:`qcmrf_tpu.ops.kernels`) validate
+it gate-by-gate and serve arbitrary circuits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models.mrf import MRF
+
+
+def clique_keep_probs(mrf: MRF, x) -> jax.Array:
+    """``c2_k(x) = exp(beta * theta_k(y_k(x)))`` for each clique k.
+
+    Shape ``x.shape + (K,)``. This is the per-clique ancilla-0 probability.
+    """
+    flat_idx = mrf.suff_stat_flat_indices(x)
+    return jnp.exp(mrf.beta * mrf.theta[flat_idx])
+
+
+def postselected_probs(mrf: MRF) -> Tuple[jax.Array, jax.Array]:
+    """Exact post-selected distribution and success rate.
+
+    Returns ``(p, delta)`` where ``p[x]`` is the Gibbs distribution over the
+    ``2**n`` variable states and ``delta = Z / 2**n``.
+    """
+    logpot = mrf.beta * mrf.all_log_potentials()
+    lse = jax.scipy.special.logsumexp(logpot)
+    p = jnp.exp(logpot - lse)
+    delta = jnp.exp(lse - mrf.n * jnp.log(2.0))
+    return p, delta
+
+
+def joint_outcome_probs(mrf: MRF) -> jax.Array:
+    """Full joint distribution over counts keys, shape ``2**(n+K+1)``.
+
+    Key layout (matches the deferred-measurement dense engine and qiskit
+    key ints): bits ``0..n-1`` = variable state id, bit ``n`` = workspace
+    (always 0), bits ``n+1+k`` = ancilla of clique ``k``. Only sensible for
+    small suites (n + K + 1 <= ~24); large models use
+    :func:`sample_outcomes` which never materializes the joint.
+    """
+    n, K = mrf.n, mrf.num_cliques
+    x = jnp.arange(mrf.num_states, dtype=jnp.int32)
+    c2 = clique_keep_probs(mrf, x)  # (2**n, K)
+    s2 = 1.0 - c2
+
+    # ancilla configurations a in [0, 2**K): bit k of a = outcome of clique k
+    a = jnp.arange(1 << K, dtype=jnp.int32)
+    abits = ((a[:, None] >> jnp.arange(K)) & 1).astype(c2.dtype)  # (2**K, K)
+    # P[a, x] = 2^-n * prod_k (abits ? s2 : c2)
+    logs = jnp.log(
+        jnp.where(abits[:, None, :] == 1, s2[None, :, :], c2[None, :, :])
+    )
+    P = jnp.exp(logs.sum(-1)) * (2.0 ** -n)  # (2**K, 2**n)
+
+    out = jnp.zeros((1 << (n + K + 1),), dtype=c2.dtype)
+    # key = x + (a << (n+1)); workspace bit n is 0
+    keys = (a[:, None] << (n + 1)) + x[None, :]
+    return out.at[keys.reshape(-1)].add(P.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def sample_outcomes(key: jax.Array, mrf: MRF, shots: int) -> jax.Array:
+    """Sample full measurement keys without materializing any 2^Q vector.
+
+    Exactly reproduces the circuit's outcome statistics: ``x`` uniform,
+    ancilla ``k`` ~ Bernoulli(1 - c2_k(x)). Returns int32 key ids
+    (n + K + 1 bit layout as in :func:`joint_outcome_probs`). O(shots * K)
+    work, independent of 2**n — this is the n=20+ throughput path.
+    """
+    n, K = mrf.n, mrf.num_cliques
+    kx, ka = jax.random.split(key)
+    x = jax.random.randint(kx, (shots,), 0, mrf.num_states, dtype=jnp.int32)
+    c2 = clique_keep_probs(mrf, x)  # (shots, K)
+    u = jax.random.uniform(ka, (shots, K), dtype=c2.dtype)
+    abits = (u >= c2).astype(jnp.int32)  # 1 = ancilla fired (reject)
+    a = (abits << jnp.arange(K, dtype=jnp.int32)).sum(-1)
+    return x + (a << (n + 1))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def sample_postselected(key: jax.Array, mrf: MRF, shots: int):
+    """Sample ``shots`` keys and return (accepted variable states, accept mask).
+
+    Equivalent to running the circuit and post-selecting all-zero ancillas
+    (eval.py:115-123 semantics). Returns ``(x, accepted)`` where ``x`` are
+    the uniform variable draws and ``accepted[s]`` says shot ``s`` survived.
+    """
+    n = mrf.n
+    keys = sample_outcomes(key, mrf, shots)
+    x = keys & ((1 << n) - 1)
+    accepted = keys < (1 << n)
+    return x, accepted

@@ -1,0 +1,96 @@
+"""Golden-file parity: our evaluation harness on the stored reference
+results must reproduce the BASELINE.md tables, and our simulator's counts
+must evaluate the same as Aer's within shot noise."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from qcmrf_tpu.evaluation.harness import evaluate_suite, load_result_dists
+from qcmrf_tpu.models.suite import (
+    load_suite,
+    reference_models_path,
+    reference_results_path,
+)
+from qcmrf_tpu.runners.run_experiment import run_suite
+
+
+@pytest.fixture(scope="module")
+def suite01(reference_root):
+    return load_suite(reference_models_path(0.1, reference_root), 0.1)
+
+
+def test_stored_simulation_scale01(reference_root, suite01):
+    """Evaluating Aer's stored noiseless counts reproduces BASELINE.md:
+    F in [0.999, 1.0] for all graphs, delta per-graph values."""
+    dists, norm = load_result_dists(
+        reference_results_path(0.1, "simulation", reference_root)
+    )
+    assert norm == 10_000
+    results = evaluate_suite(suite01, dists=dists, norm=norm)
+    want_delta = [0.928, 0.936, 0.794, 0.757, 0.923, 0.845, 0.927]
+    for r, wd in zip(results, want_delta):
+        assert r.mean_f >= 0.999 - 5e-4
+        assert abs(r.mean_delta - wd) < 2e-3
+        assert r.mean_kl < 0.005
+
+
+def test_stored_torino_scale01(reference_root, suite01):
+    """Hardware quasi-dists (negative entries) evaluate to BASELINE.md."""
+    dists, norm = load_result_dists(
+        reference_results_path(0.1, "torino", reference_root)
+    )
+    assert norm == 1
+    results = evaluate_suite(suite01, dists=dists, norm=norm)
+    want_f = [0.995, 0.993, 0.989, 0.968, 0.996, 0.945, 0.986]
+    want_d = [0.989, 0.760, 0.290, 0.198, 0.634, 0.294, 0.525]
+    for r, wf, wd in zip(results, want_f, want_d):
+        assert abs(r.mean_f - wf) < 2e-3
+        assert abs(r.mean_delta - wd) < 2e-3
+
+
+@pytest.mark.parametrize("scale", [0.5])
+def test_stored_simulation_other_scales(reference_root, scale):
+    suite = load_suite(reference_models_path(scale, reference_root), scale)
+    dists, norm = load_result_dists(
+        reference_results_path(scale, "simulation", reference_root)
+    )
+    results = evaluate_suite(suite, dists=dists, norm=norm)
+    want_delta = [0.693, 0.733, 0.352, 0.273, 0.695, 0.458, 0.704]
+    for r, wd in zip(results, want_delta):
+        assert r.mean_f >= 0.997 - 5e-4
+        assert abs(r.mean_delta - wd) < 2e-3
+
+
+def test_our_simulation_matches_reference_eval(reference_root, suite01):
+    """End-to-end: our analytic engine's sampled counts, pushed through the
+    eval harness, match the reference's own Aer results within shot noise
+    (BASELINE.json config 3 criterion: KL <= 1e-3-ish, F ~ 1)."""
+    counts = run_suite(suite01, shots=10_000, engine="analytic", seed=7)
+    assert len(counts) == 70
+    results = evaluate_suite(suite01, dists=counts, norm=10_000)
+    # vs the exact distribution: same quality as Aer's stored counts
+    want_delta = [0.928, 0.936, 0.794, 0.757, 0.923, 0.845, 0.927]
+    for r, wd in zip(results, want_delta):
+        assert r.mean_f >= 0.998, (r.graph, r.mean_f)
+        assert r.mean_kl <= 5e-3, (r.graph, r.mean_kl)
+        # success rate is a physical quantity: must match Z/2^n closely
+        assert abs(r.mean_delta - wd) < 0.02, (r.graph, r.mean_delta, wd)
+
+
+def test_gibbs_and_pam_modes_run(reference_root, suite01):
+    """Classical-sampler comparison modes produce sane fidelity."""
+    small = type(suite01)(
+        graphs=suite01.graphs[:2],
+        thetas={0: suite01.thetas[0][:2], 1: suite01.thetas[1][:2]},
+        scale=0.1,
+    )
+    res_g = evaluate_suite(small, mode="gibbs", num_samples=3000,
+                           key=jax.random.PRNGKey(3))
+    for r in res_g:
+        assert r.mean_f > 0.99
+    res_p = evaluate_suite(small, mode="pam", num_samples=2000,
+                           key=jax.random.PRNGKey(4))
+    for r in res_p:
+        assert r.mean_f > 0.8  # PAM is approximate

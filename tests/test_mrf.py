@@ -1,0 +1,170 @@
+"""MRF core: layout, potentials, exact inference, samplers."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models.mrf import MRF, chain_mrf, grid_mrf
+from qcmrf_tpu.models import sample as msample
+
+
+def brute_logpot(cliques, theta, x, n):
+    """Reference semantics: clique-major theta, y binary-counting with
+    y[0] slowest, variable 0 = MSB of state id."""
+    i = 0
+    total = 0.0
+    for C in cliques:
+        for y in itertools.product([0, 1], repeat=len(C)):
+            match = all(((x >> (n - 1 - v)) & 1) == y[k] for k, v in enumerate(C))
+            if match:
+                total += theta[i]
+            i += 1
+    return total
+
+
+GRAPHS = [
+    [[0]],
+    [[0, 1]],
+    [[0, 1], [1, 2], [2, 3]],
+    [[0, 1, 2], [2, 3, 4]],
+    [[0, 1, 2, 3]],
+]
+
+
+@pytest.mark.parametrize("cliques", GRAPHS)
+def test_log_potential_matches_bruteforce(cliques):
+    rng = np.random.RandomState(7)
+    mrf = MRF.create(cliques)
+    theta = -np.abs(rng.randn(mrf.dimension))
+    mrf = mrf.with_theta(theta)
+    n = mrf.n
+    xs = np.arange(2 ** n)
+    got = np.asarray(mrf.log_potential(jnp.asarray(xs, jnp.int32)))
+    want = np.array([brute_logpot(cliques, theta, int(x), n) for x in xs])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_structure_properties():
+    mrf = MRF.create([[0, 1], [1, 2], [2, 3]])
+    assert mrf.n == 4
+    assert mrf.num_vertices == 4
+    assert mrf.num_cliques == 3
+    assert mrf.dimension == 12
+    assert mrf.max_clique == 2
+    assert mrf.theta_offsets == (0, 4, 8)
+
+
+def test_invalid_cliques_rejected():
+    with pytest.raises(ValueError):
+        MRF.create("nope")
+    with pytest.raises(ValueError):
+        MRF.create([0, 1])
+    with pytest.raises(ValueError):
+        MRF.create([[0, 1]], theta=[1.0, 2.0, 3.0])  # wrong dim
+
+
+def test_partition_and_gibbs():
+    rng = np.random.RandomState(3)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    lp = np.asarray(mrf.all_log_potentials())
+    lnZ = float(mrf.log_partition())
+    assert np.isclose(lnZ, np.log(np.exp(lp).sum()), rtol=1e-5)
+    p = np.asarray(mrf.gibbs_probs())
+    np.testing.assert_allclose(p, np.exp(lp - lnZ), rtol=1e-5)
+    assert np.isclose(p.sum(), 1.0, atol=1e-6)
+    # success rate = Z / 2^n
+    assert np.isclose(
+        float(mrf.success_rate()), np.exp(lnZ) / 2 ** mrf.n, rtol=1e-5
+    )
+
+
+def test_phi_one_hot():
+    mrf = MRF.create([[0, 1], [1, 2]], theta=np.zeros(8))
+    phi = np.asarray(mrf.phi(jnp.asarray([5], jnp.int32)))[0]  # x=101
+    # x=5 = b101: v0=1, v1=0, v2=1 -> clique (0,1) state y=(1,0)->idx 2;
+    # clique (1,2) state y=(0,1)->idx 1 -> offset 4+1=5
+    want = np.zeros(8)
+    want[2] = 1
+    want[5] = 1
+    np.testing.assert_array_equal(phi, want)
+    # log_potential == theta . phi for random theta
+    rng = np.random.RandomState(0)
+    th = -np.abs(rng.randn(8))
+    m2 = mrf.with_theta(th)
+    assert np.isclose(
+        float(m2.log_potential(jnp.int32(5))), float(th @ want), rtol=1e-6
+    )
+
+
+def test_beta_scaling():
+    rng = np.random.RandomState(1)
+    th = -np.abs(rng.randn(8))
+    m1 = MRF.create([[0, 1], [1, 2]], theta=th, beta=1.0)
+    m2 = MRF.create([[0, 1], [1, 2]], theta=th, beta=2.0)
+    lp = np.asarray(m1.all_log_potentials())
+    p2 = np.asarray(m2.gibbs_probs())
+    want = np.exp(2 * lp) / np.exp(2 * lp).sum()
+    np.testing.assert_allclose(p2, want, rtol=1e-5)
+
+
+def test_grid_and_chain_builders():
+    g = grid_mrf(3, 3)
+    assert g.n == 9
+    assert g.num_cliques == 12  # 3*2 horizontal + 2*3 vertical
+    c = chain_mrf(5)
+    assert c.n == 5 and c.num_cliques == 4
+
+
+def test_sample_exact_distribution():
+    rng = np.random.RandomState(5)
+    mrf = MRF.create([[0, 1]], theta=-np.abs(rng.randn(4)))
+    key = jax.random.PRNGKey(0)
+    s = np.asarray(msample.sample_exact(key, mrf, 40000))
+    emp = np.bincount(s, minlength=4) / len(s)
+    p = np.asarray(mrf.gibbs_probs())
+    np.testing.assert_allclose(emp, p, atol=0.01)
+
+
+def test_sample_gibbs_distribution():
+    rng = np.random.RandomState(6)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    key = jax.random.PRNGKey(1)
+    s = np.asarray(msample.sample_gibbs(key, mrf, 6000, thin=2, burn=50))
+    emp = np.bincount(s, minlength=8) / len(s)
+    p = np.asarray(mrf.gibbs_probs())
+    np.testing.assert_allclose(emp, p, atol=0.03)
+
+
+def test_sample_pam_map_quality():
+    # PAM with Gumbel perturbation concentrates near high-probability states
+    rng = np.random.RandomState(8)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)) * 2)
+    key = jax.random.PRNGKey(2)
+    s = np.asarray(msample.sample_pam(key, mrf, 4000))
+    p = np.asarray(mrf.gibbs_probs())
+    # the exact MAP state should be the PAM mode
+    assert np.argmax(np.bincount(s, minlength=8)) == np.argmax(p)
+
+
+def test_map_state():
+    mrf = MRF.create([[0, 1]], theta=np.array([-0.1, -5.0, -5.0, -5.0]))
+    assert int(msample.map_state(mrf)) == 0
+
+
+def test_nll_gradient_is_moment_difference():
+    rng = np.random.RandomState(9)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    data = jnp.asarray([0, 1, 5, 7], jnp.int32)
+    g = jax.grad(lambda th: mrf.with_theta(th).nll(data))(mrf.theta)
+    p = np.asarray(mrf.gibbs_probs())
+    xs = jnp.arange(8, dtype=jnp.int32)
+    phis = np.asarray(mrf.phi(xs))
+    model_moment = p @ phis
+    data_moment = np.asarray(mrf.phi(data)).mean(0)
+    np.testing.assert_allclose(
+        np.asarray(g), model_moment - data_moment, atol=1e-5
+    )
