@@ -1,0 +1,179 @@
+"""Maximum-likelihood MRF training (autodiff + optax), single- and multi-chip.
+
+A new capability with no reference counterpart: the reference only
+*evaluates* fixed random parameter draws (run_experiment.py:30), while this
+module fits ``theta`` to observed samples by gradient descent on the exact
+negative log-likelihood. The gradient is ``E_p[phi] - E_data[phi]``, obtained
+for free by autodiff through the ``logsumexp`` partition function — no
+contrastive-divergence approximation needed at the scales the exact table
+supports (n <= ~28 sharded).
+
+The multi-chip step shards along two axes of a ``jax.sharding.Mesh``:
+
+* ``amp`` — the 2**n state table (the model-parallel axis; analog of
+  tensor/sequence parallelism for this workload), reduced with ``psum``;
+* ``data`` — the observed-sample batch (pure data parallelism).
+
+The constraint ``theta <= 0`` (required by the circuit parameter map,
+QCMRF.py:139) is kept by optimizing through a softplus reparameterization
+when ``nonpositive=True``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from qcmrf_tpu.models.mrf import MRF
+
+
+def _nll(mrf: MRF, theta: jax.Array, data: jax.Array) -> jax.Array:
+    m = mrf.with_theta(theta)
+    return m.log_partition() - m.beta * jnp.mean(m.log_potential(data))
+
+
+@dataclasses.dataclass
+class TrainState:
+    raw: jax.Array          # unconstrained parameters
+    opt_state: optax.OptState
+    step: int = 0
+
+
+def _to_theta(raw: jax.Array, nonpositive: bool) -> jax.Array:
+    return -jax.nn.softplus(raw) if nonpositive else raw
+
+
+def _from_theta(theta: jax.Array, nonpositive: bool) -> jax.Array:
+    if not nonpositive:
+        return jnp.asarray(theta)
+    t = jnp.minimum(jnp.asarray(theta), -1e-4)
+    # inverse softplus: raw = log(exp(-theta) - 1)
+    return jnp.log(jnp.expm1(-t))
+
+
+def make_train_step(
+    template: MRF,
+    optimizer: optax.GradientTransformation,
+    nonpositive: bool = True,
+) -> Callable:
+    """Jitted single-chip training step: (state, batch) -> (state, loss)."""
+
+    @jax.jit
+    def step(raw, opt_state, batch):
+        def loss_fn(r):
+            return _nll(template, _to_theta(r, nonpositive), batch)
+
+        loss, g = jax.value_and_grad(loss_fn)(raw)
+        updates, opt_state = optimizer.update(g, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        return raw, opt_state, loss
+
+    return step
+
+
+def fit_mle(
+    mrf0: MRF,
+    data: jax.Array,
+    steps: int = 300,
+    learning_rate: float = 0.1,
+    nonpositive: bool = True,
+    optimizer: Optional[optax.GradientTransformation] = None,
+) -> Tuple[MRF, jax.Array]:
+    """Fit theta to observed state ids; returns (fitted MRF, final loss)."""
+    opt = optimizer or optax.adam(learning_rate)
+    raw = _from_theta(mrf0.theta, nonpositive)
+    opt_state = opt.init(raw)
+    step = make_train_step(mrf0, opt, nonpositive)
+    loss = jnp.inf
+    for _ in range(steps):
+        raw, opt_state, loss = step(raw, opt_state, data)
+    return mrf0.with_theta(_to_theta(raw, nonpositive)), loss
+
+
+# --------------------------------------------------------------------------
+# Multi-chip training step (amp x data mesh)
+# --------------------------------------------------------------------------
+
+
+def make_sharded_train_step(
+    template: MRF,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    nonpositive: bool = True,
+) -> Callable:
+    """Training step over a 2-D (amp, data) mesh.
+
+    The state table is sharded over ``amp`` (each amp-shard evaluates its
+    contiguous slice of log-potentials; logsumexp combines with psum), the
+    batch over ``data`` (per-shard mean, psum-averaged). Parameters are
+    replicated. Gradients flow through both collectives.
+    """
+    amp_axis, data_axis = mesh.axis_names
+    n_amp = mesh.shape[amp_axis]
+    dlog = int(math.log2(n_amp))
+    assert (1 << dlog) == n_amp, "amp axis must be a power of two"
+    chunk = template.num_states // n_amp
+
+    def sharded_nll(raw, data):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(data_axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def compute(raw_rep, data_local):
+            theta = _to_theta(raw_rep, nonpositive)
+            m = template.with_theta(theta)
+            # --- amp axis: sharded exact logZ over the state table
+            d = jax.lax.axis_index(amp_axis)
+            x = d * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            lp = m.beta * m.log_potential(x)
+            # max-shift is numerics only; no gradient should flow through
+            # it (pmax has no differentiation rule anyway)
+            mx = jax.lax.stop_gradient(
+                jax.lax.pmax(jnp.max(jax.lax.stop_gradient(lp)), amp_axis)
+            )
+            z_local = jnp.sum(jnp.exp(lp - mx))
+            lnZ = mx + jnp.log(jax.lax.psum(z_local, amp_axis))
+            # --- data axis: sharded batch moment
+            mean_lp = jax.lax.pmean(
+                jnp.mean(m.beta * m.log_potential(data_local)), data_axis
+            )
+            return (lnZ - mean_lp)[None]
+
+        return compute(raw, data)[0]
+
+    @jax.jit
+    def step(raw, opt_state, batch):
+        loss, g = jax.value_and_grad(sharded_nll)(raw, batch)
+        updates, opt_state = optimizer.update(g, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        return raw, opt_state, loss
+
+    return step
+
+
+def fit_mle_sharded(
+    mrf0: MRF,
+    data: jax.Array,
+    mesh: Mesh,
+    steps: int = 100,
+    learning_rate: float = 0.1,
+    nonpositive: bool = True,
+) -> Tuple[MRF, jax.Array]:
+    opt = optax.adam(learning_rate)
+    raw = _from_theta(mrf0.theta, nonpositive)
+    opt_state = opt.init(raw)
+    step = make_sharded_train_step(mrf0, opt, mesh, nonpositive)
+    loss = jnp.inf
+    for _ in range(steps):
+        raw, opt_state, loss = step(raw, opt_state, data)
+    return mrf0.with_theta(_to_theta(raw, nonpositive)), loss

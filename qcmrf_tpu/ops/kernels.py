@@ -1,0 +1,356 @@
+"""Pallas TPU kernels — the hot ops of the framework.
+
+These replace the compute cores the reference delegates to native engines
+(Aer's C++ statevector loops, kiopto's exact inference; SURVEY.md §2.3
+N1/N5) with TPU kernels designed around the hardware:
+
+* state tables live as ``(rows, 128)`` float32 arrays (lane-aligned);
+* the log-potential table kernel computes ``beta * theta^T phi(x)`` for a
+  block of states entirely in registers/VMEM: basis indices are derived
+  from ``broadcasted_iota``, clique-state indices by shift/mask bit
+  arithmetic, and the theta lookup is a one-hot contraction against a
+  small padded ``(K, 2^cmax)`` table — no gather, no ``(2^n, K, cmax)``
+  HBM intermediates (the jnp reference path materializes those);
+* single-qubit gate application on *lane* qubits (q < 7) is recast as a
+  ``(rows, 128) @ (128, 128)`` matmul with the gate embedded as
+  ``I_{2^(6-q)} ⊗ U ⊗ I_{2^q}`` — the MXU does the permutation work that
+  would otherwise be an in-lane shuffle; *row* qubits (q >= 7) are a
+  two-row linear combination over a strided view;
+* complex amplitudes are stored as separate real/imag planes (the TPU
+  backend has no complex support), so every gate is a pair of real
+  contractions.
+
+Kernels run with ``interpret=True`` automatically off-TPU so the unit
+suite exercises them on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qcmrf_tpu.models.mrf import MRF
+
+LANE = 128
+_MIN_KERNEL_N = 10  # below this, plain jnp is faster than kernel launch
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _clique_tables(mrf: MRF) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Padded (K, cmax) shift/place arrays and (K, 2^cmax) theta table."""
+    K, cmax = mrf.num_cliques, mrf.max_clique
+    shifts, places, offsets = mrf._index_tables
+    theta = np.zeros((K, 1 << cmax), dtype=np.float32)
+    th = np.asarray(mrf.theta, dtype=np.float32)
+    for k, C in enumerate(mrf.cliques):
+        m = 1 << len(C)
+        theta[k, :m] = th[offsets[k]: offsets[k] + m]
+    return shifts, places, theta
+
+
+# --------------------------------------------------------------------------
+# Log-potential table kernel: out[x] = beta * sum_k theta_k[y_k(x)]
+#
+# TPU-first formulation: the clique structure is *static*, so the kernel is
+# generated per structure with the clique loop unrolled in Python — bit
+# positions are immediate constants (no SMEM-dependent control flow) — and
+# each clique's theta table is converted host-side to its multilinear
+# (Moebius) coefficients, turning the per-state evaluation into a short
+# fused-multiply-add chain over bit monomials:
+#
+#   theta_k(y) = sum_{S subset of clique} c_S * prod_{i in S} bit_i(x)
+#
+# The only runtime inputs are the coefficient vector (SMEM) and beta, so
+# one compiled kernel serves every theta of the same graph.
+# --------------------------------------------------------------------------
+
+
+def _moebius_coefficients(mrf: MRF) -> np.ndarray:
+    """Multilinear coefficients of every clique table, flat like theta.
+
+    Entry layout per clique: subset ``s`` encoded with bit ``i`` <-> clique
+    slot ``i`` (slot order = clique variable order). Computed by the fast
+    Moebius transform of the (slot-reordered) theta table.
+    """
+    th = np.asarray(mrf.theta, dtype=np.float64)
+    out = np.zeros_like(th)
+    for k, C in enumerate(mrf.cliques):
+        m = len(C)
+        off = mrf.theta_offsets[k]
+        # reorder: slot-encoded subset s -> theta's binary-counting yidx
+        u = np.empty(1 << m)
+        for s in range(1 << m):
+            yidx = 0
+            for i in range(m):
+                if (s >> i) & 1:
+                    yidx |= 1 << (m - 1 - i)
+            u[s] = th[off + yidx]
+        # in-place fast Moebius (finite-difference) transform
+        for i in range(m):
+            step = 1 << i
+            for s in range(1 << m):
+                if s & step:
+                    u[s] -= u[s ^ step]
+        out[off: off + (1 << m)] = u
+    return out.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_logpot_kernel(cliques: tuple, n: int, block_rows: int,
+                         fuse_amp: bool):
+    """Generate the structure-specialized Pallas kernel body."""
+    # precompute static (shift, offset) layout
+    offsets = []
+    o = 0
+    for C in cliques:
+        offsets.append(o)
+        o += 1 << len(C)
+
+    def kernel(coef_ref, beta_ref, x0_ref, out_ref):
+        i = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+        # x0 offsets the state ids — used by the ICI-sharded path where
+        # each device owns a contiguous slice of the 2**n state space
+        x = x0_ref[0] + (i * block_rows + rows) * LANE + cols
+
+        # extract each used variable's bit once, shared across cliques
+        used = sorted({v for C in cliques for v in C})
+        var_bits = {
+            v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
+        }
+
+        acc = jnp.zeros((block_rows, LANE), jnp.float32)
+        for k, C in enumerate(cliques):  # static unroll over cliques
+            m = len(C)
+            off = offsets[k]
+            bits = [var_bits[v] for v in C]
+            # monomials built incrementally over slot-encoded subsets
+            prods = {0: None}
+            acc = acc + coef_ref[off]  # constant term
+            for s in range(1, 1 << m):
+                low = s & (-s)
+                rest = s ^ low
+                base = prods[rest]
+                p = bits[low.bit_length() - 1] if base is None else (
+                    base * bits[low.bit_length() - 1]
+                )
+                prods[s] = p
+                acc = acc + coef_ref[off + s] * p
+        acc = beta_ref[0] * acc
+        if fuse_amp:
+            out_ref[:] = jnp.exp(0.5 * acc) * (2.0 ** (-0.5 * n))
+        else:
+            out_ref[:] = acc
+
+    return kernel
+
+
+def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,
+                       num_states: int, coef, beta, x0):
+    """Kernel invocation producing ``num_states`` entries starting at x0."""
+    rows = num_states // LANE
+    block_rows = min(rows, 1024)
+    kernel = _build_logpot_kernel(cliques, n, block_rows, fuse_amp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        grid=(rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (d,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (1,)
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(coef, beta, x0)
+    return out.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _logpot_call(cliques: tuple, n: int, fuse_amp: bool, coef, beta):
+    return _logpot_call_sized(
+        cliques, n, fuse_amp, 1 << n, coef, beta,
+        jnp.zeros((1,), jnp.int32),
+    )
+
+
+def all_log_potentials(mrf: MRF) -> jax.Array:
+    """``beta * theta^T phi(x)`` for all ``2**n`` states (Pallas).
+
+    Drop-in accelerated version of ``beta * mrf.all_log_potentials()``;
+    falls back to the jnp path for small n where a kernel launch would
+    dominate.
+    """
+    if mrf.n < _MIN_KERNEL_N:
+        return mrf.beta * mrf.all_log_potentials()
+    coef = jnp.asarray(_moebius_coefficients(mrf))
+    beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+    return _logpot_call(mrf.cliques, mrf.n, False, coef, beta)
+
+
+def gibbs_probs(mrf: MRF) -> jax.Array:
+    """Exact Gibbs probabilities via the Pallas log-potential kernel."""
+    lp = all_log_potentials(mrf)
+    return jax.nn.softmax(lp)
+
+
+def log_partition(mrf: MRF) -> jax.Array:
+    return jax.scipy.special.logsumexp(all_log_potentials(mrf))
+
+
+# --------------------------------------------------------------------------
+# Statevector gate application on real/imag planes, (rows, 128) layout
+# --------------------------------------------------------------------------
+
+
+def _lane_gate_matrix(U: np.ndarray, q: int) -> np.ndarray:
+    """Embed a 2x2 gate on lane-qubit q (< 7) as a 128x128 matrix:
+    I_{2^(6-q)} ⊗ U ⊗ I_{2^q}."""
+    return np.kron(
+        np.kron(np.eye(1 << (6 - q)), U), np.eye(1 << q)
+    ).astype(U.dtype)
+
+
+def _matmul_pair_kernel(re_ref, im_ref, mr_ref, mi_ref, ore_ref, oim_ref):
+    re = re_ref[:]
+    im = im_ref[:]
+    mr = mr_ref[:]
+    mi = mi_ref[:]
+    # (rows,128) @ (128,128): out = state @ M^T, complex via plane algebra
+    ore_ref[:] = (
+        jnp.dot(re, mr.T, preferred_element_type=jnp.float32)
+        - jnp.dot(im, mi.T, preferred_element_type=jnp.float32)
+    )
+    oim_ref[:] = (
+        jnp.dot(re, mi.T, preferred_element_type=jnp.float32)
+        + jnp.dot(im, mr.T, preferred_element_type=jnp.float32)
+    )
+
+
+@jax.jit
+def _lane_matmul_call(re, im, mr, mi):
+    rows = re.shape[0]
+    block_rows = min(rows, 512)
+    grid = pl.cdiv(rows, block_rows)
+    out = pl.pallas_call(
+        _matmul_pair_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(re.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re.shape, jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(re, im, mr, mi)
+    return out
+
+
+def _row_gate_kernel(re_ref, im_ref, u_ref, ore_ref, oim_ref):
+    """Gate on a row qubit: the block is one (1, 2, stride, LANE) group —
+    axis 1 is the target qubit; u is the 2x2 complex gate as (2, 2, 2)
+    real/imag scalars in SMEM."""
+    a_re, b_re = re_ref[0, 0], re_ref[0, 1]
+    a_im, b_im = im_ref[0, 0], im_ref[0, 1]
+    u00r, u00i = u_ref[0, 0, 0], u_ref[0, 0, 1]
+    u01r, u01i = u_ref[0, 1, 0], u_ref[0, 1, 1]
+    u10r, u10i = u_ref[1, 0, 0], u_ref[1, 0, 1]
+    u11r, u11i = u_ref[1, 1, 0], u_ref[1, 1, 1]
+    ore_ref[0, 0] = u00r * a_re - u00i * a_im + u01r * b_re - u01i * b_im
+    oim_ref[0, 0] = u00r * a_im + u00i * a_re + u01r * b_im + u01i * b_re
+    ore_ref[0, 1] = u10r * a_re - u10i * a_im + u11r * b_re - u11i * b_im
+    oim_ref[0, 1] = u10r * a_im + u10i * a_re + u11r * b_im + u11i * b_re
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _row_gate_call(re, im, u, stride_rows: int):
+    rows = re.shape[0]
+    # view as (groups, 2, stride_rows, LANE): axis 1 is the qubit
+    g = rows // (2 * stride_rows)
+    re4 = re.reshape(g, 2, stride_rows, LANE)
+    im4 = im.reshape(g, 2, stride_rows, LANE)
+    grid = (g,)
+    out = pl.pallas_call(
+        _row_gate_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(re4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re4.shape, jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, stride_rows, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, stride_rows, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, stride_rows, LANE),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, stride_rows, LANE),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(re4, im4, u)
+    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
+
+
+def apply_1q(re: jax.Array, im: jax.Array, U: np.ndarray, q: int,
+             n: int) -> Tuple[jax.Array, jax.Array]:
+    """Apply a 2x2 unitary to qubit q of an n-qubit state stored as
+    (2**n / 128, 128) real/imag planes (requires n >= 7)."""
+    U = np.asarray(U, dtype=np.complex64)
+    if q < 7:
+        M = _lane_gate_matrix(U, q)
+        mr = jnp.asarray(M.real.astype(np.float32))
+        mi = jnp.asarray(M.imag.astype(np.float32))
+        return _lane_matmul_call(re, im, mr, mi)
+    stride_rows = 1 << (q - 7)
+    u = jnp.asarray(
+        np.stack([U.real.astype(np.float32), U.imag.astype(np.float32)],
+                 axis=-1)
+    )  # (2, 2, 2): [out, in, re/im]
+    return _row_gate_call(re, im, u, stride_rows)
+
+
+# --------------------------------------------------------------------------
+# Fused QCMRF post-selected amplitude kernel: amp[x] = 2^{-n/2} e^{lp(x)/2}
+# --------------------------------------------------------------------------
+
+
+def postselected_amplitudes(mrf: MRF) -> jax.Array:
+    """Amplitudes of the all-ancilla-zero branch over all 2**n states —
+    the circuit's post-selected wavefunction in one fused kernel
+    (SURVEY.md Appendix A item 5: each clique contributes
+    cos(2*gamma) = e^{beta*theta/2}); the exp/scale is fused into the
+    log-potential kernel epilogue."""
+    if mrf.n < _MIN_KERNEL_N:
+        lp = mrf.beta * mrf.all_log_potentials()
+        return jnp.exp(0.5 * lp) * (2.0 ** (-0.5 * mrf.n))
+    coef = jnp.asarray(_moebius_coefficients(mrf))
+    beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+    return _logpot_call(mrf.cliques, mrf.n, True, coef, beta)

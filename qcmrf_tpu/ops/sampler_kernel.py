@@ -1,0 +1,135 @@
+"""Fused Pallas sampling kernel: QCMRF outcomes in one pass.
+
+The factorized outcome law (qcmrf_tpu.sim.analytic) needs, per shot, a
+uniform variable state ``x`` and one Bernoulli per clique with probability
+``1 - c2_k(x)``. The XLA version materializes ``(shots, K)`` intermediates
+(~10 arrays of 124 MB at the benchmark size); this kernel generates
+everything in VMEM/registers — hardware PRNG for both ``x`` and the
+per-clique uniforms, Moebius-coefficient FMA chains for ``c2`` (same
+formulation as the log-potential kernel), and in-register packing of the
+ancilla bitmask — so HBM traffic is exactly the two output arrays.
+
+Statistical contract: outcomes follow the exact circuit distribution, but
+the stream differs from ``jax.random`` (TPU hardware PRNG, seeded per
+block); tests assert distribution-level agreement, not bit equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.sim.analytic import _moebius_layout
+
+LANE = 128
+_U24 = np.float32(1.0 / (1 << 24))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=256)
+def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int):
+    K = len(cliques)
+    cmax = max(len(C) for C in cliques)
+    n_sub = 1 << cmax
+    _, shifts, _ = _moebius_layout(cliques, n)  # (cmax, K) numpy
+
+    def kernel(seed_ref, coef_ref, x_ref, a_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        shape = (block_rows, LANE)
+        xbits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        x = (xbits & np.uint32((1 << n) - 1)).astype(jnp.int32)
+        a = jnp.zeros(shape, jnp.uint32)
+        for k in range(K):  # static unroll over cliques
+            m = len(cliques[k])
+            # c2_k(x) via the Moebius FMA chain
+            c2 = jnp.full(shape, coef_ref[k * n_sub])
+            bits = [
+                ((x >> int(shifts[i, k])) & 1).astype(jnp.float32)
+                for i in range(m)
+            ]
+            prods = {0: None}
+            for s in range(1, 1 << m):
+                low = s & (-s)
+                rest = s ^ low
+                b = bits[low.bit_length() - 1]
+                p = b if prods[rest] is None else prods[rest] * b
+                prods[s] = p
+                c2 = c2 + coef_ref[k * n_sub + s] * p
+            # uniform in [0, 1) from 24 high bits
+            ubits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            # uint32->float32 casts are unsupported in Mosaic; the high 24
+            # bits fit int32 exactly
+            u = (ubits >> 8).astype(jnp.int32).astype(jnp.float32) * _U24
+            fired = (u >= c2).astype(jnp.uint32)
+            a = a | (fired << np.uint32(k))
+        x_ref[:] = x
+        a_ref[:] = a
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _sample_call(seed, cliques_and_n, shots: int, coef):
+    cliques, n = cliques_and_n
+    rows = shots // LANE
+    block_rows = min(rows, 512)
+    grid = rows // block_rows
+    kernel = _build_sampler_kernel(cliques, n, block_rows)
+    x, a = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.uint32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (K * 2^cmax,)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(seed, coef)
+    return x.reshape(-1), a.reshape(-1)
+
+
+def _keep_prob_coefficients(mrf: MRF) -> jax.Array:
+    """In-graph Moebius coefficients of each clique's exp(beta*theta) table,
+    flattened (K * 2^cmax,)."""
+    idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    tab = jnp.exp(mrf.beta * mrf.theta[jnp.asarray(idx_map)])
+    K = tab.shape[0]
+    for i in range(cmax):
+        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
+        tab = jnp.concatenate(
+            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
+        ).reshape(K, 1 << cmax)
+    return tab.reshape(-1)
+
+
+def sample_outcome_parts(seed, mrf: MRF, shots: int):
+    """Hardware-PRNG fused sampler: returns (x, ancilla_mask).
+
+    ``shots`` must be a multiple of 128. ``seed`` is an int32 scalar (or
+    array of shape (1,)); successive grid blocks derive distinct streams.
+    """
+    if mrf.num_cliques > 32:
+        raise ValueError("ancilla bitmask limited to 32 cliques")
+    if shots % LANE:
+        raise ValueError("shots must be a multiple of 128")
+    seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
+    coef = _keep_prob_coefficients(mrf)
+    return _sample_call(seed, (mrf.cliques, mrf.n), shots, coef)

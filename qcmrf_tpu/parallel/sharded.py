@@ -1,0 +1,338 @@
+"""ICI-sharded statevector simulation and exact inference.
+
+The distributed layer — a *new* first-class component with no reference
+counterpart (the reference caps at 10 qubits and has no mechanism to scale,
+SURVEY.md §2.2/§5): statevectors and state tables beyond single-chip memory
+are sharded over a 1-D device mesh on the **leading state bits** (the top
+``log2 D`` qubits), via ``jax.shard_map``.
+
+Design (the scaling-book recipe, specialized to amplitude sharding):
+
+* gates on *local* qubits are embarrassingly parallel — identical local
+  contractions per shard, zero communication;
+* *diagonal* gates (rz / cp / flags_phase — everything after the QCMRF
+  Hadamard wall) never need communication even on sharded qubits: the
+  sharded bits' values are a function of ``jax.lax.axis_index``, so each
+  device computes its own phase mask locally;
+* non-diagonal gates on sharded qubits trigger a **qubit-block remap**: one
+  ``lax.all_to_all`` swaps the ``log2 D`` device bits with the top
+  ``log2 D`` local bits (the direct analog of Ulysses-style all-to-all
+  head/sequence swaps), after which the gate is local. The logical->physical
+  qubit permutation is tracked statically in Python, so remaps compile to
+  exactly one collective each;
+* scalar results (norms, partition functions) reduce with ``psum``.
+
+Complex amplitudes are real/imag float32 planes (TPU has no complex dtype
+support), matching :mod:`qcmrf_tpu.ops.kernels`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from qcmrf_tpu.circuits.ir import Circuit
+from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.ops import kernels as K
+from qcmrf_tpu.sim.dense import GATES_1Q
+
+AXIS = "amp"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+# --------------------------------------------------------------------------
+# Sharded exact inference (the kiopto replacement at n = 24-28)
+# --------------------------------------------------------------------------
+
+
+def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
+    """This device's contiguous slice of the beta*logpot table."""
+    chunk = 1 << (mrf.n - dlog)
+    d = jax.lax.axis_index(axis)
+    x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
+    if mrf.n - dlog >= K._MIN_KERNEL_N:
+        coef = jnp.asarray(K._moebius_coefficients(mrf))
+        beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+        return K._logpot_call_sized(
+            mrf.cliques, mrf.n, False, chunk, coef, beta, x0
+        )
+    x = x0[0] + jnp.arange(chunk, dtype=jnp.int32)
+    return mrf.beta * mrf.log_potential(x)
+
+
+def sharded_log_partition(mrf: MRF, mesh: Mesh) -> jax.Array:
+    """``ln Z`` with the 2**n state table sharded over the mesh."""
+    dlog = int(math.log2(mesh.devices.size))
+    axis = mesh.axis_names[0]
+
+    # check_vma=False: the Pallas kernel's outputs carry no varying-mesh-
+    # axis annotation, which shard_map's checker (jax >= 0.9) requires
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(), out_specs=P(),
+        check_vma=False,
+    )
+    def compute():
+        lp = _local_log_potentials(mrf, dlog, axis)
+        m = jax.lax.pmax(jnp.max(lp), axis)
+        local = jnp.sum(jnp.exp(lp - m))
+        return (m + jnp.log(jax.lax.psum(local, axis)))[None]
+
+    return compute()[0]
+
+
+def sharded_gibbs_probs(mrf: MRF, mesh: Mesh) -> jax.Array:
+    """Exact Gibbs distribution, returned sharded over the mesh."""
+    dlog = int(math.log2(mesh.devices.size))
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(), out_specs=P(axis),
+        check_vma=False,
+    )
+    def compute():
+        lp = _local_log_potentials(mrf, dlog, axis)
+        m = jax.lax.pmax(jnp.max(lp), axis)
+        z = jax.lax.psum(jnp.sum(jnp.exp(lp - m)), axis)
+        return jnp.exp(lp - m) / z
+
+    return compute()
+
+
+def sharded_success_rate(mrf: MRF, mesh: Mesh) -> jax.Array:
+    """Z / 2**n without materializing anything unsharded."""
+    lnZ = sharded_log_partition(mrf, mesh)
+    return jnp.exp(lnZ - mrf.n * jnp.log(2.0))
+
+
+def sharded_sample_postselected(
+    key: jax.Array, mrf: MRF, mesh: Mesh, shots: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Data-parallel shot sampling over the mesh (shots axis sharded).
+
+    Returns (x, accepted) exactly like analytic.sample_postselected but with
+    each device drawing its own shots slice — no cross-device traffic at
+    all (the factorized sampler needs none).
+    """
+    from qcmrf_tpu.sim import analytic
+
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    per_dev = shots // D
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
+    )
+    def draw(keys):
+        return analytic.sample_postselected(keys[0], mrf, per_dev)
+
+    keys = jax.random.split(key, D)
+    return draw(keys)
+
+
+# --------------------------------------------------------------------------
+# Sharded gate-level statevector engine
+# --------------------------------------------------------------------------
+
+
+def _apply_1q_local(re, im, U: np.ndarray, pos: int, local_n: int):
+    """2x2 unitary on local bit ``pos`` of flat real/imag planes."""
+    U = np.asarray(U, dtype=np.complex64)
+    hi = 1 << (local_n - 1 - pos)
+    lo = 1 << pos
+    r = re.reshape(hi, 2, lo)
+    i_ = im.reshape(hi, 2, lo)
+    ur = jnp.asarray(U.real.astype(np.float32))
+    ui = jnp.asarray(U.imag.astype(np.float32))
+    nr = jnp.einsum("ab,hbl->hal", ur, r) - jnp.einsum("ab,hbl->hal", ui, i_)
+    ni = jnp.einsum("ab,hbl->hal", ur, i_) + jnp.einsum("ab,hbl->hal", ui, r)
+    return nr.reshape(-1), ni.reshape(-1)
+
+
+def _flip_local(re, im, pos: int, local_n: int):
+    hi = 1 << (local_n - 1 - pos)
+    lo = 1 << pos
+    r = re.reshape(hi, 2, lo)[:, ::-1].reshape(-1)
+    i_ = im.reshape(hi, 2, lo)[:, ::-1].reshape(-1)
+    return r, i_
+
+
+class _Layout:
+    """Tracks logical qubit -> physical bit position. Positions
+    [0, local_n) are local bits; [local_n, n) are device bits."""
+
+    def __init__(self, n: int, local_n: int):
+        self.n = n
+        self.local_n = local_n
+        self.pos = list(range(n))  # logical -> physical
+
+    def is_local(self, q: int) -> bool:
+        return self.pos[q] < self.local_n
+
+    def swap_blocks(self):
+        """Record the device-bits <-> top-local-bits swap."""
+        dlog = self.n - self.local_n
+        lo_base = self.local_n - dlog
+
+        def remap(p):
+            if p >= self.local_n:  # device bit j -> top local bit
+                return p - dlog
+            if lo_base <= p < self.local_n:  # top local -> device
+                return p + dlog
+            return p
+
+        self.pos = [remap(p) for p in self.pos]
+
+
+def _device_bit(axis: str, dev_pos: int) -> jax.Array:
+    """Value of device bit ``dev_pos`` (0 = lowest device bit)."""
+    return (jax.lax.axis_index(axis) >> dev_pos) & 1
+
+
+def _local_bits(x_local: jax.Array, pos: int) -> jax.Array:
+    return (x_local >> pos) & 1
+
+
+def run_statevector_sharded(
+    circuit: Circuit, mesh: Mesh
+) -> Tuple[jax.Array, jax.Array]:
+    """Simulate a circuit with the statevector sharded over the mesh.
+
+    Returns (re, im) planes sharded on the leading axis. The whole gate
+    sequence runs inside a single ``shard_map`` trace; remaps compile to
+    one ``all_to_all`` each.
+    """
+    n = circuit.num_qubits
+    D = mesh.devices.size
+    dlog = int(math.log2(D))
+    if (1 << dlog) != D:
+        raise ValueError("mesh size must be a power of two")
+    if dlog > n - 1:
+        raise ValueError("more device bits than qubits")
+    local_n = n - dlog
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run():
+        layout = _Layout(n, local_n)
+        chunk = 1 << local_n
+        d = jax.lax.axis_index(axis)
+        re = jnp.zeros((chunk,), jnp.float32)
+        im = jnp.zeros((chunk,), jnp.float32)
+        re = re.at[0].set(jnp.where(d == 0, 1.0, 0.0))
+        x_local = jnp.arange(chunk, dtype=jnp.int32)
+
+        def ensure_local(q):
+            nonlocal re, im
+            if not layout.is_local(q):
+                r2 = re.reshape(D, -1)
+                i2 = im.reshape(D, -1)
+                re = jax.lax.all_to_all(r2, axis, 0, 0).reshape(-1)
+                im = jax.lax.all_to_all(i2, axis, 0, 0).reshape(-1)
+                layout.swap_blocks()
+
+        def bit_of(q):
+            p = layout.pos[q]
+            if p < local_n:
+                return _local_bits(x_local, p)
+            return _device_bit(axis, p - local_n)
+
+        for g in circuit.gates:
+            if g.name in ("barrier", "measure"):
+                continue
+            if g.name in GATES_1Q or g.name == "rz":
+                q = g.qubits[0]
+                if g.name == "rz":
+                    # diagonal: never needs a remap
+                    lam = g.params[0]
+                    b = bit_of(q).astype(jnp.float32)
+                    ang = (lam / 2.0) * (2.0 * b - 1.0)
+                    c, s = jnp.cos(ang), jnp.sin(ang)
+                    re, im = re * c - im * s, re * s + im * c
+                    continue
+                ensure_local(q)
+                re, im = _apply_1q_local(
+                    re, im, GATES_1Q[g.name], layout.pos[q], local_n
+                )
+            elif g.name == "cp":
+                c, t = g.qubits
+                lam = g.params[0]
+                mask = (bit_of(c) & bit_of(t)).astype(jnp.float32)
+                ang = lam * mask
+                cs, sn = jnp.cos(ang), jnp.sin(ang)
+                re, im = re * cs - im * sn, re * sn + im * cs
+            elif g.name == "flags_phase":
+                *pattern, ctrl = g.qubits
+                lam = g.params[0]
+                mask = bit_of(ctrl)
+                for q, f in zip(pattern, g.flags):
+                    want = (f + 1) // 2
+                    mask = mask & (bit_of(q) == want).astype(mask.dtype)
+                ang = lam * mask.astype(jnp.float32)
+                cs, sn = jnp.cos(ang), jnp.sin(ang)
+                re, im = re * cs - im * sn, re * sn + im * cs
+            elif g.name == "cx":
+                c, t = g.qubits
+                ensure_local(t)
+                cb = bit_of(c)
+                fr, fi = _flip_local(re, im, layout.pos[t], local_n)
+                if jnp.ndim(cb) == 0:  # control on a device bit
+                    re = jnp.where(cb == 1, fr, re)
+                    im = jnp.where(cb == 1, fi, im)
+                else:
+                    sel = (cb == 1)
+                    re = jnp.where(sel, fr, re)
+                    im = jnp.where(sel, fi, im)
+            else:
+                raise ValueError(f"unsupported sharded gate {g.name}")
+
+        # return to the canonical layout (identity permutation)
+        if layout.pos != list(range(n)):
+            r2 = re.reshape(D, -1)
+            i2 = im.reshape(D, -1)
+            re = jax.lax.all_to_all(r2, axis, 0, 0).reshape(-1)
+            im = jax.lax.all_to_all(i2, axis, 0, 0).reshape(-1)
+            layout.swap_blocks()
+            if layout.pos != list(range(n)):
+                raise ValueError(
+                    "layout did not return to canonical after one swap; "
+                    "circuit requires a more general final permutation"
+                )
+        if circuit.global_phase:
+            cs = float(np.cos(circuit.global_phase))
+            sn = float(np.sin(circuit.global_phase))
+            re, im = re * cs - im * sn, re * sn + im * cs
+        return re, im
+
+    return run()
+
+
+def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
+    """|psi|^2 over the full register, sharded (QCMRF wiring: clbit = qubit,
+    so the key distribution is |psi|^2 directly)."""
+    re, im = run_statevector_sharded(circuit, mesh)
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def probs(r, i_):
+        return r * r + i_ * i_
+
+    return probs(re, im)

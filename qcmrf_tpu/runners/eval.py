@@ -36,6 +36,11 @@ def main(argv: Optional[List[str]] = None) -> str:
                         help="Directory containing res_{scale}/ folders.")
     parser.add_argument("--kl", action="store_true",
                         help="Also report mean KL divergence.")
+    parser.add_argument("--norm", type=float, default=None,
+                        help="Override the counts normalization (the "
+                             "reference hardcodes 10000 shots, eval.py:60; "
+                             "pass the actual shot count for files produced "
+                             "with --shots != 10000).")
     args = parser.parse_args(argv)
 
     # suite: prefer the stored models file for bit-parity, else regenerate
@@ -54,6 +59,8 @@ def main(argv: Optional[List[str]] = None) -> str:
         dists, norm = load_result_dists(
             os.path.join(res_dir, args.results)
         )
+    if args.norm is not None:
+        norm = args.norm
 
     results = evaluate_suite(suite, dists=dists, norm=norm, mode=args.mode)
     table = results_table(results, with_kl=args.kl)

@@ -42,6 +42,76 @@ def clique_keep_probs(mrf: MRF, x) -> jax.Array:
     return jnp.exp(mrf.beta * mrf.theta[flat_idx])
 
 
+@functools.lru_cache(maxsize=256)
+def _moebius_layout(cliques: tuple, n: int):
+    """Static tables for the gather-free keep-prob evaluation.
+
+    Returns (idx_map (K, 2^cmax) int32, shifts (cmax, K) int32):
+    ``idx_map[k, s]`` maps slot-encoded subset ``s`` (bit i <-> clique slot
+    i; out-of-range slots aliased down so their Moebius coefficients vanish)
+    to the flat theta index; ``shifts[i, k]`` is the state-id right-shift of
+    clique k's slot-i variable.
+    """
+    import numpy as np
+
+    K = len(cliques)
+    cmax = max(len(C) for C in cliques)
+    offsets, o = [], 0
+    for C in cliques:
+        offsets.append(o)
+        o += 1 << len(C)
+    idx_map = np.zeros((K, 1 << cmax), dtype=np.int32)
+    shifts = np.zeros((cmax, K), dtype=np.int32)
+    for k, C in enumerate(cliques):
+        m = len(C)
+        for i, v in enumerate(C):
+            shifts[i, k] = n - 1 - v
+        for s in range(1 << cmax):
+            sm = s & ((1 << m) - 1)
+            yidx = 0
+            for i in range(m):
+                if (sm >> i) & 1:
+                    yidx |= 1 << (m - 1 - i)
+            idx_map[k, s] = offsets[k] + yidx
+    return idx_map, shifts, cmax
+
+
+def clique_keep_probs_fast(mrf: MRF, x) -> jax.Array:
+    """Gather-free ``c2_k(x)``: the per-clique exp-theta table is converted
+    to multilinear (Moebius) coefficients in-graph (tiny (K, 2^cmax) ops),
+    then evaluated per state as an FMA chain over bit monomials — no
+    per-(state, clique) gather, so XLA fuses the whole thing. Exact; the
+    TPU throughput path for sampling (the gather version is the reference).
+    """
+    idx_map, shifts, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    idx_map = jnp.asarray(idx_map)
+    # (K, 2^cmax) keep-prob table, then in-graph fast Moebius transform
+    tab = jnp.exp(mrf.beta * mrf.theta[idx_map])
+    K = tab.shape[0]
+    for i in range(cmax):
+        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
+        tab = jnp.concatenate(
+            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
+        ).reshape(K, 1 << cmax)
+
+    x = jnp.asarray(x, jnp.int32)
+    sh = jnp.asarray(shifts)  # (cmax, K)
+    bits = [
+        ((x[..., None] >> sh[i]) & 1).astype(tab.dtype)
+        for i in range(cmax)
+    ]  # each (..., K)
+    prods = {0: None}
+    out = jnp.broadcast_to(tab[:, 0], x.shape + (K,))
+    for s in range(1, 1 << cmax):
+        low = s & (-s)
+        rest = s ^ low
+        b = bits[low.bit_length() - 1]
+        p = b if prods[rest] is None else prods[rest] * b
+        prods[s] = p
+        out = out + tab[:, s] * p
+    return out
+
+
 def postselected_probs(mrf: MRF) -> Tuple[jax.Array, jax.Array]:
     """Exact post-selected distribution and success rate.
 
@@ -85,34 +155,50 @@ def joint_outcome_probs(mrf: MRF) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def sample_outcomes(key: jax.Array, mrf: MRF, shots: int) -> jax.Array:
-    """Sample full measurement keys without materializing any 2^Q vector.
+def sample_outcome_parts(key: jax.Array, mrf: MRF, shots: int):
+    """Sample full measurement outcomes without materializing any 2^Q vector.
 
     Exactly reproduces the circuit's outcome statistics: ``x`` uniform,
-    ancilla ``k`` ~ Bernoulli(1 - c2_k(x)). Returns int32 key ids
-    (n + K + 1 bit layout as in :func:`joint_outcome_probs`). O(shots * K)
-    work, independent of 2**n — this is the n=20+ throughput path.
+    ancilla ``k`` ~ Bernoulli(1 - c2_k(x)). Returns ``(x, a)`` with the
+    variable state ids (int32) and the ancilla outcome bitmask (uint32,
+    bit k = clique k's ancilla; K <= 32). O(shots * K) work, independent
+    of 2**n — this is the n=20+ throughput path.
     """
-    n, K = mrf.n, mrf.num_cliques
+    K = mrf.num_cliques
+    if K > 32:
+        raise ValueError("ancilla bitmask limited to 32 cliques per word")
     kx, ka = jax.random.split(key)
     x = jax.random.randint(kx, (shots,), 0, mrf.num_states, dtype=jnp.int32)
-    c2 = clique_keep_probs(mrf, x)  # (shots, K)
+    c2 = clique_keep_probs_fast(mrf, x)  # (shots, K)
     u = jax.random.uniform(ka, (shots, K), dtype=c2.dtype)
-    abits = (u >= c2).astype(jnp.int32)  # 1 = ancilla fired (reject)
-    a = (abits << jnp.arange(K, dtype=jnp.int32)).sum(-1)
-    return x + (a << (n + 1))
+    abits = (u >= c2).astype(jnp.uint32)  # 1 = ancilla fired (reject)
+    a = (abits << jnp.arange(K, dtype=jnp.uint32)).sum(-1, dtype=jnp.uint32)
+    return x, a
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def sample_outcomes(key: jax.Array, mrf: MRF, shots: int) -> jax.Array:
+    """Sampled measurement keys packed as int32 (layout of
+    :func:`joint_outcome_probs`). Requires n + K + 1 <= 31 — true for the
+    whole reference suite; wider models use :func:`sample_outcome_parts`.
+    """
+    n, K = mrf.n, mrf.num_cliques
+    if n + K + 1 > 31:
+        raise ValueError(
+            "packed keys need n + K + 1 <= 31 bits; "
+            "use sample_outcome_parts for wider circuits"
+        )
+    x, a = sample_outcome_parts(key, mrf, shots)
+    return x + (a.astype(jnp.int32) << (n + 1))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_postselected(key: jax.Array, mrf: MRF, shots: int):
-    """Sample ``shots`` keys and return (accepted variable states, accept mask).
+    """Sample ``shots`` outcomes: (variable states, accept mask).
 
     Equivalent to running the circuit and post-selecting all-zero ancillas
     (eval.py:115-123 semantics). Returns ``(x, accepted)`` where ``x`` are
     the uniform variable draws and ``accepted[s]`` says shot ``s`` survived.
     """
-    n = mrf.n
-    keys = sample_outcomes(key, mrf, shots)
-    x = keys & ((1 << n) - 1)
-    accepted = keys < (1 << n)
-    return x, accepted
+    x, a = sample_outcome_parts(key, mrf, shots)
+    return x, a == 0

@@ -1,0 +1,120 @@
+"""Pallas kernels vs the jnp reference implementations (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models.mrf import MRF, grid_mrf
+from qcmrf_tpu.ops import kernels
+from qcmrf_tpu.sim import dense
+
+
+def rand_mrf(cliques, seed=0, scale=0.5):
+    rng = np.random.RandomState(seed)
+    probe = MRF.create(cliques)
+    return MRF.create(cliques, theta=-np.abs(rng.randn(probe.dimension)) * scale)
+
+
+def test_logpot_kernel_matches_jnp_small_grid():
+    mrf = grid_mrf(3, 4, beta=1.0)  # n=12 -> kernel path
+    rng = np.random.RandomState(1)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)))
+    got = np.asarray(kernels.all_log_potentials(mrf))
+    want = np.asarray(mrf.beta * mrf.all_log_potentials())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_logpot_kernel_beta():
+    mrf = grid_mrf(3, 4, beta=2.5)
+    rng = np.random.RandomState(2)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)))
+    got = np.asarray(kernels.all_log_potentials(mrf))
+    want = 2.5 * np.asarray(mrf.all_log_potentials())
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_logpot_small_n_fallback():
+    mrf = rand_mrf([[0, 1], [1, 2]], seed=3)
+    got = np.asarray(kernels.all_log_potentials(mrf))
+    want = np.asarray(mrf.beta * mrf.all_log_potentials())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gibbs_probs_kernel():
+    mrf = grid_mrf(2, 6)
+    rng = np.random.RandomState(4)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)) * 0.4)
+    got = np.asarray(kernels.gibbs_probs(mrf))
+    want = np.asarray(mrf.gibbs_probs())
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+    assert np.isclose(got.sum(), 1.0, atol=1e-5)
+    assert np.isclose(
+        float(kernels.log_partition(mrf)), float(mrf.log_partition()),
+        rtol=1e-5,
+    )
+
+
+def test_postselected_amplitudes_kernel():
+    mrf = grid_mrf(3, 4)
+    rng = np.random.RandomState(5)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)) * 0.3)
+    amps = np.asarray(kernels.postselected_amplitudes(mrf))
+    # |amp|^2 renormalized = Gibbs; sum |amp|^2 = Z/2^n = success rate
+    p = amps ** 2
+    np.testing.assert_allclose(
+        p / p.sum(), np.asarray(mrf.gibbs_probs()), rtol=1e-4, atol=1e-8
+    )
+    assert np.isclose(p.sum(), float(mrf.success_rate()), rtol=1e-4)
+
+
+def plane_state(n):
+    """Zero state as (rows, 128) planes."""
+    re = np.zeros((1 << n) // 128 * 128, dtype=np.float32)
+    re[0] = 1.0
+    re = re.reshape(-1, 128)
+    return jnp.asarray(re), jnp.zeros_like(jnp.asarray(re))
+
+
+@pytest.mark.parametrize("q", [0, 3, 6, 7, 9])
+def test_apply_1q_matches_dense(q):
+    n = 10
+    rng = np.random.RandomState(6)
+    # random normalized complex state
+    vec = rng.randn(1 << n) + 1j * rng.randn(1 << n)
+    vec = (vec / np.linalg.norm(vec)).astype(np.complex64)
+    re = jnp.asarray(vec.real.reshape(-1, 128))
+    im = jnp.asarray(vec.imag.reshape(-1, 128))
+    U = dense.GATES_1Q["h"]
+    gre, gim = kernels.apply_1q(re, im, U, q, n)
+    got = np.asarray(gre).reshape(-1) + 1j * np.asarray(gim).reshape(-1)
+    want = np.asarray(dense.apply_1q(jnp.asarray(vec), U, q, n))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("q", [2, 8])
+def test_apply_1q_complex_gate(q):
+    n = 9
+    rng = np.random.RandomState(7)
+    vec = rng.randn(1 << n) + 1j * rng.randn(1 << n)
+    vec = (vec / np.linalg.norm(vec)).astype(np.complex64)
+    re = jnp.asarray(vec.real.reshape(-1, 128))
+    im = jnp.asarray(vec.imag.reshape(-1, 128))
+    U = dense.GATES_1Q["sx"]  # complex entries
+    gre, gim = kernels.apply_1q(re, im, U, q, n)
+    got = np.asarray(gre).reshape(-1) + 1j * np.asarray(gim).reshape(-1)
+    want = np.asarray(dense.apply_1q(jnp.asarray(vec), U, q, n))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hadamard_wall_uniform():
+    n = 8
+    re, im = plane_state(n)
+    H = dense.GATES_1Q["h"]
+    for q in range(n):
+        re, im = kernels.apply_1q(re, im, H, q, n)
+    got = np.asarray(re).reshape(-1)
+    np.testing.assert_allclose(got, np.full(1 << n, 2 ** (-n / 2)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(im).reshape(-1), 0, atol=1e-6)

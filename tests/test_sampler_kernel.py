@@ -1,0 +1,91 @@
+"""Fused Pallas sampler: statistical agreement with the exact law.
+
+Runs in interpret mode on CPU (skipped if the interpreter lacks the TPU
+PRNG primitives); the TPU statistics are additionally asserted by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models.mrf import MRF, grid_mrf
+from qcmrf_tpu.sim import analytic
+
+
+def _kernel_available():
+    from qcmrf_tpu.ops import sampler_kernel
+
+    try:
+        sampler_kernel.sample_outcome_parts(
+            0, MRF.create([[0, 1]], theta=[-0.2] * 4), 256
+        )
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _kernel_available(),
+    reason="TPU PRNG primitives unavailable in this interpreter",
+)
+
+
+def test_sampler_kernel_statistics():
+    from qcmrf_tpu.ops import sampler_kernel
+
+    rng = np.random.RandomState(0)
+    mrf = MRF.create([[0, 1], [1, 2]],
+                     theta=-np.abs(rng.randn(8)) * 0.4)
+    x, a = sampler_kernel.sample_outcome_parts(7, mrf, 1 << 16)
+    x, a = np.asarray(x), np.asarray(a)
+    # acceptance ~ Z/2^n
+    assert np.isclose((a == 0).mean(), float(mrf.success_rate()), atol=0.02)
+    # accepted x ~ Gibbs
+    acc = a == 0
+    emp = np.bincount(x[acc], minlength=mrf.num_states) / acc.sum()
+    np.testing.assert_allclose(
+        emp, np.asarray(mrf.gibbs_probs()), atol=0.02
+    )
+    # unconditional x uniform
+    u = np.bincount(x, minlength=mrf.num_states) / len(x)
+    np.testing.assert_allclose(u, 1.0 / mrf.num_states, atol=0.01)
+
+
+def test_sampler_kernel_deterministic_per_seed():
+    from qcmrf_tpu.ops import sampler_kernel
+
+    mrf = MRF.create([[0, 1]], theta=[-0.3] * 4)
+    x1, a1 = sampler_kernel.sample_outcome_parts(42, mrf, 512)
+    x2, a2 = sampler_kernel.sample_outcome_parts(42, mrf, 512)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    x3, _ = sampler_kernel.sample_outcome_parts(43, mrf, 512)
+    assert not np.array_equal(np.asarray(x1), np.asarray(x3))
+
+
+def test_keep_prob_coefficients_reconstruct():
+    from qcmrf_tpu.ops import sampler_kernel
+
+    rng = np.random.RandomState(1)
+    mrf = grid_mrf(2, 2)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)) * 0.5)
+    coef = np.asarray(sampler_kernel._keep_prob_coefficients(mrf))
+    # evaluate the multilinear form by brute force and compare with exp
+    x = np.arange(mrf.num_states)
+    c2 = np.asarray(analytic.clique_keep_probs(mrf, jnp.asarray(x)))
+    _, shifts, cmax = analytic._moebius_layout(mrf.cliques, mrf.n)
+    for k, C in enumerate(mrf.cliques):
+        for xi in x:
+            val = 0.0
+            for s in range(1 << cmax):
+                term = coef[k * (1 << cmax) + s]
+                for i in range(cmax):
+                    if (s >> i) & 1:
+                        if i < len(C):
+                            term *= (xi >> shifts[i, k]) & 1
+                        else:
+                            term *= 0
+                val += term
+            assert np.isclose(val, c2[xi, k], rtol=1e-4), (k, xi)

@@ -1,0 +1,126 @@
+"""Multi-chip sharding on the 8-virtual-CPU-device mesh: sharded results
+must equal single-device results exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.circuits.compiler import compile_qcmrf
+from qcmrf_tpu.circuits.ir import Circuit
+from qcmrf_tpu.models.mrf import MRF, grid_mrf
+from qcmrf_tpu.parallel import sharded
+from qcmrf_tpu.sim import analytic, dense
+
+
+def rand_mrf(cliques, seed=0, scale=0.4):
+    rng = np.random.RandomState(seed)
+    probe = MRF.create(cliques)
+    return MRF.create(cliques, theta=-np.abs(rng.randn(probe.dimension)) * scale)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    return sharded.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return sharded.make_mesh(4)
+
+
+def test_sharded_log_partition(mesh8):
+    mrf = grid_mrf(4, 4)  # n=16
+    rng = np.random.RandomState(1)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)) * 0.3)
+    got = float(sharded.sharded_log_partition(mrf, mesh8))
+    want = float(mrf.log_partition())
+    assert np.isclose(got, want, rtol=1e-5)
+
+
+def test_sharded_gibbs_probs(mesh8):
+    mrf = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 6]], seed=2)
+    got = np.asarray(sharded.sharded_gibbs_probs(mrf, mesh8))
+    want = np.asarray(mrf.gibbs_probs())
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-8)
+
+
+def test_sharded_success_rate(mesh8):
+    mrf = rand_mrf([[0, 1], [1, 2], [2, 3]], seed=3)
+    got = float(sharded.sharded_success_rate(mrf, mesh8))
+    assert np.isclose(got, float(mrf.success_rate()), rtol=1e-4)
+
+
+def test_sharded_sampling_distribution(mesh8):
+    mrf = rand_mrf([[0, 1], [1, 2]], seed=4)
+    x, acc = sharded.sharded_sample_postselected(
+        jax.random.PRNGKey(0), mrf, mesh8, 80_000
+    )
+    x = np.asarray(x)
+    acc = np.asarray(acc)
+    # acceptance rate ~ Z/2^n
+    assert np.isclose(acc.mean(), float(mrf.success_rate()), atol=0.01)
+    emp = np.bincount(x[acc], minlength=mrf.num_states) / acc.sum()
+    np.testing.assert_allclose(emp, np.asarray(mrf.gibbs_probs()), atol=0.015)
+
+
+def test_sharded_statevector_bell(mesh4):
+    c = Circuit(4)
+    c.h(3).cx(3, 0)  # entangle a *sharded* qubit (3) with a local one
+    re, im = sharded.run_statevector_sharded(c, mesh4)
+    st = np.asarray(re) + 1j * np.asarray(im)
+    want = np.asarray(dense.run_statevector(c))
+    np.testing.assert_allclose(st, want, atol=1e-6)
+
+
+def test_sharded_statevector_h_wall(mesh8):
+    n = 6
+    c = Circuit(n)
+    for q in range(n):
+        c.h(q)
+    re, im = sharded.run_statevector_sharded(c, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(re), np.full(1 << n, 2 ** (-n / 2)), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(im), 0, atol=1e-6)
+
+
+@pytest.mark.parametrize("cliques", [
+    [[0, 1]],
+    [[0, 1], [1, 2], [2, 3]],
+    [[0, 1, 2], [2, 3, 4]],
+])
+def test_sharded_qcmrf_circuit(mesh4, cliques):
+    """Full compiled QCMRF circuit sharded over 4 devices == dense engine."""
+    mrf = rand_mrf(cliques, seed=5)
+    circ = compile_qcmrf(mrf)
+    probs = np.asarray(sharded.sharded_outcome_probs(circ, mesh4))
+    want = np.asarray(analytic.joint_outcome_probs(mrf))
+    np.testing.assert_allclose(probs, want, atol=1e-5)
+
+
+def test_sharded_rz_cp_on_device_bits(mesh4):
+    """Diagonal gates on sharded qubits need no communication but must
+    still be correct."""
+    n = 4
+    c = Circuit(n)
+    for q in range(n):
+        c.h(q)
+    c.rz(0.7, 3)       # qubit 3 is a device bit on a 4-device mesh
+    c.cp(1.1, 2, 3)    # both device bits
+    re, im = sharded.run_statevector_sharded(c, mesh4)
+    st = np.asarray(re) + 1j * np.asarray(im)
+    want = np.asarray(dense.run_statevector(c))
+    np.testing.assert_allclose(st, want, atol=1e-6)
+
+
+def test_sharded_larger_than_local(mesh8):
+    """n=18 grid: per-device chunk 2^15; logZ matches the kernel path."""
+    mrf = grid_mrf(3, 6)
+    rng = np.random.RandomState(6)
+    mrf = mrf.with_theta(-np.abs(rng.randn(mrf.dimension)) * 0.2)
+    got = float(sharded.sharded_log_partition(mrf, mesh8))
+    want = float(mrf.log_partition())
+    assert np.isclose(got, want, rtol=1e-5)

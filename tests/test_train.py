@@ -1,0 +1,67 @@
+"""MLE training: recovers generating parameters; sharded == single-chip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from qcmrf_tpu.models import sample as msample
+from qcmrf_tpu.models import train as mtrain
+from qcmrf_tpu.models.mrf import MRF
+
+
+def make_problem(seed=0):
+    rng = np.random.RandomState(seed)
+    true = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)) * 0.8)
+    data = msample.sample_exact(jax.random.PRNGKey(seed), true, 20_000)
+    return true, data
+
+
+def test_fit_recovers_distribution():
+    true, data = make_problem(1)
+    init = true.with_theta(jnp.full((8,), -0.5))
+    fitted, loss = mtrain.fit_mle(init, data, steps=400, learning_rate=0.05)
+    p_true = np.asarray(true.gibbs_probs())
+    p_fit = np.asarray(fitted.gibbs_probs())
+    # distribution-level recovery (theta itself is not identifiable:
+    # overcomplete one-hot features)
+    np.testing.assert_allclose(p_fit, p_true, atol=0.01)
+    assert float(loss) < float(init.nll(data))
+
+
+def test_nonpositive_constraint_held():
+    true, data = make_problem(2)
+    init = true.with_theta(jnp.full((8,), -0.5))
+    fitted, _ = mtrain.fit_mle(init, data, steps=100)
+    assert np.all(np.asarray(fitted.theta) <= 0)
+
+
+def test_sharded_step_matches_single(capsys):
+    true, data = make_problem(3)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("amp", "data"))
+    opt = optax.sgd(0.1)
+    raw0 = mtrain._from_theta(jnp.full((8,), -0.5), True)
+
+    single = mtrain.make_train_step(true, opt)
+    shard = mtrain.make_sharded_train_step(true, opt, mesh)
+
+    s_raw, s_os, s_loss = single(raw0, opt.init(raw0), data)
+    m_raw, m_os, m_loss = shard(raw0, opt.init(raw0), data)
+    assert np.isclose(float(s_loss), float(m_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_raw), np.asarray(m_raw), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_fit_mle_sharded_runs():
+    true, data = make_problem(4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("amp", "data"))
+    init = true.with_theta(jnp.full((8,), -0.5))
+    fitted, loss = mtrain.fit_mle_sharded(
+        init, data, mesh, steps=50, learning_rate=0.1
+    )
+    assert float(loss) < float(init.nll(data))
+    assert np.all(np.asarray(fitted.theta) <= 0)

@@ -1,0 +1,27 @@
+"""Figure generation against the stored reference results."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qcmrf_tpu.viz import whisker
+
+
+def test_collect_and_render(reference_root, tmp_path):
+    L_F, L_delta, WH = whisker.collect("simulation", reference_root)
+    # graph 1, 10 reps x 3 scales
+    assert L_F.shape == (30, 2)
+    assert L_delta.shape == (30, 2)
+    assert sorted(WH) == [0.1, 0.25, 0.5]
+    assert all(len(v) == 10 for v in WH.values())
+    # noiseless fidelities ~ 1; success rates fall with scale
+    assert L_F[:, 1].min() > 0.99
+    assert np.mean(WH[0.1]) > np.mean(WH[0.5])
+    # BASELINE.md graph [[0,1]] deltas: 0.936 (0.1), 0.848 (0.25), 0.733 (0.5)
+    assert abs(np.mean(WH[0.1]) - 0.936) < 0.01
+    assert abs(np.mean(WH[0.5]) - 0.733) < 0.01
+
+    out = whisker.render("simulation", L_delta, WH,
+                         out_path=str(tmp_path / "success_simulation.pdf"))
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000
