@@ -107,14 +107,21 @@ def evaluate_suite(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    from qcmrf_tpu.sim import batch as sbatch
+
     out: List[GraphResult] = []
     idx = 0
     for j, C in enumerate(suite.graphs):
         gr = GraphResult(graph=C, fidelities=[], successes=[], kls=[])
+        # one vmapped jit call per graph: all reps' exact distributions
+        p_all = np.asarray(
+            sbatch.batched_gibbs_probs(C, np.asarray(suite.thetas[j])),
+            dtype=np.float64,
+        )
         for i, theta in enumerate(suite.thetas[j]):
             mrf = MRF.create(C, theta=theta)
             n, N = mrf.n, mrf.num_states
-            p = np.asarray(mrf.gibbs_probs(), dtype=np.float64)
+            p = p_all[i]
 
             if mode == "gibbs":
                 key, sub = jax.random.split(key)

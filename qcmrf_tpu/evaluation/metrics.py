@@ -19,22 +19,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _xp(P, Q):
+    """numpy for host arrays (no device roundtrips in the eval loop's
+    per-rep metric calls), jnp for traced/JAX inputs (jit-safe)."""
+    import jax
+
+    if isinstance(P, (jax.Array, jax.core.Tracer)) or isinstance(
+        Q, (jax.Array, jax.core.Tracer)
+    ):
+        return jnp, jnp.asarray(P), jnp.asarray(Q)
+    return np, np.asarray(P), np.asarray(Q)
+
+
 def fidelity(P, Q):
     """Bhattacharyya fidelity between pmfs, skipping nonpositive entries."""
-    P = jnp.asarray(P)
-    Q = jnp.asarray(Q)
+    xp, P, Q = _xp(P, Q)
     mask = (P > 0) & (Q > 0)
-    F = jnp.sqrt(jnp.where(mask, P * Q, 0.0)).sum()
+    F = xp.sqrt(xp.where(mask, P * Q, 0.0)).sum()
     return F ** 2
 
 
 def kl(P, Q):
     """KL(P || Q), skipping entries where either pmf is nonpositive."""
-    P = jnp.asarray(P)
-    Q = jnp.asarray(Q)
+    xp, P, Q = _xp(P, Q)
     mask = (P > 0) & (Q > 0)
-    safe_ratio = jnp.where(mask, P / jnp.where(mask, Q, 1.0), 1.0)
-    return jnp.where(mask, P * jnp.log(safe_ratio), 0.0).sum()
+    safe_ratio = xp.where(mask, P / xp.where(mask, Q, 1.0), 1.0)
+    return xp.where(mask, P * xp.log(safe_ratio), 0.0).sum()
 
 
 # reference-parity alias (QCMRF.py:255)

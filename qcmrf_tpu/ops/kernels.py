@@ -242,7 +242,7 @@ def _matmul_pair_kernel(re_ref, im_ref, mr_ref, mi_ref, ore_ref, oim_ref):
 @jax.jit
 def _lane_matmul_call(re, im, mr, mi):
     rows = re.shape[0]
-    block_rows = min(rows, 512)
+    block_rows = min(rows, 2048)
     grid = pl.cdiv(rows, block_rows)
     out = pl.pallas_call(
         _matmul_pair_kernel,

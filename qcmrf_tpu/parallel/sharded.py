@@ -62,12 +62,26 @@ def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
     chunk = 1 << (mrf.n - dlog)
     d = jax.lax.axis_index(axis)
     x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
-    if mrf.n - dlog >= K._MIN_KERNEL_N:
+    on_tpu = jax.default_backend() == "tpu"
+    if mrf.n - dlog >= K._MIN_KERNEL_N and (on_tpu or mrf.n - dlog <= 16):
+        # Pallas kernel on TPU; interpret-mode only for small test chunks
         coef = jnp.asarray(K._moebius_coefficients(mrf))
         beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
         return K._logpot_call_sized(
             mrf.cliques, mrf.n, False, chunk, coef, beta, x0
         )
+    if mrf.n - dlog > 18:
+        # large chunk on a non-TPU backend: sub-chunk with lax.map to
+        # bound the (states, K, cmax) gather intermediates
+        sub = 1 << 16
+        starts = x0[0] + jnp.arange(chunk // sub, dtype=jnp.int32) * sub
+
+        def one(s):
+            return mrf.beta * mrf.log_potential(
+                s + jnp.arange(sub, dtype=jnp.int32)
+            )
+
+        return jax.lax.map(one, starts).reshape(-1)
     x = x0[0] + jnp.arange(chunk, dtype=jnp.int32)
     return mrf.beta * mrf.log_potential(x)
 

@@ -1,0 +1,112 @@
+"""Micro-benchmarks: sampling throughput, kernel bandwidth, exact inference.
+
+``python -m qcmrf_tpu bench [--n 20] [--json]`` reports, on the current
+default device:
+
+* fused-sampler throughput (shots/sec) — the headline metric;
+* log-potential table kernel time and effective write bandwidth (GB/s);
+* gate-apply bandwidth for lane- and row-qubit Hadamards (GB/s) — the
+  BASELINE.json "gate-apply GB/s" tracking metric;
+* exact partition-function latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+def _time(fn: Callable, reps: int = 10) -> float:
+    import jax
+
+    jax.block_until_ready(fn(0))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(i)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    parser = argparse.ArgumentParser(prog="qcmrf_tpu bench")
+    parser.add_argument("--n", type=int, default=20,
+                        help="grid qubits (rows*cols closest to n)")
+    parser.add_argument("--shots", type=int, default=1 << 20)
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from qcmrf_tpu.models.mrf import grid_mrf
+    from qcmrf_tpu.ops import kernels, sampler_kernel
+    from qcmrf_tpu.sim import dense
+
+    rows = max(2, int(np.sqrt(args.n)))
+    cols = max(2, args.n // rows)
+    template = grid_mrf(rows, cols)
+    n = template.n
+    rng = np.random.RandomState(0)
+    mrf = template.with_theta(
+        jnp.asarray(-np.abs(rng.randn(template.dimension)).astype(np.float32)
+                    * 0.3)
+    )
+    out = {"n": n, "cliques": template.num_cliques,
+           "backend": jax.default_backend()}
+
+    # fused sampler
+    fn = jax.jit(
+        lambda s: sampler_kernel.sample_outcome_parts(s, mrf, args.shots)
+    )
+    dt = _time(fn)
+    out["sampler_shots_per_sec"] = round(args.shots / dt)
+
+    # logpot kernel: writes 2^n float32
+    lp_fn = jax.jit(lambda s: kernels.all_log_potentials(mrf).sum() + s)
+    dt = _time(lp_fn)
+    out["logpot_ms"] = round(dt * 1e3, 3)
+    out["logpot_write_gbps"] = round((1 << n) * 4 / dt / 1e9, 2)
+
+    # exact lnZ end to end
+    lnz_fn = jax.jit(lambda s: kernels.log_partition(mrf) + 0 * s)
+    out["lnZ_ms"] = round(_time(lnz_fn) * 1e3, 3)
+
+    # gate-apply bandwidth (statevector planes, 4 arrays of 2^n f32 moved
+    # per application); CHAIN applications inside one jit so per-call
+    # dispatch does not masquerade as kernel time
+    re = jnp.zeros(((1 << n) // 128, 128), jnp.float32).at[0, 0].set(1.0)
+    im = jnp.zeros_like(re)
+    H = dense.GATES_1Q["h"]
+    CHAIN = 16
+    moved = 4 * (1 << n) * 4
+
+    def chained(q):
+        @jax.jit
+        def f(s):
+            r, i_ = re + 0.0 * s, im
+            for _ in range(CHAIN):
+                r, i_ = kernels.apply_1q(r, i_, H, q, n)
+            return r
+        return f
+
+    out["gate_lane_gbps"] = round(
+        moved * CHAIN / _time(chained(3)) / 1e9, 2
+    )
+    out["gate_row_gbps"] = round(
+        moved * CHAIN / _time(chained(n - 2)) / 1e9, 2
+    )
+
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k:>24}: {v}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

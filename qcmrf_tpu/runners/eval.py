@@ -41,7 +41,18 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "reference hardcodes 10000 shots, eval.py:60; "
                              "pass the actual shot count for files produced "
                              "with --shots != 10000).")
+    parser.add_argument("--platform", type=str, default="cpu",
+                        choices=["cpu", "tpu", "default"],
+                        help="Device for the evaluation math. The suite's "
+                             "models are <= 32 states, so CPU avoids "
+                             "per-graph accelerator compiles and is much "
+                             "faster end-to-end.")
     args = parser.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     # suite: prefer the stored models file for bit-parity, else regenerate
     res_dir = os.path.join(args.res_root, f"res_{args.scale}")

@@ -1,0 +1,95 @@
+"""Scaling run: synthetic n=24-28 qubit grid MRFs on a sharded mesh.
+
+BASELINE.json config 5: "Synthetic n=24-28 qubit grid MRFs: ICI-sharded
+statevector with all-to-all qubit remap, repeated-estimation throughput
+run". This driver builds grid MRFs beyond the reference's 10-qubit ceiling,
+shards the exact-inference state table over every available device, and
+repeatedly estimates ln Z / success rate / clique marginals from sharded
+circuit samples, reporting throughput as JSON.
+
+Run ``python -m qcmrf_tpu.runners.scaling --n 24`` (single TPU chip: use
+``--devices 1``; multi-chip or the virtual CPU mesh shard automatically).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    parser = argparse.ArgumentParser(prog="qcmrf_tpu scaling")
+    parser.add_argument("--n", type=int, default=24,
+                        help="target qubit count (grid rows*cols)")
+    parser.add_argument("--devices", type=int, default=None)
+    parser.add_argument("--shots", type=int, default=1 << 20)
+    parser.add_argument("--estimations", type=int, default=5,
+                        help="repeated-estimation iterations")
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from qcmrf_tpu.models.mrf import grid_mrf
+    from qcmrf_tpu.parallel import sharded
+
+    rows = 4
+    cols = max(2, args.n // rows)
+    template = grid_mrf(rows, cols)
+    rng = np.random.RandomState(0)
+    mrf = template.with_theta(
+        jnp.asarray(-np.abs(rng.randn(template.dimension)).astype(np.float32)
+                    * 0.1)
+    )
+    mesh = sharded.make_mesh(args.devices)
+    D = mesh.devices.size
+
+    out = {"n": mrf.n, "cliques": template.num_cliques, "devices": D,
+           "backend": jax.default_backend(),
+           "states": mrf.num_states,
+           "state_table_mb": round(mrf.num_states * 4 / 1e6, 1)}
+
+    # sharded exact lnZ (one state-table pass, psum-logsumexp)
+    t0 = time.perf_counter()
+    lnZ = float(sharded.sharded_log_partition(mrf, mesh))
+    out["lnZ"] = round(lnZ, 6)
+    out["lnZ_first_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        lnZ2 = sharded.sharded_log_partition(mrf, mesh)
+    jax.block_until_ready(lnZ2)
+    out["lnZ_ms"] = round((time.perf_counter() - t0) / 3 * 1e3, 2)
+
+    # repeated estimation loop: sample -> estimate delta & lnZ-hat
+    deltas = []
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    for i in range(args.estimations):
+        key, sub = jax.random.split(key)
+        x, acc = sharded.sharded_sample_postselected(
+            sub, mrf, mesh, args.shots
+        )
+        deltas.append(float(jnp.mean(acc)))
+    dt = (time.perf_counter() - t0) / args.estimations
+    out["est_shots_per_sec"] = round(args.shots / dt)
+    delta_hat = float(np.mean(deltas))
+    out["delta_hat"] = delta_hat
+    out["lnZ_hat"] = round(float(np.log(max(delta_hat, 1e-300))
+                                 + mrf.n * np.log(2.0)), 6)
+    out["lnZ_abs_err"] = round(abs(out["lnZ_hat"] - lnZ), 6)
+
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k:>20}: {v}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

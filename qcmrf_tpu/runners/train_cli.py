@@ -1,0 +1,134 @@
+"""Training CLI: fit an MRF by exact MLE, with checkpoint/resume.
+
+``python -m qcmrf_tpu train --graph chain:8 --samples 20000 --steps 500``
+
+Generates (or loads) data, fits theta by gradient descent on the exact
+NLL, periodically checkpoints the optimizer state with orbax, and writes
+the fitted model as JSON ``{"cliques": ..., "theta": ...}``. Resume with
+``--resume`` picks up from the newest checkpoint (SURVEY.md §5: the
+reference's only checkpointing is its JSON artifacts; training state
+checkpointing is a new subsystem).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_graph(spec: str):
+    """'chain:N' | 'grid:RxC' | path to a JSON [[...], ...] clique list."""
+    if spec.startswith("chain:"):
+        n = int(spec.split(":")[1])
+        return [[i, i + 1] for i in range(n - 1)]
+    if spec.startswith("grid:"):
+        r, c = spec.split(":")[1].split("x")
+        from qcmrf_tpu.models.mrf import grid_mrf
+
+        return [list(C) for C in grid_mrf(int(r), int(c)).cliques]
+    with open(spec) as f:
+        return json.load(f)
+
+
+def main(argv: Optional[List[str]] = None) -> str:
+    parser = argparse.ArgumentParser(prog="qcmrf_tpu train")
+    parser.add_argument("--graph", type=str, default="chain:6")
+    parser.add_argument("--samples", type=int, default=20_000)
+    parser.add_argument("--data", type=str, default=None,
+                        help="JSON list of observed state ids (else sampled "
+                             "from a random ground-truth model)")
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--lr", type=float, default=0.05)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--outdir", type=str, default="./train_out")
+    parser.add_argument("--checkpoint-every", type=int, default=100)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--platform", type=str, default="default",
+                        choices=["cpu", "tpu", "default"])
+    args = parser.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from qcmrf_tpu.models import sample as msample
+    from qcmrf_tpu.models import train as mtrain
+    from qcmrf_tpu.models.mrf import MRF
+
+    cliques = parse_graph(args.graph)
+    template = MRF.create(cliques)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    rng = np.random.RandomState(args.seed)
+    if args.data:
+        with open(args.data) as f:
+            data = jnp.asarray(json.load(f), jnp.int32)
+    else:
+        true = template.with_theta(
+            jnp.asarray(-np.abs(rng.randn(template.dimension)), jnp.float32)
+        )
+        data = msample.sample_exact(
+            jax.random.PRNGKey(args.seed), true, args.samples
+        )
+        with open(os.path.join(args.outdir, "data.json"), "w") as f:
+            json.dump(np.asarray(data).tolist(), f)
+
+    opt = optax.adam(args.lr)
+    init = template.with_theta(jnp.full((template.dimension,), -0.5))
+    raw = mtrain._from_theta(init.theta, True)
+    opt_state = opt.init(raw)
+    start = 0
+
+    ckpt_path = os.path.join(args.outdir, "checkpoint.npz")
+    if args.resume and os.path.isfile(ckpt_path):
+        import pickle
+
+        with open(ckpt_path, "rb") as f:
+            saved = pickle.load(f)
+        raw = jnp.asarray(saved["raw"])
+        opt_state = jax.tree.map(jnp.asarray, saved["opt_state"])
+        start = int(saved["step"])
+        print(f"resumed from step {start}")
+
+    step_fn = mtrain.make_train_step(template, opt)
+    loss = float("nan")
+    for s in range(start, args.steps):
+        raw, opt_state, loss = step_fn(raw, opt_state, data)
+        if (s + 1) % args.checkpoint_every == 0 or s + 1 == args.steps:
+            import pickle
+
+            with open(ckpt_path, "wb") as f:
+                pickle.dump(
+                    {
+                        "raw": np.asarray(raw),
+                        "opt_state": jax.tree.map(np.asarray, opt_state),
+                        "step": s + 1,
+                    },
+                    f,
+                )
+            print(f"step {s + 1}: nll={float(loss):.4f} (checkpointed)")
+
+    theta = mtrain._to_theta(raw, True)
+    out_path = os.path.join(args.outdir, "fitted_model.json")
+    with open(out_path, "w") as f:
+        json.dump(
+            {"cliques": cliques,
+             "theta": np.asarray(theta, np.float64).tolist(),
+             "final_nll": float(loss)},
+            f, indent=2,
+        )
+    print(f"wrote {out_path}")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

@@ -199,6 +199,12 @@ def sample_postselected(key: jax.Array, mrf: MRF, shots: int):
     Equivalent to running the circuit and post-selecting all-zero ancillas
     (eval.py:115-123 semantics). Returns ``(x, accepted)`` where ``x`` are
     the uniform variable draws and ``accepted[s]`` says shot ``s`` survived.
+    No per-ancilla packing, so there is no clique-count limit (n=24-28
+    grids have K > 32).
     """
-    x, a = sample_outcome_parts(key, mrf, shots)
-    return x, a == 0
+    K = mrf.num_cliques
+    kx, ka = jax.random.split(key)
+    x = jax.random.randint(kx, (shots,), 0, mrf.num_states, dtype=jnp.int32)
+    c2 = clique_keep_probs_fast(mrf, x)
+    u = jax.random.uniform(ka, (shots, K), dtype=c2.dtype)
+    return x, jnp.all(u < c2, axis=-1)

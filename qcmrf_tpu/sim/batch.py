@@ -67,6 +67,28 @@ def batched_sample_outcomes(cliques, thetas, key, shots: int) -> jax.Array:
     return _batched_sample(cliques, thetas, key, shots)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _batched_gibbs_probs(cliques, thetas, beta):
+    template = MRF.create(cliques)
+
+    def one(theta):
+        m = MRF(theta=theta, beta=beta, cliques=template.cliques,
+                n=template.n)
+        return m.gibbs_probs()
+
+    return jax.vmap(one)(thetas)
+
+
+def batched_gibbs_probs(cliques, thetas, beta: float = 1.0) -> jax.Array:
+    """Exact Gibbs distributions for a stack of thetas on one graph,
+    ``(B, 2**n)`` — one jit dispatch per graph instead of one per rep
+    (the evaluation harness hot path)."""
+    cliques = tuple(tuple(int(v) for v in C) for C in cliques)
+    thetas = jnp.asarray(thetas, jnp.float32)
+    return _batched_gibbs_probs(cliques, thetas,
+                                jnp.asarray(beta, jnp.float32))
+
+
 def run_suite_probs(suite) -> List[np.ndarray]:
     """Exact joint distributions for every circuit of a suite, suite order."""
     out: List[np.ndarray] = []

@@ -112,7 +112,16 @@ def main(argv=None) -> str:
                         help="The backend.")
     parser.add_argument("--res-root", type=str, default=".")
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--platform", type=str, default="cpu",
+                        choices=["cpu", "tpu", "default"],
+                        help="Device for the evaluation math (CPU: the "
+                             "suite models are tiny).")
     args = parser.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     _, L_delta, WH = collect(args.backend, args.res_root)
     out = render(args.backend, L_delta, WH, out_path=args.out)
