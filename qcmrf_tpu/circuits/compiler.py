@@ -146,6 +146,31 @@ class QCMRF:
     def num_qubits(self) -> int:
         return self.circuit.num_qubits
 
+    # ---- operator-level helpers (reference QCMRF.py:159-197) --------------
+
+    def sufficient_statistic(self, C, y):
+        """Pauli-Markov sufficient statistic phi_{C,y} as a Z-string sum
+        (parity with QCMRF.sufficient_statistic, QCMRF.py:159-179)."""
+        from qcmrf_tpu.models import pauli
+
+        return pauli.sufficient_statistic(self.mrf.n, C, y)
+
+    def Hamiltonian(self):
+        """Diagonal MRF Hamiltonian H = sum_i -theta_i phi_i (parity with
+        QCMRF.Hamiltonian, QCMRF.py:181-193)."""
+        from qcmrf_tpu.models import pauli
+
+        return pauli.hamiltonian(
+            self.mrf.n, self.mrf.cliques, np.asarray(self.mrf.theta)
+        )
+
+    def _conjugate_blocks(self, A):
+        """Block unitary diag(A, A†) (parity with QCMRF._conjugateBlocks,
+        QCMRF.py:195-197 — unused by the reference build as well)."""
+        from qcmrf_tpu.models import pauli
+
+        return pauli.conjugate_blocks(A)
+
     # ---- layout -----------------------------------------------------------
 
     @property

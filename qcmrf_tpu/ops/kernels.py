@@ -338,6 +338,69 @@ def apply_1q(re: jax.Array, im: jax.Array, U: np.ndarray, q: int,
 
 
 # --------------------------------------------------------------------------
+# Masked diagonal rotation: the universal diagonal-gate kernel.
+#
+# Applies the phase e^{i * (a0 + a1 * mask(x))} where mask(x) is a static
+# conjunction of bit conditions on the basis index. Covers rz
+# (a0 = -lam/2, a1 = lam, mask = bit q), cp (a1 = lam, mask = bit c & bit
+# t) and the fused flags_phase of the QCMRF compiler (mask = pattern
+# match & control), each as ONE pass over the state planes.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def _build_masked_rotation_kernel(conds: tuple, block_rows: int):
+    """conds: tuple of (bit_position, wanted_value) static conditions."""
+
+    def kernel(ang_ref, re_ref, im_ref, ore_ref, oim_ref):
+        i = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+        x = (i * block_rows + rows) * LANE + cols
+        mask = jnp.ones((block_rows, LANE), jnp.float32)
+        for pos, want in conds:  # static unroll
+            b = ((x >> pos) & 1).astype(jnp.float32)
+            mask = mask * (b if want else (1.0 - b))
+        ang = ang_ref[0] + ang_ref[1] * mask
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
+        re = re_ref[:]
+        im = im_ref[:]
+        ore_ref[:] = re * c - im * s
+        oim_ref[:] = re * s + im * c
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _masked_rotation_call(conds: tuple, ang, re, im):
+    rows = re.shape[0]
+    block_rows = min(rows, 1024)
+    kernel = _build_masked_rotation_kernel(conds, block_rows)
+    bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(re.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re.shape, jnp.float32),
+        ),
+        grid=(rows // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
+        out_specs=(bspec, bspec),
+        interpret=_interpret(),
+    )(ang, re, im)
+
+
+def apply_masked_rotation(re, im, conds, base_angle: float,
+                          masked_angle: float):
+    """Phase e^{i(base + masked * [all conds hold])} on (rows, 128) planes."""
+    ang = jnp.asarray([base_angle, masked_angle], jnp.float32)
+    conds = tuple((int(p), int(w)) for p, w in conds)
+    return _masked_rotation_call(conds, ang, re, im)
+
+
+# --------------------------------------------------------------------------
 # Fused QCMRF post-selected amplitude kernel: amp[x] = 2^{-n/2} e^{lp(x)/2}
 # --------------------------------------------------------------------------
 

@@ -70,20 +70,22 @@ def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
         return K._logpot_call_sized(
             mrf.cliques, mrf.n, False, chunk, coef, beta, x0
         )
+    from qcmrf_tpu.sim.analytic import log_potentials_fast
+
     if mrf.n - dlog > 18:
-        # large chunk on a non-TPU backend: sub-chunk with lax.map to
-        # bound the (states, K, cmax) gather intermediates
+        # large chunk off the kernel path: gather-free XLA evaluation,
+        # sub-chunked with lax.map to bound intermediates
         sub = 1 << 16
         starts = x0[0] + jnp.arange(chunk // sub, dtype=jnp.int32) * sub
 
         def one(s):
-            return mrf.beta * mrf.log_potential(
-                s + jnp.arange(sub, dtype=jnp.int32)
+            return log_potentials_fast(
+                mrf, s + jnp.arange(sub, dtype=jnp.int32)
             )
 
         return jax.lax.map(one, starts).reshape(-1)
     x = x0[0] + jnp.arange(chunk, dtype=jnp.int32)
-    return mrf.beta * mrf.log_potential(x)
+    return log_potentials_fast(mrf, x)
 
 
 def sharded_log_partition(mrf: MRF, mesh: Mesh) -> jax.Array:

@@ -79,9 +79,18 @@ def run_suite(
                     sampler.counts_from_samples(np.asarray(keys[b]), width)
                 )
         elif engine == "statevector":
+            # complex dtypes are unsupported on the TPU backend; use the
+            # real/imag plane engine there (identical statistics)
+            use_planes = jax.default_backend() == "tpu" and width >= 7
             for i in range(thetas.shape[0]):
                 mrf = MRF.create(C, theta=thetas[i])
-                probs = dense.simulate_probs(compile_qcmrf(mrf))
+                circ = compile_qcmrf(mrf)
+                if use_planes:
+                    from qcmrf_tpu.sim import tpu as stpu
+
+                    probs = stpu.simulate_probs(circ)
+                else:
+                    probs = dense.simulate_probs(circ)
                 key, sub = jax.random.split(key)
                 counts_list.append(
                     sampler.sample_counts(sub, probs, shots, width)

@@ -112,6 +112,39 @@ def clique_keep_probs_fast(mrf: MRF, x) -> jax.Array:
     return out
 
 
+def log_potentials_fast(mrf: MRF, x) -> jax.Array:
+    """Gather-free ``beta * theta^T phi(x)``: the XLA twin of the Pallas
+    log-potential kernel — per-clique Moebius coefficients evaluated as FMA
+    chains over bit monomials and summed over cliques. Exact; preferable to
+    ``mrf.log_potential`` for large state batches on accelerators (no
+    per-(state, clique) gather)."""
+    idx_map, shifts, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    tab = mrf.beta * mrf.theta[jnp.asarray(idx_map)]
+    K = tab.shape[0]
+    for i in range(cmax):
+        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
+        tab = jnp.concatenate(
+            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
+        ).reshape(K, 1 << cmax)
+
+    x = jnp.asarray(x, jnp.int32)
+    sh = jnp.asarray(shifts)  # (cmax, K)
+    bits = [
+        ((x[..., None] >> sh[i]) & 1).astype(tab.dtype)
+        for i in range(cmax)
+    ]
+    prods = {0: None}
+    out = jnp.broadcast_to(tab[:, 0], x.shape + (K,))
+    for s in range(1, 1 << cmax):
+        low = s & (-s)
+        rest = s ^ low
+        b = bits[low.bit_length() - 1]
+        p = b if prods[rest] is None else prods[rest] * b
+        prods[s] = p
+        out = out + tab[:, s] * p
+    return out.sum(-1)
+
+
 def postselected_probs(mrf: MRF) -> Tuple[jax.Array, jax.Array]:
     """Exact post-selected distribution and success rate.
 

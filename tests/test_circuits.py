@@ -180,3 +180,19 @@ def test_dense_engine_basic_gates():
     c3.h(0).h(1).cp(np.pi / 3, 0, 1)
     st3 = np.asarray(dense.run_statevector(c3))
     assert np.isclose(np.angle(st3[3]) - np.angle(st3[0]), np.pi / 3, atol=1e-6)
+
+
+def test_operator_helpers_on_facade():
+    """Reference API parity: sufficient_statistic / Hamiltonian /
+    _conjugate_blocks on the QCMRF object (QCMRF.py:159-197)."""
+    theta = [-0.2, -0.4, -0.1, -0.3]
+    q = QCMRF.build([[0, 1]], theta=theta)
+    ss = q.sufficient_statistic([0, 1], (1, 0))
+    diag = np.asarray(ss.diagonal())
+    np.testing.assert_array_equal(diag, [0, 0, 1, 0])  # x=10 only
+    H = q.Hamiltonian()
+    np.testing.assert_allclose(
+        np.asarray(H.diagonal()), [0.2, 0.4, 0.1, 0.3], atol=1e-9
+    )
+    B = q._conjugate_blocks(ss)
+    assert B.n == 3

@@ -118,3 +118,23 @@ def test_hadamard_wall_uniform():
     np.testing.assert_allclose(got, np.full(1 << n, 2 ** (-n / 2)),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(im).reshape(-1), 0, atol=1e-6)
+
+
+def test_log_potentials_fast_matches_reference():
+    from qcmrf_tpu.sim.analytic import log_potentials_fast
+
+    mrf = grid_mrf(3, 4, beta=1.7)
+    rng2 = np.random.RandomState(9)
+    mrf = mrf.with_theta(-np.abs(rng2.randn(mrf.dimension)))
+    x = jnp.arange(mrf.num_states, dtype=jnp.int32)
+    got = np.asarray(log_potentials_fast(mrf, x))
+    want = 1.7 * np.asarray(mrf.all_log_potentials())
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # higher-order cliques too
+    m2 = MRF.create([[0, 1, 2], [2, 3, 4], [4, 5, 6, 7], [7, 8]])
+    rng3 = np.random.RandomState(10)
+    m2 = m2.with_theta(-np.abs(rng3.randn(m2.dimension)))
+    x2 = jnp.arange(m2.num_states, dtype=jnp.int32)
+    got2 = np.asarray(log_potentials_fast(m2, x2))
+    want2 = np.asarray(m2.beta * m2.all_log_potentials())
+    np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-4)
