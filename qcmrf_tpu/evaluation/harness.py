@@ -88,6 +88,21 @@ def _counts_from_samples(state_ids: np.ndarray, N: int) -> np.ndarray:
     return np.bincount(state_ids, minlength=N).astype(np.float64)
 
 
+def _native_sample_ids(mrf: MRF, pam: bool, num: int, seed: int) -> np.ndarray:
+    """Sample through the C++ engine; bits -> state ids (variable 0 MSB)."""
+    from qcmrf_tpu.native import kiopto as px
+
+    b = px.backend(mrf.cliques, np.array([2] * mrf.n))
+    px.weights(b)[:] = np.asarray(mrf.theta, np.float64)
+    if pam:
+        S = px.sample(b, pam=True, num=num, seed=seed)
+    else:
+        # reference flow: thin a long chain by 10 (eval.py:96-98)
+        S = px.sample(b, num=num * 10 + 10, seed=seed)[::10][1:][:num]
+    weights = 1 << np.arange(mrf.n - 1, -1, -1)
+    return (S * weights).sum(axis=1)
+
+
 def evaluate_suite(
     suite: ModelSuite,
     dists: Optional[Sequence[Dict[str, float]]] = None,
@@ -95,12 +110,15 @@ def evaluate_suite(
     mode: str = "file",
     key: Optional[jax.Array] = None,
     num_samples: int = SHOTS,
+    native: bool = False,
 ) -> List[GraphResult]:
     """Evaluate every (graph, rep) model; returns per-graph aggregates.
 
     ``mode='file'`` compares against measured distributions ``dists`` (one
     per circuit, suite order); ``'gibbs'``/``'pam'`` run the classical
-    samplers instead (eval.py:95-113).
+    samplers instead (eval.py:95-113) — the jit-compiled JAX chains by
+    default, or the C++ engine (``native=True``), matching the reference's
+    use of kiopto_native for these modes.
     """
     if mode == "file" and dists is None:
         raise ValueError("mode='file' requires result distributions")
@@ -124,17 +142,25 @@ def evaluate_suite(
             p = p_all[i]
 
             if mode == "gibbs":
-                key, sub = jax.random.split(key)
-                s = np.asarray(
-                    msample.sample_gibbs(sub, mrf, num_samples, thin=10,
-                                         burn=10)
-                )
+                if native:
+                    s = _native_sample_ids(mrf, pam=False,
+                                           num=num_samples, seed=idx)
+                else:
+                    key, sub = jax.random.split(key)
+                    s = np.asarray(
+                        msample.sample_gibbs(sub, mrf, num_samples,
+                                             thin=10, burn=10)
+                    )
                 q = _counts_from_samples(s, N)
                 Z = q.sum()
                 this_norm = num_samples
             elif mode == "pam":
-                key, sub = jax.random.split(key)
-                s = np.asarray(msample.sample_pam(sub, mrf, num_samples))
+                if native:
+                    s = _native_sample_ids(mrf, pam=True,
+                                           num=num_samples, seed=idx)
+                else:
+                    key, sub = jax.random.split(key)
+                    s = np.asarray(msample.sample_pam(sub, mrf, num_samples))
                 q = _counts_from_samples(s, N)
                 Z = q.sum()
                 this_norm = num_samples

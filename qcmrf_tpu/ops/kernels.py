@@ -74,46 +74,68 @@ def _clique_tables(mrf: MRF) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 # --------------------------------------------------------------------------
 
 
-def _moebius_coefficients(mrf: MRF) -> np.ndarray:
-    """Multilinear coefficients of every clique table, flat like theta.
+def _moebius_coefficients(mrf: MRF) -> jax.Array:
+    """Multilinear coefficients of every clique table, padded (K * 2^cmax,).
 
     Entry layout per clique: subset ``s`` encoded with bit ``i`` <-> clique
-    slot ``i`` (slot order = clique variable order). Computed by the fast
-    Moebius transform of the (slot-reordered) theta table.
+    slot ``i`` (slot order = clique variable order); cliques smaller than
+    cmax alias the extra slots down, so their high-subset coefficients
+    vanish after the transform. Pure jnp (traceable: theta may be a
+    tracer inside shard_map / grad), tiny ((K, 2^cmax)) work.
     """
-    th = np.asarray(mrf.theta, dtype=np.float64)
-    out = np.zeros_like(th)
-    for k, C in enumerate(mrf.cliques):
+    from qcmrf_tpu.sim.analytic import _moebius_layout
+
+    idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    tab = mrf.theta[jnp.asarray(idx_map)].astype(jnp.float32)
+    K = tab.shape[0]
+    for i in range(cmax):
+        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
+        tab = jnp.concatenate(
+            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
+        ).reshape(K, 1 << cmax)
+    return tab.reshape(-1)
+
+
+def _logpot_block(x, coef_ref, beta_ref, cliques, n: int, fuse_amp: bool):
+    """Moebius FMA evaluation of beta*logpot for a block of state ids.
+
+    ``coef_ref`` holds the padded (K * 2^cmax,) multilinear coefficients
+    from :func:`_moebius_coefficients`."""
+    cmax = max(len(C) for C in cliques)
+
+    # extract each used variable's bit once, shared across cliques
+    used = sorted({v for C in cliques for v in C})
+    var_bits = {
+        v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
+    }
+
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for k, C in enumerate(cliques):  # static unroll over cliques
         m = len(C)
-        off = mrf.theta_offsets[k]
-        # reorder: slot-encoded subset s -> theta's binary-counting yidx
-        u = np.empty(1 << m)
-        for s in range(1 << m):
-            yidx = 0
-            for i in range(m):
-                if (s >> i) & 1:
-                    yidx |= 1 << (m - 1 - i)
-            u[s] = th[off + yidx]
-        # in-place fast Moebius (finite-difference) transform
-        for i in range(m):
-            step = 1 << i
-            for s in range(1 << m):
-                if s & step:
-                    u[s] -= u[s ^ step]
-        out[off: off + (1 << m)] = u
-    return out.astype(np.float32)
+        off = k << cmax
+        bits = [var_bits[v] for v in C]
+        # monomials built incrementally over slot-encoded subsets
+        prods = {0: None}
+        acc = acc + coef_ref[off]  # constant term
+        for s in range(1, 1 << m):
+            low = s & (-s)
+            rest = s ^ low
+            base = prods[rest]
+            p = bits[low.bit_length() - 1] if base is None else (
+                base * bits[low.bit_length() - 1]
+            )
+            prods[s] = p
+            acc = acc + coef_ref[off + s] * p
+    acc = beta_ref[0] * acc
+    if fuse_amp:
+        return jnp.exp(0.5 * acc) * (2.0 ** (-0.5 * n))
+    return acc
 
 
 @functools.lru_cache(maxsize=256)
 def _build_logpot_kernel(cliques: tuple, n: int, block_rows: int,
                          fuse_amp: bool):
-    """Generate the structure-specialized Pallas kernel body."""
-    # precompute static (shift, offset) layout
-    offsets = []
-    o = 0
-    for C in cliques:
-        offsets.append(o)
-        o += 1 << len(C)
+    """Structure-specialized kernel body (grid-parallel variant)."""
 
     def kernel(coef_ref, beta_ref, x0_ref, out_ref):
         i = pl.program_id(0)
@@ -122,37 +144,58 @@ def _build_logpot_kernel(cliques: tuple, n: int, block_rows: int,
         # x0 offsets the state ids — used by the ICI-sharded path where
         # each device owns a contiguous slice of the 2**n state space
         x = x0_ref[0] + (i * block_rows + rows) * LANE + cols
-
-        # extract each used variable's bit once, shared across cliques
-        used = sorted({v for C in cliques for v in C})
-        var_bits = {
-            v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
-        }
-
-        acc = jnp.zeros((block_rows, LANE), jnp.float32)
-        for k, C in enumerate(cliques):  # static unroll over cliques
-            m = len(C)
-            off = offsets[k]
-            bits = [var_bits[v] for v in C]
-            # monomials built incrementally over slot-encoded subsets
-            prods = {0: None}
-            acc = acc + coef_ref[off]  # constant term
-            for s in range(1, 1 << m):
-                low = s & (-s)
-                rest = s ^ low
-                base = prods[rest]
-                p = bits[low.bit_length() - 1] if base is None else (
-                    base * bits[low.bit_length() - 1]
-                )
-                prods[s] = p
-                acc = acc + coef_ref[off + s] * p
-        acc = beta_ref[0] * acc
-        if fuse_amp:
-            out_ref[:] = jnp.exp(0.5 * acc) * (2.0 ** (-0.5 * n))
-        else:
-            out_ref[:] = acc
+        out_ref[:] = _logpot_block(x, coef_ref, beta_ref, cliques, n,
+                                   fuse_amp)
 
     return kernel
+
+
+@functools.lru_cache(maxsize=256)
+def _build_logpot_loop_kernel(cliques: tuple, n: int, block_rows: int,
+                              num_blocks: int, fuse_amp: bool):
+    """Single-program variant: fori_loop over row blocks, DMA to HBM out.
+
+    The axon remote compiler's time explodes with Pallas grid size (n=22:
+    10 min at grid 32; n=24: 28 min at grid 128, measured 2026-08-16), so
+    large tables run the whole sweep in ONE grid program with a dynamic
+    loop — compile time is then independent of n.
+    """
+
+    def kernel(coef_ref, beta_ref, x0_ref, out_hbm_ref):
+        def body(scratch, sem):
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_rows, LANE), 0
+            )
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (block_rows, LANE), 1
+            )
+
+            def step(i, _):
+                x = x0_ref[0] + (i * block_rows + rows) * LANE + cols
+                scratch[:] = _logpot_block(
+                    x, coef_ref, beta_ref, cliques, n, fuse_amp
+                )
+                dma = pltpu.make_async_copy(
+                    scratch,
+                    out_hbm_ref.at[pl.ds(i * block_rows, block_rows), :],
+                    sem,
+                )
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(0, num_blocks, step, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((block_rows, LANE), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA,
+        )
+
+    return kernel
+
+
+_MAX_GRID = 8  # beyond this, remote-compile latency explodes (see above)
 
 
 def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,
@@ -160,21 +203,35 @@ def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,
     """Kernel invocation producing ``num_states`` entries starting at x0."""
     rows = num_states // LANE
     block_rows = min(rows, 1024)
-    kernel = _build_logpot_kernel(cliques, n, block_rows, fuse_amp)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-        grid=(rows // block_rows,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (d,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (1,)
-        ],
-        out_specs=pl.BlockSpec(
-            (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=_interpret(),
-    )(coef, beta, x0)
+    grid = rows // block_rows
+    smem = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (d,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (1,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (1,)
+    ]
+    if grid <= _MAX_GRID or _interpret():
+        kernel = _build_logpot_kernel(cliques, n, block_rows, fuse_amp)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            grid=(grid,),
+            in_specs=smem,
+            out_specs=pl.BlockSpec(
+                (block_rows, LANE), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=_interpret(),
+        )(coef, beta, x0)
+    else:
+        kernel = _build_logpot_loop_kernel(cliques, n, block_rows, grid,
+                                           fuse_amp)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            in_specs=smem,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            interpret=_interpret(),
+        )(coef, beta, x0)
     return out.reshape(-1)
 
 
@@ -195,7 +252,7 @@ def all_log_potentials(mrf: MRF) -> jax.Array:
     """
     if mrf.n < _MIN_KERNEL_N:
         return mrf.beta * mrf.all_log_potentials()
-    coef = jnp.asarray(_moebius_coefficients(mrf))
+    coef = _moebius_coefficients(mrf)
     beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
     return _logpot_call(mrf.cliques, mrf.n, False, coef, beta)
 
@@ -414,6 +471,6 @@ def postselected_amplitudes(mrf: MRF) -> jax.Array:
     if mrf.n < _MIN_KERNEL_N:
         lp = mrf.beta * mrf.all_log_potentials()
         return jnp.exp(0.5 * lp) * (2.0 ** (-0.5 * mrf.n))
-    coef = jnp.asarray(_moebius_coefficients(mrf))
+    coef = _moebius_coefficients(mrf)
     beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
     return _logpot_call(mrf.cliques, mrf.n, True, coef, beta)

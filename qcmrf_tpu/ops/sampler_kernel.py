@@ -36,7 +36,12 @@ def _interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=256)
-def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int):
+def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
+                          accept_only: bool = False):
+    """``accept_only=False``: second output is the ancilla bitmask
+    (requires K <= 32). ``True``: second output is the 0/1 post-selection
+    flag (all ancillas zero) — no clique-count limit; used by the sharded
+    n=24+ estimation path."""
     K = len(cliques)
     cmax = max(len(C) for C in cliques)
     n_sub = 1 << cmax
@@ -47,7 +52,10 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int):
         shape = (block_rows, LANE)
         xbits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         x = (xbits & np.uint32((1 << n) - 1)).astype(jnp.int32)
-        a = jnp.zeros(shape, jnp.uint32)
+        if accept_only:
+            a = jnp.ones(shape, jnp.int32)
+        else:
+            a = jnp.zeros(shape, jnp.uint32)
         for k in range(K):  # static unroll over cliques
             m = len(cliques[k])
             # c2_k(x) via the Moebius FMA chain
@@ -69,26 +77,31 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int):
             # uint32->float32 casts are unsupported in Mosaic; the high 24
             # bits fit int32 exactly
             u = (ubits >> 8).astype(jnp.int32).astype(jnp.float32) * _U24
-            fired = (u >= c2).astype(jnp.uint32)
-            a = a | (fired << np.uint32(k))
+            if accept_only:
+                a = a * (u < c2).astype(jnp.int32)
+            else:
+                fired = (u >= c2).astype(jnp.uint32)
+                a = a | (fired << np.uint32(k))
         x_ref[:] = x
         a_ref[:] = a
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _sample_call(seed, cliques_and_n, shots: int, coef):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef):
     cliques, n = cliques_and_n
     rows = shots // LANE
     block_rows = min(rows, 512)
     grid = rows // block_rows
-    kernel = _build_sampler_kernel(cliques, n, block_rows)
+    kernel = _build_sampler_kernel(cliques, n, block_rows, accept_only)
     x, a = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANE), jnp.uint32),
+            jax.ShapeDtypeStruct(
+                (rows, LANE), jnp.int32 if accept_only else jnp.uint32
+            ),
         ),
         grid=(grid,),
         in_specs=[
@@ -132,4 +145,18 @@ def sample_outcome_parts(seed, mrf: MRF, shots: int):
         raise ValueError("shots must be a multiple of 128")
     seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     coef = _keep_prob_coefficients(mrf)
-    return _sample_call(seed, (mrf.cliques, mrf.n), shots, coef)
+    return _sample_call(seed, (mrf.cliques, mrf.n), shots, False, coef)
+
+
+def sample_postselected(seed, mrf: MRF, shots: int):
+    """Hardware-PRNG fused sampler: returns (x, accepted 0/1 flags).
+
+    No clique-count limit (the acceptance AND is computed in-kernel) —
+    the throughput path for n=24+ grid estimation.
+    """
+    if shots % LANE:
+        raise ValueError("shots must be a multiple of 128")
+    seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
+    coef = _keep_prob_coefficients(mrf)
+    x, a = _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef)
+    return x, a == 1

@@ -57,6 +57,18 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
 # --------------------------------------------------------------------------
 
 
+def _dlog(mesh: Mesh) -> int:
+    """log2 of the mesh size; rejects non-power-of-two meshes (a silent
+    wrong-coverage bug otherwise: each device owns a 2^(n-dlog) slice)."""
+    D = mesh.devices.size
+    dlog = int(math.log2(D))
+    if (1 << dlog) != D:
+        raise ValueError(
+            f"sharded inference needs a power-of-two mesh, got {D} devices"
+        )
+    return dlog
+
+
 def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
     """This device's contiguous slice of the beta*logpot table."""
     chunk = 1 << (mrf.n - dlog)
@@ -65,7 +77,7 @@ def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
     on_tpu = jax.default_backend() == "tpu"
     if mrf.n - dlog >= K._MIN_KERNEL_N and (on_tpu or mrf.n - dlog <= 16):
         # Pallas kernel on TPU; interpret-mode only for small test chunks
-        coef = jnp.asarray(K._moebius_coefficients(mrf))
+        coef = K._moebius_coefficients(mrf)
         beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
         return K._logpot_call_sized(
             mrf.cliques, mrf.n, False, chunk, coef, beta, x0
@@ -88,48 +100,100 @@ def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
     return log_potentials_fast(mrf, x)
 
 
-def sharded_log_partition(mrf: MRF, mesh: Mesh) -> jax.Array:
-    """``ln Z`` with the 2**n state table sharded over the mesh."""
-    dlog = int(math.log2(mesh.devices.size))
+@functools.lru_cache(maxsize=128)
+def _build_lnZ_fn(cliques: tuple, n: int, mesh: Mesh):
+    """Compiled sharded lnZ, cached per (structure, mesh): theta/beta are
+    runtime arguments so repeated calls hit one executable (a fresh
+    shard_map closure per call would re-trace every time)."""
+    dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
 
     # check_vma=False: the Pallas kernel's outputs carry no varying-mesh-
     # axis annotation, which shard_map's checker (jax >= 0.9) requires
+    @jax.jit
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(), out_specs=P(),
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
         check_vma=False,
     )
-    def compute():
+    def compute(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
         lp = _local_log_potentials(mrf, dlog, axis)
         m = jax.lax.pmax(jnp.max(lp), axis)
         local = jnp.sum(jnp.exp(lp - m))
         return (m + jnp.log(jax.lax.psum(local, axis)))[None]
 
-    return compute()[0]
+    return compute
 
 
-def sharded_gibbs_probs(mrf: MRF, mesh: Mesh) -> jax.Array:
-    """Exact Gibbs distribution, returned sharded over the mesh."""
-    dlog = int(math.log2(mesh.devices.size))
+def sharded_log_partition(mrf: MRF, mesh: Mesh) -> jax.Array:
+    """``ln Z`` with the 2**n state table sharded over the mesh."""
+    fn = _build_lnZ_fn(mrf.cliques, mrf.n, mesh)
+    return fn(mrf.theta, mrf.beta)[0]
+
+
+@functools.lru_cache(maxsize=128)
+def _build_gibbs_fn(cliques: tuple, n: int, mesh: Mesh):
+    dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
 
+    @jax.jit
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(), out_specs=P(axis),
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(axis),
         check_vma=False,
     )
-    def compute():
+    def compute(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
         lp = _local_log_potentials(mrf, dlog, axis)
         m = jax.lax.pmax(jnp.max(lp), axis)
         z = jax.lax.psum(jnp.sum(jnp.exp(lp - m)), axis)
         return jnp.exp(lp - m) / z
 
-    return compute()
+    return compute
+
+
+def sharded_gibbs_probs(mrf: MRF, mesh: Mesh) -> jax.Array:
+    """Exact Gibbs distribution, returned sharded over the mesh."""
+    fn = _build_gibbs_fn(mrf.cliques, mrf.n, mesh)
+    return fn(mrf.theta, mrf.beta)
 
 
 def sharded_success_rate(mrf: MRF, mesh: Mesh) -> jax.Array:
     """Z / 2**n without materializing anything unsharded."""
     lnZ = sharded_log_partition(mrf, mesh)
     return jnp.exp(lnZ - mrf.n * jnp.log(2.0))
+
+
+@functools.lru_cache(maxsize=128)
+def _build_sample_fn(cliques: tuple, n: int, mesh: Mesh, per_dev: int):
+    from qcmrf_tpu.sim import analytic
+
+    _dlog(mesh)  # validate mesh size
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+    use_kernel = jax.default_backend() == "tpu" and per_dev % 128 == 0
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(axis), P(axis)), check_vma=False,
+    )
+    def draw(seed, theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        d = jax.lax.axis_index(axis)
+        if use_kernel:
+            from qcmrf_tpu.ops import sampler_kernel
+
+            # distinct hardware-PRNG stream per device (and the kernel
+            # further offsets by grid program id)
+            return sampler_kernel.sample_postselected(
+                seed[0] + d * jnp.int32(1_000_003), mrf, per_dev
+            )
+        key = jax.random.fold_in(jax.random.PRNGKey(seed[0]), d)
+        return analytic.sample_postselected(key, mrf, per_dev)
+
+    return draw
 
 
 def sharded_sample_postselected(
@@ -139,23 +203,13 @@ def sharded_sample_postselected(
 
     Returns (x, accepted) exactly like analytic.sample_postselected but with
     each device drawing its own shots slice — no cross-device traffic at
-    all (the factorized sampler needs none).
+    all (the factorized sampler needs none). On TPU the per-device draw is
+    the fused hardware-PRNG Pallas kernel.
     """
-    from qcmrf_tpu.sim import analytic
-
     D = mesh.devices.size
-    axis = mesh.axis_names[0]
-    per_dev = shots // D
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=P(axis),
-        out_specs=(P(axis), P(axis)),
-    )
-    def draw(keys):
-        return analytic.sample_postselected(keys[0], mrf, per_dev)
-
-    keys = jax.random.split(key, D)
-    return draw(keys)
+    fn = _build_sample_fn(mrf.cliques, mrf.n, mesh, shots // D)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    return fn(seed, mrf.theta, mrf.beta)
 
 
 # --------------------------------------------------------------------------

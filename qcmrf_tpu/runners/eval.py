@@ -32,6 +32,9 @@ def main(argv: Optional[List[str]] = None) -> str:
                         help="Variance of parameter prior.")
     parser.add_argument("--mode", type=str, default="file",
                         help="file or gibbs or pam.")
+    parser.add_argument("--native", action="store_true",
+                        help="Use the C++ engine for gibbs/pam sampling "
+                             "(the reference's kiopto_native role).")
     parser.add_argument("--res-root", type=str, default=".",
                         help="Directory containing res_{scale}/ folders.")
     parser.add_argument("--kl", action="store_true",
@@ -73,7 +76,8 @@ def main(argv: Optional[List[str]] = None) -> str:
     if args.norm is not None:
         norm = args.norm
 
-    results = evaluate_suite(suite, dists=dists, norm=norm, mode=args.mode)
+    results = evaluate_suite(suite, dists=dists, norm=norm, mode=args.mode,
+                             native=args.native)
     table = results_table(results, with_kl=args.kl)
     print(table)
     return table

@@ -56,14 +56,10 @@ def run_suite(
 
         preset = engine.split(":", 1)[1] if ":" in engine else "torino"
         model = nbackends.preset(preset)
-        for j, C in enumerate(suite.graphs):
-            for theta in suite.thetas[j]:
-                mrf = MRF.create(C, theta=theta)
-                key, sub = jax.random.split(key)
-                counts_list.append(
-                    nbackends.sample_noisy_counts(sub, mrf, model, shots)
-                )
-        return counts_list
+        # mitigated presets emit the full hardware result-file schema
+        # ({quasi_dists, metadata}, like res_*/result_torino.json);
+        # unmitigated ones a plain counts list
+        return nbackends.run_noisy_suite(key, suite, model, shots)
 
     for j, C in enumerate(suite.graphs):
         thetas = np.asarray(suite.thetas[j], dtype=np.float32)
@@ -115,7 +111,16 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "regenerating from seed 1984.")
     parser.add_argument("--outdir", type=str, default=".")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default="default",
+                        choices=["cpu", "tpu", "default"],
+                        help="Force a device. The reference suite's models "
+                             "are tiny (<= 10 qubits); 'cpu' avoids "
+                             "per-circuit accelerator dispatch for the "
+                             "noisy/statevector engines.")
     args = parser.parse_args(argv)
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
 
     if args.models:
         suite = load_suite(args.models, float(args.scale))
@@ -138,7 +143,9 @@ def main(argv: Optional[List[str]] = None) -> str:
     )
     with open(out_path, "w") as f:
         f.write(json.dumps(counts, indent=4))
-    print(f"wrote {out_path} ({len(counts)} circuits, {args.shots} shots)")
+    num = (len(counts["quasi_dists"])
+           if isinstance(counts, dict) else len(counts))
+    print(f"wrote {out_path} ({num} circuits, {args.shots} shots)")
     return out_path
 
 

@@ -157,3 +157,21 @@ def test_eval_pipeline_with_native_oracle(px, reference_root):
         q /= Z
         fids.append(min(float(metrics.fidelity(p, q)), 1.0))
     assert np.mean(fids) > 0.9995  # BASELINE.md: 1.000 +/- 0.000
+
+
+def test_eval_harness_native_modes(px, reference_root):
+    """gibbs/pam through the C++ engine inside the eval harness."""
+    from qcmrf_tpu.evaluation.harness import evaluate_suite
+    from qcmrf_tpu.models.suite import ModelSuite, load_suite, \
+        reference_models_path
+
+    full = load_suite(reference_models_path(0.1, reference_root), 0.1)
+    small = ModelSuite(
+        graphs=full.graphs[:2],
+        thetas={0: full.thetas[0][:2], 1: full.thetas[1][:2]},
+        scale=0.1,
+    )
+    res = evaluate_suite(small, mode="gibbs", num_samples=3000, native=True)
+    assert all(r.mean_f > 0.99 for r in res)
+    res_p = evaluate_suite(small, mode="pam", num_samples=1000, native=True)
+    assert all(r.mean_f > 0.8 for r in res_p)

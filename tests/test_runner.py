@@ -51,3 +51,13 @@ def test_cli_writes_schema(tmp_path, mini_suite, monkeypatch):
         widths = {len(k) for k in c}
         assert len(widths) == 1
         assert all(isinstance(v, int) for v in c.values())
+
+
+def test_noisy_engine_emits_hardware_schema(tmp_path, mini_suite):
+    counts = run_suite(mini_suite, shots=1000, engine="noisy:torino", seed=3)
+    assert set(counts.keys()) == {"quasi_dists", "metadata"}
+    assert len(counts["quasi_dists"]) == 6
+    assert all("readout_mitigation_overhead" in m for m in counts["metadata"])
+    # quasi-dists feed the eval path with norm=1 (hardware convention)
+    res = evaluate_suite(mini_suite, dists=counts["quasi_dists"], norm=1)
+    assert all(r.mean_f > 0.95 for r in res)
