@@ -45,18 +45,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _clique_tables(mrf: MRF) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Padded (K, cmax) shift/place arrays and (K, 2^cmax) theta table."""
-    K, cmax = mrf.num_cliques, mrf.max_clique
-    shifts, places, offsets = mrf._index_tables
-    theta = np.zeros((K, 1 << cmax), dtype=np.float32)
-    th = np.asarray(mrf.theta, dtype=np.float32)
-    for k, C in enumerate(mrf.cliques):
-        m = 1 << len(C)
-        theta[k, :m] = th[offsets[k]: offsets[k] + m]
-    return shifts, places, theta
-
-
 # --------------------------------------------------------------------------
 # Log-potential table kernel: out[x] = beta * sum_k theta_k[y_k(x)]
 #

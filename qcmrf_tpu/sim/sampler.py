@@ -25,8 +25,9 @@ def sample_from_probs(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array
     return jax.random.categorical(key, logits, shape=(shots,)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def histogram(samples: jax.Array, num_outcomes_unused=None, length: int = 0) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1,))
+def histogram(samples: jax.Array, length: int) -> jax.Array:
+    """Dense outcome histogram on device."""
     return jnp.bincount(samples, length=length)
 
 
