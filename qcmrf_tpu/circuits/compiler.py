@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import itertools
 import math
-from typing import List, Sequence
+from typing import Sequence
 
 from qcmrf_tpu.circuits.ir import Circuit, Gate
 

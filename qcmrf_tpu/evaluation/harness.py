@@ -27,7 +27,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from qcmrf_tpu.evaluation import metrics
 from qcmrf_tpu.models import sample as msample

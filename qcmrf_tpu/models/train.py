@@ -130,12 +130,16 @@ def make_sharded_train_step(
             check_vma=False,
         )
         def compute(raw_rep, data_local):
+            from qcmrf_tpu.sim.analytic import log_potentials_fast
+
             theta = _to_theta(raw_rep, nonpositive)
             m = template.with_theta(theta)
             # --- amp axis: sharded exact logZ over the state table
+            # (gather-free evaluation; the Moebius transform is linear in
+            # theta so gradients flow through it exactly)
             d = jax.lax.axis_index(amp_axis)
             x = d * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            lp = m.beta * m.log_potential(x)
+            lp = log_potentials_fast(m, x)
             # max-shift is numerics only; no gradient should flow through
             # it (pmax has no differentiation rule anyway)
             mx = jax.lax.stop_gradient(

@@ -11,10 +11,9 @@ calibrations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
-import numpy as np
 
 from qcmrf_tpu.circuits.compiler import compile_qcmrf
 from qcmrf_tpu.circuits.lower import basis_gate_counts

@@ -10,7 +10,7 @@ item 3), jit-compiled once per shape bucket.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
