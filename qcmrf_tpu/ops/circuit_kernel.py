@@ -1,0 +1,193 @@
+"""Fused whole-circuit Pallas kernel: one launch per batch of QCMRF circuits.
+
+The reference executes each circuit as a long gate sequence inside Aer's
+C++ loop (run_experiment.py:54-56). Gate-by-gate execution on TPU pays a
+dispatch round-trip per gate; for the suite's circuit widths (<= 10 qubits,
+statevector <= 8 x 128 floats) the whole state fits in registers, so this
+kernel runs the ENTIRE gate-level circuit — Hadamard wall, every per-clique
+[flags-phase -> X-conjugated inverse] real-part-extraction sandwich, final
+H — inside one Pallas program, with the per-circuit gamma vector as the
+only runtime input. The grid axis batches over parameter draws, so the 10
+reps of a graph execute as one kernel launch.
+
+Layout matches the dense engine exactly (qubit 0 = LSB; workspace qubit n
+kept in the width but untouched), so the output |psi|^2 is the counts-key
+distribution directly. Width is padded up to 7 qubits (one 128-lane row);
+padding qubits stay |0> and the caller slices the first 2**width entries.
+
+This is the gate-level *validation/arbitrary-circuit* fast path; the
+closed-form sampler (ops.sampler_kernel) remains the flagship for pure
+QCMRF sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qcmrf_tpu.models.mrf import MRF
+
+LANE = 128
+_INV_SQRT2 = np.float32(1.0 / math.sqrt(2.0))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lane_matrix_h(q: int) -> np.ndarray:
+    H = np.array([[_INV_SQRT2, _INV_SQRT2], [_INV_SQRT2, -_INV_SQRT2]],
+                 dtype=np.float32)
+    return np.kron(np.kron(np.eye(1 << (6 - q), dtype=np.float32), H),
+                   np.eye(1 << q, dtype=np.float32))
+
+
+def _apply_h(re, im, q: int, rows: int, hmats_ref=None):
+    """Hadamard (real matrix) on qubit q of (rows, 128) planes.
+
+    Lane-qubit matrices are symmetric (kron of symmetric blocks), so no
+    transpose is needed; they arrive via ``hmats_ref`` (Pallas forbids
+    captured array constants in kernels)."""
+    if q < 7:
+        M = hmats_ref[q]
+        # HIGHEST precision: the MXU's default one-pass bf16 matmul loses
+        # ~3 digits, which compounds over the gate sequence (~1e-3 in the
+        # final probabilities); the f32 3-pass mode restores ~1e-6
+        return (
+            jnp.dot(re, M, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
+            jnp.dot(im, M, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
+        )
+    s = 1 << (q - 7)  # row stride
+    g = rows // (2 * s)
+
+    def mix(p):
+        p4 = p.reshape(g, 2, s, LANE)
+        a, b = p4[:, 0], p4[:, 1]
+        return jnp.stack(
+            [(a + b) * _INV_SQRT2, (a - b) * _INV_SQRT2], axis=1
+        ).reshape(rows, LANE)
+
+    return mix(re), mix(im)
+
+
+def _masked_rotation(re, im, x, conds, angle):
+    """Phase e^{i*angle} where all (bit, want) conds hold; angle traced."""
+    mask = jnp.ones(x.shape, jnp.float32)
+    for pos, want in conds:
+        b = ((x >> pos) & 1).astype(jnp.float32)
+        mask = mask * (b if want else (1.0 - b))
+    ang = angle * mask
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    return re * c - im * s, re * s + im * c
+
+
+@functools.lru_cache(maxsize=256)
+def _build_circuit_kernel(cliques: tuple, n: int):
+    """Kernel running the full QCMRF circuit for one gamma vector."""
+    K = len(cliques)
+    width = n + K + 1
+    pad_width = max(width, 7)
+    rows = (1 << pad_width) // LANE
+
+    # static per-(clique, y) masked-rotation conditions and gamma indices
+    sandwich = []  # per clique: (anc_bit, [(conds, gamma_idx), ...])
+    gi = 0
+    for ii, C in enumerate(cliques):
+        anc = n + 1 + ii
+        blocks = []
+        for y in itertools.product([0, 1], repeat=len(C)):
+            conds = tuple(
+                ((n - 1) - v, int(b)) for v, b in zip(C, y)
+            )  # variable reflection, QCMRF.py:219
+            blocks.append((conds, gi))
+            gi += 1
+        sandwich.append((anc, blocks))
+
+    def kernel(gamma_ref, hmats_ref, out_ref):
+        # gamma arrives unblocked in SMEM (full (B, d): tiny); this
+        # program's row is selected by grid position
+        b = pl.program_id(0)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+        x = riota * LANE + ciota
+        re = jnp.where(x == 0, 1.0, 0.0).astype(jnp.float32)
+        im = jnp.zeros((rows, LANE), jnp.float32)
+
+        for q in range(n):  # Hadamard wall (QCMRF.py:204-205)
+            re, im = _apply_h(re, im, q, rows, hmats_ref)
+
+        for anc, blocks in sandwich:
+            # H(anc) · cU_C · X(anc) · cU_C^-1 · X(anc) · H(anc)
+            re, im = _apply_h(re, im, anc, rows, hmats_ref)
+            for conds, gidx in blocks:  # cU_C: phase on anc=1 branch
+                ang = 2.0 * gamma_ref[b, gidx]
+                re, im = _masked_rotation(
+                    re, im, x, conds + ((anc, 1),), ang
+                )
+            # X·cU^-1·X == inverse phase on the anc=0 branch
+            for conds, gidx in blocks:
+                ang = -2.0 * gamma_ref[b, gidx]
+                re, im = _masked_rotation(
+                    re, im, x, conds + ((anc, 0),), ang
+                )
+            re, im = _apply_h(re, im, anc, rows, hmats_ref)
+
+        out_ref[0] = re * re + im * im
+
+    return kernel, rows, pad_width
+
+
+@functools.lru_cache(maxsize=1)
+def _lane_h_stack() -> np.ndarray:
+    return np.stack([_lane_matrix_h(q) for q in range(7)])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _circuit_call(cliques: tuple, n: int, gammas):
+    B = gammas.shape[0]
+    kernel, rows, pad_width = _build_circuit_kernel(cliques, n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANE), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gamma (B, d), unblocked
+            pl.BlockSpec((7, LANE, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(gammas, jnp.asarray(_lane_h_stack()))
+    return out.reshape(B, rows * LANE)
+
+
+def batched_circuit_probs(cliques, thetas, beta: float = 1.0) -> jax.Array:
+    """Gate-level outcome distributions for a stack of thetas, one launch.
+
+    Returns ``(B, 2**(n+K+1))`` — identical statistics to
+    ``sim.dense.simulate_probs(compile_qcmrf(...))`` per circuit, executed
+    entirely in one fused kernel (the whole statevector lives in
+    registers/VMEM across all gates).
+    """
+    from qcmrf_tpu.circuits.params import theta_to_gamma
+
+    cliques = tuple(tuple(int(v) for v in C) for C in cliques)
+    template = MRF.create([list(C) for C in cliques])
+    n, K = template.n, template.num_cliques
+    width = n + K + 1
+    thetas = jnp.asarray(thetas, jnp.float32)
+    gammas = theta_to_gamma(thetas, beta).astype(jnp.float32)
+    probs = _circuit_call(cliques, n, gammas)
+    return probs[:, : 1 << width]

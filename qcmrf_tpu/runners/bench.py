@@ -100,6 +100,33 @@ def main(argv: Optional[List[str]] = None) -> dict:
         moved * CHAIN / _time(chained(n - 2)) / 1e9, 2
     )
 
+    # fused whole-circuit kernel: full 70-circuit reference suite,
+    # gate-level, one launch per graph
+    try:
+        from qcmrf_tpu.models.suite import generate_suite
+        from qcmrf_tpu.ops import circuit_kernel
+
+        suite = generate_suite(0.1)
+
+        def run_suite_fused(_):
+            return [
+                circuit_kernel.batched_circuit_probs(
+                    C, np.asarray(suite.thetas[j], np.float32)
+                )
+                for j, C in enumerate(suite.graphs)
+            ]
+
+        jax.block_until_ready(run_suite_fused(0))
+        t0 = time.perf_counter()
+        for i in range(10):
+            outs = run_suite_fused(i)
+        jax.block_until_ready(outs)
+        out["suite70_gate_level_ms"] = round(
+            (time.perf_counter() - t0) / 10 * 1e3, 2
+        )
+    except Exception as e:  # keep the bench robust on odd backends
+        out["suite70_gate_level_ms"] = f"failed: {e}"
+
     if args.json:
         print(json.dumps(out))
     else:

@@ -75,22 +75,27 @@ def run_suite(
                     sampler.counts_from_samples(np.asarray(keys[b]), width)
                 )
         elif engine == "statevector":
-            # complex dtypes are unsupported on the TPU backend; use the
-            # real/imag plane engine there (identical statistics)
-            use_planes = jax.default_backend() == "tpu" and width >= 7
-            for i in range(thetas.shape[0]):
-                mrf = MRF.create(C, theta=thetas[i])
-                circ = compile_qcmrf(mrf)
-                if use_planes:
-                    from qcmrf_tpu.sim import tpu as stpu
+            # complex dtypes are unsupported on the TPU backend; there the
+            # whole batch of gate-level circuits runs as ONE fused Pallas
+            # kernel (ops.circuit_kernel)
+            if jax.default_backend() == "tpu":
+                from qcmrf_tpu.ops import circuit_kernel
 
-                    probs = stpu.simulate_probs(circ)
-                else:
-                    probs = dense.simulate_probs(circ)
-                key, sub = jax.random.split(key)
-                counts_list.append(
-                    sampler.sample_counts(sub, probs, shots, width)
-                )
+                probs_all = circuit_kernel.batched_circuit_probs(C, thetas)
+                for i in range(thetas.shape[0]):
+                    key, sub = jax.random.split(key)
+                    counts_list.append(
+                        sampler.sample_counts(sub, probs_all[i], shots,
+                                              width)
+                    )
+            else:
+                for i in range(thetas.shape[0]):
+                    mrf = MRF.create(C, theta=thetas[i])
+                    probs = dense.simulate_probs(compile_qcmrf(mrf))
+                    key, sub = jax.random.split(key)
+                    counts_list.append(
+                        sampler.sample_counts(sub, probs, shots, width)
+                    )
         else:
             raise ValueError(f"unknown engine {engine!r}")
     return counts_list
