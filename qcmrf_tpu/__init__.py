@@ -10,10 +10,17 @@ models beyond single-chip memory, and autodiff-based MRF training.
 
 from qcmrf_tpu.circuits.compiler import QCMRF, compile_qcmrf
 from qcmrf_tpu.circuits.ir import Circuit, Gate
+from qcmrf_tpu.circuits.lower import basis_gate_counts, lower
 from qcmrf_tpu.circuits.params import gamma_to_theta, theta_to_gamma
+from qcmrf_tpu.evaluation.estimators import (
+    clique_marginals_exact,
+    estimate_from_circuit,
+    log_partition_from_counts,
+)
 from qcmrf_tpu.evaluation.metrics import KL, extract_probs, fidelity, kl
 from qcmrf_tpu.models.mrf import MRF, chain_mrf, grid_mrf
 from qcmrf_tpu.models.suite import GRAPHS, ModelSuite, generate_suite, load_suite
+from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded
 
 __version__ = "0.1.0"
 
@@ -35,4 +42,11 @@ __all__ = [
     "ModelSuite",
     "generate_suite",
     "load_suite",
+    "lower",
+    "basis_gate_counts",
+    "fit_mle",
+    "fit_mle_sharded",
+    "estimate_from_circuit",
+    "clique_marginals_exact",
+    "log_partition_from_counts",
 ]
