@@ -168,6 +168,12 @@ def joint_outcome_probs(mrf: MRF) -> jax.Array:
     :func:`sample_outcomes` which never materializes the joint.
     """
     n, K = mrf.n, mrf.num_cliques
+    if n + K + 1 > 24:
+        raise ValueError(
+            f"joint distribution would need 2**{n + K + 1} entries; "
+            "use sample_outcome_parts / sample_postselected for large "
+            "models (they never materialize the joint)"
+        )
     x = jnp.arange(mrf.num_states, dtype=jnp.int32)
     c2 = clique_keep_probs(mrf, x)  # (2**n, K)
     s2 = 1.0 - c2

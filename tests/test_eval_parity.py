@@ -63,6 +63,20 @@ def test_stored_simulation_other_scales(reference_root, scale):
         assert abs(r.mean_delta - wd) < 2e-3
 
 
+def test_stored_torino_scale025(reference_root):
+    """BASELINE.md scale-0.25 hardware row (second of the three scales)."""
+    suite = load_suite(reference_models_path(0.25, reference_root), 0.25)
+    dists, norm = load_result_dists(
+        reference_results_path(0.25, "torino", reference_root)
+    )
+    results = evaluate_suite(suite, dists=dists, norm=norm)
+    want_f = [0.995, 0.989, 0.970, 0.967, 0.991, 0.943, 0.982]
+    want_d = [0.948, 0.638, 0.209, 0.128, 0.551, 0.324, 0.516]
+    for r, wf, wd in zip(results, want_f, want_d):
+        assert abs(r.mean_f - wf) < 2e-3
+        assert abs(r.mean_delta - wd) < 2e-3
+
+
 def test_our_simulation_matches_reference_eval(reference_root, suite01):
     """End-to-end: our analytic engine's sampled counts, pushed through the
     eval harness, match the reference's own Aer results within shot noise
