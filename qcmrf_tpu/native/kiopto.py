@@ -124,11 +124,21 @@ def backend(cliques, states_per_var=None, inference: str = "exact") -> Backend:
     return Backend(cliques)
 
 
+class _WeightsView(np.ndarray):
+    """ndarray subclass that keeps its Backend alive (the view aliases the
+    C++ heap buffer; without the reference, `px.weights(px.backend(...))`
+    would dangle as soon as the temporary Backend is collected)."""
+
+    _qk_backend = None
+
+
 def weights(b: Backend) -> np.ndarray:
     """Mutable view of the weight vector (parity: ``px.weights``,
     eval.py:86-87 writes through it in place)."""
     ptr = b._lib.qk_weights(b._h)
-    return np.ctypeslib.as_array(ptr, shape=(b.dim,))
+    arr = np.ctypeslib.as_array(ptr, shape=(b.dim,)).view(_WeightsView)
+    arr._qk_backend = b
+    return arr
 
 
 def infer(b: Backend, task: str = "partition") -> float:

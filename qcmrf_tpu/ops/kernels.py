@@ -72,16 +72,11 @@ def _moebius_coefficients(mrf: MRF) -> jax.Array:
     tracer inside shard_map / grad), tiny ((K, 2^cmax)) work.
     """
     from qcmrf_tpu.sim.analytic import _moebius_layout
+    from qcmrf_tpu.utils import moebius
 
     idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
     tab = mrf.theta[jnp.asarray(idx_map)].astype(jnp.float32)
-    K = tab.shape[0]
-    for i in range(cmax):
-        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
-        tab = jnp.concatenate(
-            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
-        ).reshape(K, 1 << cmax)
-    return tab.reshape(-1)
+    return moebius.transform(tab, cmax).reshape(-1)
 
 
 def _logpot_block(x, coef_ref, beta_ref, cliques, n: int, fuse_amp: bool):
@@ -97,23 +92,15 @@ def _logpot_block(x, coef_ref, beta_ref, cliques, n: int, fuse_amp: bool):
         v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
     }
 
+    from qcmrf_tpu.utils import moebius
+
     acc = jnp.zeros(x.shape, jnp.float32)
     for k, C in enumerate(cliques):  # static unroll over cliques
-        m = len(C)
         off = k << cmax
-        bits = [var_bits[v] for v in C]
-        # monomials built incrementally over slot-encoded subsets
-        prods = {0: None}
-        acc = acc + coef_ref[off]  # constant term
-        for s in range(1, 1 << m):
-            low = s & (-s)
-            rest = s ^ low
-            base = prods[rest]
-            p = bits[low.bit_length() - 1] if base is None else (
-                base * bits[low.bit_length() - 1]
-            )
-            prods[s] = p
-            acc = acc + coef_ref[off + s] * p
+        acc = moebius.eval_multilinear(
+            [var_bits[v] for v in C], len(C),
+            lambda s: coef_ref[off + s], acc,
+        )
     acc = beta_ref[0] * acc
     if fuse_amp:
         return jnp.exp(0.5 * acc) * (2.0 ** (-0.5 * n))

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.utils import moebius
 from qcmrf_tpu.sim.analytic import _moebius_layout
 
 LANE = 128
@@ -48,7 +49,11 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
     _, shifts, _ = _moebius_layout(cliques, n)  # (cmax, K) numpy
 
     def kernel(seed_ref, coef_ref, x_ref, a_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # spread user seeds so consecutive seeds never share per-block
+        # streams (block b of seed s must differ from block b-1 of s+1)
+        pltpu.prng_seed(
+            seed_ref[0] * jnp.int32(1_000_003) + pl.program_id(0)
+        )
         shape = (block_rows, LANE)
         xbits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         x = (xbits & np.uint32((1 << n) - 1)).astype(jnp.int32)
@@ -58,20 +63,16 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
             a = jnp.zeros(shape, jnp.uint32)
         for k in range(K):  # static unroll over cliques
             m = len(cliques[k])
-            # c2_k(x) via the Moebius FMA chain
-            c2 = jnp.full(shape, coef_ref[k * n_sub])
+            # c2_k(x) via the shared Moebius FMA chain
             bits = [
                 ((x >> int(shifts[i, k])) & 1).astype(jnp.float32)
                 for i in range(m)
             ]
-            prods = {0: None}
-            for s in range(1, 1 << m):
-                low = s & (-s)
-                rest = s ^ low
-                b = bits[low.bit_length() - 1]
-                p = b if prods[rest] is None else prods[rest] * b
-                prods[s] = p
-                c2 = c2 + coef_ref[k * n_sub + s] * p
+            base = k * n_sub
+            c2 = moebius.eval_multilinear(
+                bits, m, lambda s: coef_ref[base + s],
+                jnp.zeros(shape, jnp.float32),
+            )
             # uniform in [0, 1) from 24 high bits
             ubits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
             # uint32->float32 casts are unsupported in Mosaic; the high 24
@@ -93,14 +94,19 @@ def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef):
     cliques, n = cliques_and_n
     rows = shots // LANE
     block_rows = min(rows, 512)
-    grid = rows // block_rows
+    # pad the row count up to a whole number of blocks (floor division
+    # would leave tail rows unwritten — garbage samples); callers slice
+    # back down to the requested shot count
+    grid = -(-rows // block_rows)
+    rows_padded = grid * block_rows
     kernel = _build_sampler_kernel(cliques, n, block_rows, accept_only)
     x, a = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((rows_padded, LANE), jnp.int32),
             jax.ShapeDtypeStruct(
-                (rows, LANE), jnp.int32 if accept_only else jnp.uint32
+                (rows_padded, LANE),
+                jnp.int32 if accept_only else jnp.uint32,
             ),
         ),
         grid=(grid,),
@@ -116,7 +122,7 @@ def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef):
         ),
         interpret=_interpret(),
     )(seed, coef)
-    return x.reshape(-1), a.reshape(-1)
+    return x.reshape(-1)[:shots], a.reshape(-1)[:shots]
 
 
 def _keep_prob_coefficients(mrf: MRF) -> jax.Array:
@@ -124,13 +130,7 @@ def _keep_prob_coefficients(mrf: MRF) -> jax.Array:
     flattened (K * 2^cmax,)."""
     idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
     tab = jnp.exp(mrf.beta * mrf.theta[jnp.asarray(idx_map)])
-    K = tab.shape[0]
-    for i in range(cmax):
-        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
-        tab = jnp.concatenate(
-            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
-        ).reshape(K, 1 << cmax)
-    return tab.reshape(-1)
+    return moebius.transform(tab, cmax).reshape(-1)
 
 
 def sample_outcome_parts(seed, mrf: MRF, shots: int):

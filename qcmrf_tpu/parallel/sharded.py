@@ -207,6 +207,11 @@ def sharded_sample_postselected(
     the fused hardware-PRNG Pallas kernel.
     """
     D = mesh.devices.size
+    if shots % D:
+        raise ValueError(
+            f"shots ({shots}) must be divisible by the mesh size ({D}); "
+            "a silent floor would bias delta-hat estimates"
+        )
     fn = _build_sample_fn(mrf.cliques, mrf.n, mesh, shots // D)
     seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     return fn(seed, mrf.theta, mrf.beta)

@@ -38,8 +38,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
     from qcmrf_tpu.models.mrf import grid_mrf
     from qcmrf_tpu.parallel import sharded
 
-    rows = 4
-    cols = max(2, args.n // rows)
+    # exact factorization: rows x cols == n (a 1 x n grid is a chain),
+    # so --n 25/26/27 really benchmark 25/26/27 qubits
+    rows = next(r for r in range(int(np.sqrt(args.n)), 0, -1)
+                if args.n % r == 0)
+    cols = args.n // rows
     template = grid_mrf(rows, cols)
     rng = np.random.RandomState(0)
     mrf = template.with_theta(

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.utils import moebius
 
 
 def clique_keep_probs(mrf: MRF, x) -> jax.Array:
@@ -76,6 +77,22 @@ def _moebius_layout(cliques: tuple, n: int):
     return idx_map, shifts, cmax
 
 
+def _broadcast_multilinear(mrf: MRF, x, tab) -> jax.Array:
+    """Evaluate per-clique multilinear coefficient tables ``tab``
+    ((K, 2^cmax), slot-encoded) at state ids ``x``; returns (..., K)."""
+    _, shifts, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    x = jnp.asarray(x, jnp.int32)
+    sh = jnp.asarray(shifts)  # (cmax, K)
+    bits = [
+        ((x[..., None] >> sh[i]) & 1).astype(tab.dtype)
+        for i in range(cmax)
+    ]  # each (..., K)
+    zero = jnp.zeros(x.shape + (tab.shape[0],), tab.dtype)
+    return moebius.eval_multilinear(
+        bits, cmax, lambda s: tab[:, s], zero
+    )
+
+
 def clique_keep_probs_fast(mrf: MRF, x) -> jax.Array:
     """Gather-free ``c2_k(x)``: the per-clique exp-theta table is converted
     to multilinear (Moebius) coefficients in-graph (tiny (K, 2^cmax) ops),
@@ -83,33 +100,11 @@ def clique_keep_probs_fast(mrf: MRF, x) -> jax.Array:
     per-(state, clique) gather, so XLA fuses the whole thing. Exact; the
     TPU throughput path for sampling (the gather version is the reference).
     """
-    idx_map, shifts, cmax = _moebius_layout(mrf.cliques, mrf.n)
-    idx_map = jnp.asarray(idx_map)
-    # (K, 2^cmax) keep-prob table, then in-graph fast Moebius transform
-    tab = jnp.exp(mrf.beta * mrf.theta[idx_map])
-    K = tab.shape[0]
-    for i in range(cmax):
-        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
-        tab = jnp.concatenate(
-            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
-        ).reshape(K, 1 << cmax)
-
-    x = jnp.asarray(x, jnp.int32)
-    sh = jnp.asarray(shifts)  # (cmax, K)
-    bits = [
-        ((x[..., None] >> sh[i]) & 1).astype(tab.dtype)
-        for i in range(cmax)
-    ]  # each (..., K)
-    prods = {0: None}
-    out = jnp.broadcast_to(tab[:, 0], x.shape + (K,))
-    for s in range(1, 1 << cmax):
-        low = s & (-s)
-        rest = s ^ low
-        b = bits[low.bit_length() - 1]
-        p = b if prods[rest] is None else prods[rest] * b
-        prods[s] = p
-        out = out + tab[:, s] * p
-    return out
+    idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    tab = moebius.transform(
+        jnp.exp(mrf.beta * mrf.theta[jnp.asarray(idx_map)]), cmax
+    )
+    return _broadcast_multilinear(mrf, x, tab)
 
 
 def log_potentials_fast(mrf: MRF, x) -> jax.Array:
@@ -118,31 +113,11 @@ def log_potentials_fast(mrf: MRF, x) -> jax.Array:
     chains over bit monomials and summed over cliques. Exact; preferable to
     ``mrf.log_potential`` for large state batches on accelerators (no
     per-(state, clique) gather)."""
-    idx_map, shifts, cmax = _moebius_layout(mrf.cliques, mrf.n)
-    tab = mrf.beta * mrf.theta[jnp.asarray(idx_map)]
-    K = tab.shape[0]
-    for i in range(cmax):
-        t = tab.reshape(K, 1 << (cmax - 1 - i), 2, 1 << i)
-        tab = jnp.concatenate(
-            [t[:, :, :1], t[:, :, 1:] - t[:, :, :1]], axis=2
-        ).reshape(K, 1 << cmax)
-
-    x = jnp.asarray(x, jnp.int32)
-    sh = jnp.asarray(shifts)  # (cmax, K)
-    bits = [
-        ((x[..., None] >> sh[i]) & 1).astype(tab.dtype)
-        for i in range(cmax)
-    ]
-    prods = {0: None}
-    out = jnp.broadcast_to(tab[:, 0], x.shape + (K,))
-    for s in range(1, 1 << cmax):
-        low = s & (-s)
-        rest = s ^ low
-        b = bits[low.bit_length() - 1]
-        p = b if prods[rest] is None else prods[rest] * b
-        prods[s] = p
-        out = out + tab[:, s] * p
-    return out.sum(-1)
+    idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
+    tab = moebius.transform(
+        mrf.beta * mrf.theta[jnp.asarray(idx_map)], cmax
+    )
+    return _broadcast_multilinear(mrf, x, tab).sum(-1)
 
 
 def postselected_probs(mrf: MRF) -> Tuple[jax.Array, jax.Array]:
@@ -168,11 +143,14 @@ def joint_outcome_probs(mrf: MRF) -> jax.Array:
     :func:`sample_outcomes` which never materializes the joint.
     """
     n, K = mrf.n, mrf.num_cliques
-    if n + K + 1 > 24:
+    # bound the true peak allocation: both the (2**K, 2**n, K) broadcast
+    # intermediate below and the 2**(n+K+1) output/keys arrays
+    if max(K * (1 << (n + K)), 1 << (n + K + 1)) > (1 << 28):
         raise ValueError(
-            f"joint distribution would need 2**{n + K + 1} entries; "
-            "use sample_outcome_parts / sample_postselected for large "
-            "models (they never materialize the joint)"
+            f"joint distribution would need ~max({K} * 2**{n + K}, "
+            f"2**{n + K + 1}) floats; use sample_outcome_parts / "
+            "sample_postselected for large models (they never materialize "
+            "the joint)"
         )
     x = jnp.arange(mrf.num_states, dtype=jnp.int32)
     c2 = clique_keep_probs(mrf, x)  # (2**n, K)

@@ -92,7 +92,13 @@ def outcome_probs(circuit: Circuit, re, im) -> jax.Array:
     """Joint clbit-value distribution (QCMRF wiring: identity key map)."""
     probs = (re * re + im * im).reshape(-1)
     pairs = circuit.measured_pairs
-    if not pairs or all(q == c for q, c in pairs):
+    # the identity shortcut is only valid when EVERY qubit is measured to
+    # its own clbit — with unmeasured qubits in superposition, mass must
+    # be marginalized onto keys with those clbits zero (dense semantics)
+    if not pairs or (
+        len(pairs) == circuit.num_qubits
+        and all(q == c for q, c in pairs)
+    ):
         return probs
     idx = jnp.arange(probs.shape[0], dtype=jnp.int32)
     keys = jnp.zeros_like(idx)

@@ -48,6 +48,9 @@ def collect(backend: str, res_root: str = "."):
         idx = 0
         for j, C in enumerate(suite.graphs):
             for theta in suite.thetas[j]:
+                if j != FOCUS_GRAPH:
+                    idx += 1
+                    continue  # only graph 1 is plotted (whisker.py:121)
                 mrf = MRF.create(C, theta=theta)
                 N = mrf.num_states
                 p = np.asarray(mrf.gibbs_probs(), dtype=np.float64)
@@ -61,10 +64,9 @@ def collect(backend: str, res_root: str = "."):
                 q = q / Z if Z else q
                 mF = float(np.clip(float(metrics.fidelity(p, q)), 0, 1))
                 w_nrm = float(np.linalg.norm(theta, ord=np.inf))
-                if j == FOCUS_GRAPH:
-                    L_F.append((w_nrm, mF))
-                    L_delta.append((w_nrm, Z / norm))
-                    WH[scale].append(Z / norm)
+                L_F.append((w_nrm, mF))
+                L_delta.append((w_nrm, Z / norm))
+                WH[scale].append(Z / norm)
                 idx += 1
     return np.array(L_F), np.array(L_delta), WH
 

@@ -36,45 +36,47 @@ def test_stored_simulation_scale01(reference_root, suite01):
         assert r.mean_kl < 0.005
 
 
-def test_stored_torino_scale01(reference_root, suite01):
-    """Hardware quasi-dists (negative entries) evaluate to BASELINE.md."""
-    dists, norm = load_result_dists(
-        reference_results_path(0.1, "torino", reference_root)
-    )
-    assert norm == 1
-    results = evaluate_suite(suite01, dists=dists, norm=norm)
-    want_f = [0.995, 0.993, 0.989, 0.968, 0.996, 0.945, 0.986]
-    want_d = [0.989, 0.760, 0.290, 0.198, 0.634, 0.294, 0.525]
-    for r, wf, wd in zip(results, want_f, want_d):
-        assert abs(r.mean_f - wf) < 2e-3
-        assert abs(r.mean_delta - wd) < 2e-3
+# BASELINE.md golden rows: (scale, backend, mean fidelities, mean deltas)
+GOLDEN = [
+    (0.1, "torino",
+     [0.995, 0.993, 0.989, 0.968, 0.996, 0.945, 0.986],
+     [0.989, 0.760, 0.290, 0.198, 0.634, 0.294, 0.525]),
+    (0.25, "torino",
+     [0.995, 0.989, 0.970, 0.967, 0.991, 0.943, 0.982],
+     [0.948, 0.638, 0.209, 0.128, 0.551, 0.324, 0.516]),
+    (0.5, "torino",
+     [0.990, 0.963, 0.938, 0.902, 0.978, 0.911, 0.969],
+     [0.827, 0.554, 0.154, 0.082, 0.548, 0.299, 0.508]),
+    (0.5, "simulation",
+     None,
+     [0.693, 0.733, 0.352, 0.273, 0.695, 0.458, 0.704]),
+    (0.1, "sherbrooke",
+     [0.999, 0.998, 0.989, 0.981, 0.999, 0.972, 0.998],
+     [0.907, 0.613, 0.175, 0.087, 0.516, 0.272, 0.507]),
+    (0.1, "ehningen",
+     [1.000, 0.999, 0.988, 0.957, 0.998, 0.989, 0.997],
+     [0.901, 0.595, 0.159, 0.087, 0.504, 0.256, 0.500]),
+]
 
 
-@pytest.mark.parametrize("scale", [0.5])
-def test_stored_simulation_other_scales(reference_root, scale):
+@pytest.mark.parametrize("scale,backend,want_f,want_d", GOLDEN)
+def test_stored_results_reproduce_baseline(reference_root, scale, backend,
+                                           want_f, want_d):
+    """Every stored result file evaluates to its BASELINE.md row."""
+    import os
+
+    path = reference_results_path(scale, backend, reference_root)
+    if not os.path.isfile(path):
+        pytest.skip(f"no stored {backend} results at scale {scale}")
     suite = load_suite(reference_models_path(scale, reference_root), scale)
-    dists, norm = load_result_dists(
-        reference_results_path(scale, "simulation", reference_root)
-    )
+    dists, norm = load_result_dists(path)
     results = evaluate_suite(suite, dists=dists, norm=norm)
-    want_delta = [0.693, 0.733, 0.352, 0.273, 0.695, 0.458, 0.704]
-    for r, wd in zip(results, want_delta):
-        assert r.mean_f >= 0.997 - 5e-4
-        assert abs(r.mean_delta - wd) < 2e-3
-
-
-def test_stored_torino_scale025(reference_root):
-    """BASELINE.md scale-0.25 hardware row (second of the three scales)."""
-    suite = load_suite(reference_models_path(0.25, reference_root), 0.25)
-    dists, norm = load_result_dists(
-        reference_results_path(0.25, "torino", reference_root)
-    )
-    results = evaluate_suite(suite, dists=dists, norm=norm)
-    want_f = [0.995, 0.989, 0.970, 0.967, 0.991, 0.943, 0.982]
-    want_d = [0.948, 0.638, 0.209, 0.128, 0.551, 0.324, 0.516]
-    for r, wf, wd in zip(results, want_f, want_d):
-        assert abs(r.mean_f - wf) < 2e-3
-        assert abs(r.mean_delta - wd) < 2e-3
+    for i, r in enumerate(results):
+        if want_f is not None:
+            assert abs(r.mean_f - want_f[i]) < 2e-3, (backend, scale, i)
+        else:
+            assert r.mean_f >= 0.997 - 5e-4
+        assert abs(r.mean_delta - want_d[i]) < 2e-3, (backend, scale, i)
 
 
 def test_our_simulation_matches_reference_eval(reference_root, suite01):

@@ -89,3 +89,28 @@ def test_keep_prob_coefficients_reconstruct():
                             term *= 0
                 val += term
             assert np.isclose(val, c2[xi, k], rtol=1e-4), (k, xi)
+
+
+def test_sampler_kernel_ragged_shots():
+    """shots not a multiple of block_rows*128 must still return valid
+    samples for every slot (floor-division grid used to leave garbage)."""
+    from qcmrf_tpu.ops import sampler_kernel
+
+    mrf = MRF.create([[0, 1]], theta=[-0.3] * 4)
+    x, a = sampler_kernel.sample_outcome_parts(3, mrf, 128 * 600)
+    x = np.asarray(x)
+    assert x.shape == (128 * 600,)
+    assert x.min() >= 0 and x.max() < mrf.num_states
+
+
+def test_sampler_kernel_seed_streams_disjoint():
+    """Consecutive seeds must not share per-block streams."""
+    from qcmrf_tpu.ops import sampler_kernel
+
+    mrf = MRF.create([[0, 1]], theta=[-0.3] * 4)
+    shots = 128 * 512 * 2  # two grid blocks
+    x0, _ = sampler_kernel.sample_outcome_parts(0, mrf, shots)
+    x1, _ = sampler_kernel.sample_outcome_parts(1, mrf, shots)
+    half = shots // 2
+    # block 1 of seed 0 must differ from block 0 of seed 1
+    assert not np.array_equal(np.asarray(x0)[half:], np.asarray(x1)[:half])
