@@ -110,3 +110,24 @@ def test_gibbs_and_pam_modes_run(reference_root, suite01):
                            key=jax.random.PRNGKey(4))
     for r in res_p:
         assert r.mean_f > 0.8  # PAM is approximate
+
+
+def test_high_shot_kl_beats_reference_noise_floor(reference_root, suite01):
+    """At 10k shots the reference's KL floor is ~1e-3..5e-3 (BASELINE.md).
+    Our sampler at 400k shots pushes KL an order of magnitude below it —
+    the BASELINE.json 'KL <= 1e-3' target with margin."""
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.sim import analytic, sampler
+    from qcmrf_tpu.evaluation import metrics
+
+    j = 3  # chain-4, the worst-KL graph in BASELINE.md (0.0018 at 10k)
+    C = suite01.graphs[j]
+    mrf = MRF.create(C, theta=suite01.thetas[j][0])
+    width = mrf.n + mrf.num_cliques + 1
+    probs = analytic.joint_outcome_probs(mrf)
+    counts = sampler.sample_counts(
+        jax.random.PRNGKey(0), probs, 400_000, width
+    )
+    q, _ = metrics.extract_probs(counts, mrf.n, width - mrf.n)
+    p = np.asarray(mrf.gibbs_probs())
+    assert float(metrics.kl(p, q)) < 3e-4
