@@ -23,11 +23,15 @@ import numpy as np
 
 
 def numpy_baseline(theta_tab, offsets, shifts_a, shifts_b, n, shots, reps):
-    """Vectorized numpy version of the factorized sampler (pairwise grid)."""
+    """Vectorized numpy version of the factorized sampler (pairwise grid).
+
+    Takes the BEST (fastest) of ``reps`` runs so the reported speedup is
+    conservative against host timing jitter."""
     rng = np.random.RandomState(0)
     K = len(offsets)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         x = rng.randint(0, 1 << n, size=shots).astype(np.int64)
         ba = (x[:, None] >> shifts_a) & 1
         bb = (x[:, None] >> shifts_b) & 1
@@ -36,8 +40,8 @@ def numpy_baseline(theta_tab, offsets, shifts_a, shifts_b, n, shots, reps):
         u = rng.random_sample((shots, K))
         abits = (u >= c2).astype(np.int64)
         keys = x + ((abits << np.arange(K, dtype=np.int64)).sum(1) << (n + 1))
-    dt = (time.perf_counter() - t0) / reps
-    return shots / dt, keys
+        best = min(best, time.perf_counter() - t0)
+    return shots / best, keys
 
 
 def main():
@@ -75,7 +79,7 @@ def main():
     sa = np.array([n - 1 - C[0] for C in template.cliques], dtype=np.int64)
     sb = np.array([n - 1 - C[1] for C in template.cliques], dtype=np.int64)
     cpu_rate, _ = numpy_baseline(
-        theta_tab, offsets, sa, sb, n, shots=1 << 16, reps=3
+        theta_tab, offsets, sa, sb, n, shots=1 << 17, reps=7
     )
 
     # sanity: acceptance rate matches Z/2^n (delta ~ 5.5e-4 at this theta,
