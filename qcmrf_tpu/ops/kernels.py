@@ -173,11 +173,24 @@ def _build_logpot_loop_kernel(cliques: tuple, n: int, block_rows: int,
 _MAX_GRID = 8  # beyond this, remote-compile latency explodes (see above)
 
 
+def _pick_block_rows(cliques: tuple, rows: int) -> int:
+    """Block size bounded by Mosaic's 16 MB scoped VMEM: the kernel keeps
+    one bit-plane per used variable live (shared across cliques) plus the
+    scratch/output block, each block_rows x 128 x 4 bytes."""
+    used = len({v for C in cliques for v in C})
+    budget = 12 * (1 << 20)  # leave headroom under the 16 MB limit
+    cap = budget // ((used + 8) * LANE * 4)
+    block = 1024
+    while block > cap and block > 8:
+        block //= 2
+    return min(rows, block)
+
+
 def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,
                        num_states: int, coef, beta, x0):
     """Kernel invocation producing ``num_states`` entries starting at x0."""
     rows = num_states // LANE
-    block_rows = min(rows, 1024)
+    block_rows = _pick_block_rows(cliques, rows)
     grid = rows // block_rows
     smem = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (d,)

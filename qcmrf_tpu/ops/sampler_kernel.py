@@ -57,6 +57,11 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
         shape = (block_rows, LANE)
         xbits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         x = (xbits & np.uint32((1 << n) - 1)).astype(jnp.int32)
+        # extract each used variable's bit once, shared across cliques
+        used = sorted({v for C in cliques for v in C})
+        var_bits = {
+            v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
+        }
         if accept_only:
             a = jnp.ones(shape, jnp.int32)
         else:
@@ -64,10 +69,7 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
         for k in range(K):  # static unroll over cliques
             m = len(cliques[k])
             # c2_k(x) via the shared Moebius FMA chain
-            bits = [
-                ((x >> int(shifts[i, k])) & 1).astype(jnp.float32)
-                for i in range(m)
-            ]
+            bits = [var_bits[v] for v in cliques[k]]
             base = k * n_sub
             c2 = moebius.eval_multilinear(
                 bits, m, lambda s: coef_ref[base + s],
