@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.utils import moebius
 
 LANE = 128
 _MIN_KERNEL_N = 10  # below this, plain jnp is faster than kernel launch
@@ -72,7 +73,6 @@ def _moebius_coefficients(mrf: MRF) -> jax.Array:
     tracer inside shard_map / grad), tiny ((K, 2^cmax)) work.
     """
     from qcmrf_tpu.sim.analytic import _moebius_layout
-    from qcmrf_tpu.utils import moebius
 
     idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
     tab = mrf.theta[jnp.asarray(idx_map)].astype(jnp.float32)
@@ -86,13 +86,10 @@ def _logpot_block(x, coef_ref, beta_ref, cliques, n: int, fuse_amp: bool):
     from :func:`_moebius_coefficients`."""
     cmax = max(len(C) for C in cliques)
 
-    # extract each used variable's bit once, shared across cliques
-    used = sorted({v for C in cliques for v in C})
-    var_bits = {
-        v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
-    }
-
-    from qcmrf_tpu.utils import moebius
+    # one live bit-plane per used variable, shared across cliques
+    var_bits = moebius.extract_bit_planes(
+        x, [v for C in cliques for v in C], n
+    )
 
     acc = jnp.zeros(x.shape, jnp.float32)
     for k, C in enumerate(cliques):  # static unroll over cliques
@@ -176,14 +173,9 @@ _MAX_GRID = 8  # beyond this, remote-compile latency explodes (see above)
 def _pick_block_rows(cliques: tuple, rows: int) -> int:
     """Block size bounded by Mosaic's 16 MB scoped VMEM: the kernel keeps
     one bit-plane per used variable live (shared across cliques) plus the
-    scratch/output block, each block_rows x 128 x 4 bytes."""
+    scratch/output block."""
     used = len({v for C in cliques for v in C})
-    budget = 12 * (1 << 20)  # leave headroom under the 16 MB limit
-    cap = budget // ((used + 8) * LANE * 4)
-    block = 1024
-    while block > cap and block > 8:
-        block //= 2
-    return min(rows, block)
+    return moebius.vmem_block_rows(used, rows)
 
 
 def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,

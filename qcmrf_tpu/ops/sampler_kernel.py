@@ -46,7 +46,6 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
     K = len(cliques)
     cmax = max(len(C) for C in cliques)
     n_sub = 1 << cmax
-    _, shifts, _ = _moebius_layout(cliques, n)  # (cmax, K) numpy
 
     def kernel(seed_ref, coef_ref, x_ref, a_ref):
         # spread user seeds so consecutive seeds never share per-block
@@ -57,11 +56,10 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
         shape = (block_rows, LANE)
         xbits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         x = (xbits & np.uint32((1 << n) - 1)).astype(jnp.int32)
-        # extract each used variable's bit once, shared across cliques
-        used = sorted({v for C in cliques for v in C})
-        var_bits = {
-            v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32) for v in used
-        }
+        # one live bit-plane per used variable, shared across cliques
+        var_bits = moebius.extract_bit_planes(
+            x, [v for C in cliques for v in C], n
+        )
         if accept_only:
             a = jnp.ones(shape, jnp.int32)
         else:
@@ -95,7 +93,9 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
 def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef):
     cliques, n = cliques_and_n
     rows = shots // LANE
-    block_rows = min(rows, 512)
+    # VMEM-aware block: one live bit-plane per used variable + temporaries
+    used = len({v for C in cliques for v in C})
+    block_rows = moebius.vmem_block_rows(used, rows, max_block=512)
     # pad the row count up to a whole number of blocks (floor division
     # would leave tail rows unwritten — garbage samples); callers slice
     # back down to the requested shot count

@@ -37,6 +37,33 @@ def transform(tab, cmax: int):
     return tab
 
 
+def extract_bit_planes(x, variables, n: int):
+    """0/1 float32 bit-plane per variable of state ids ``x`` (variable 0 =
+    MSB convention; see qcmrf_tpu.utils.bits). Returns {var: plane} with
+    one plane per *unique* variable, shared across cliques. Each live
+    plane costs ``x.size * 4`` bytes of VMEM inside a Pallas kernel —
+    see :func:`vmem_block_rows`."""
+    import jax.numpy as jnp
+
+    return {
+        v: ((x >> (n - 1 - v)) & 1).astype(jnp.float32)
+        for v in sorted(set(variables))
+    }
+
+
+def vmem_block_rows(num_planes: int, rows: int, lane: int = 128,
+                    budget_bytes: int = 12 * (1 << 20),
+                    max_block: int = 1024) -> int:
+    """Largest power-of-two block height keeping ``num_planes`` live
+    bit-planes (plus scratch/temporaries headroom) inside Mosaic's 16 MB
+    scoped-VMEM limit."""
+    cap = budget_bytes // ((num_planes + 8) * lane * 4)
+    block = max_block
+    while block > cap and block > 8:
+        block //= 2
+    return min(rows, block)
+
+
 def eval_multilinear(bits: List, m: int, coef: Callable[[int], object],
                      acc):
     """``acc + sum_{s=0}^{2^m-1} coef(s) * prod_{i in s} bits[i]``.
