@@ -54,10 +54,31 @@ def clique_marginals_exact(mrf: MRF) -> jax.Array:
 
     ``E_p[phi]`` — also the gradient of ln Z w.r.t. theta, so it is
     computed by autodiff through the partition function (one reverse pass,
-    no explicit 2**n x d moment matrix).
+    no explicit 2**n x d moment matrix). Uses the gather-free chunked
+    log-potential evaluation so n up to ~26 works without the (2**n, K,
+    cmax) gather intermediates.
     """
+    from qcmrf_tpu.sim.analytic import log_potentials_fast
+
+    chunk_bits = min(mrf.n, 18)
+    num_chunks = 1 << (mrf.n - chunk_bits)
+
     def lnZ(theta):
-        return mrf.with_theta(theta).log_partition()
+        m = mrf.with_theta(theta)
+        if num_chunks == 1:
+            lp = log_potentials_fast(
+                m, jnp.arange(m.num_states, dtype=jnp.int32)
+            )
+            return jax.scipy.special.logsumexp(lp)
+        starts = jnp.arange(num_chunks, dtype=jnp.int32) << chunk_bits
+        offs = jnp.arange(1 << chunk_bits, dtype=jnp.int32)
+        lses = jax.lax.map(
+            lambda s: jax.scipy.special.logsumexp(
+                log_potentials_fast(m, s + offs)
+            ),
+            starts,
+        )
+        return jax.scipy.special.logsumexp(lses)
 
     return jax.grad(lnZ)(mrf.theta) / mrf.beta
 

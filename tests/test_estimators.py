@@ -58,3 +58,27 @@ def test_empty_acceptance_edge_cases():
     assert estimators.success_rate_from_counts({}, 2) == 0.0
     assert estimators.log_partition_from_counts({"1100": 5}, 2) == float("-inf")
     assert estimators.log_partition_from_parts(np.array([1, 2, 3]), 4) == float("-inf")
+
+
+def test_exact_marginals_large_n():
+    """n=20 grid marginals via the chunked gather-free path: per-clique
+    blocks sum to 1 and match shot estimates."""
+    from qcmrf_tpu.models.mrf import grid_mrf
+    from qcmrf_tpu.sim import analytic
+
+    rng = np.random.RandomState(2)
+    mrf = grid_mrf(4, 5)
+    mrf = mrf.with_theta(
+        jnp.asarray(-np.abs(rng.randn(mrf.dimension)) * 0.1, jnp.float32)
+    )
+    marg = np.asarray(estimators.clique_marginals_exact(mrf))
+    # each clique's 4 marginals sum to 1
+    for off in range(0, mrf.dimension, 4):
+        assert np.isclose(marg[off: off + 4].sum(), 1.0, atol=1e-4)
+    # agrees with empirical post-selected marginals
+    x, acc = analytic.sample_postselected(jax.random.PRNGKey(0), mrf,
+                                          400_000)
+    emp = estimators.clique_marginals_from_samples(
+        mrf, np.asarray(x), np.asarray(acc)
+    )
+    np.testing.assert_allclose(emp, marg, atol=0.01)
