@@ -20,6 +20,10 @@ from qcmrf_tpu.evaluation.estimators import (
 from qcmrf_tpu.evaluation.metrics import KL, extract_probs, fidelity, kl
 from qcmrf_tpu.models.mrf import MRF, chain_mrf, grid_mrf
 from qcmrf_tpu.models.suite import GRAPHS, ModelSuite, generate_suite, load_suite
+from qcmrf_tpu.models.elimination import (
+    clique_marginals as elimination_marginals,
+    log_partition as elimination_log_partition,
+)
 from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded
 
 __version__ = "0.1.0"
@@ -49,4 +53,6 @@ __all__ = [
     "estimate_from_circuit",
     "clique_marginals_exact",
     "log_partition_from_counts",
+    "elimination_log_partition",
+    "elimination_marginals",
 ]

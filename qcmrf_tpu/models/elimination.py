@@ -1,0 +1,168 @@
+"""Exact inference by variable elimination, in JAX (differentiable, jit).
+
+The reference's native oracle (`kiopto_native`) computes partition
+functions by native exact inference (SURVEY.md §1 L0); our C++ engine
+(qcmrf_tpu/native) replicates that host-side with bucket elimination. This
+module is the **TPU-side** counterpart: because the clique structure is
+static, the entire elimination schedule — which factors combine, every
+intermediate factor's scope and shape — is known at trace time, so the
+whole algorithm lowers to a fixed sequence of broadcast-adds and
+logsumexp reductions over small dense tensors. Consequences:
+
+* cost scales with treewidth, not 2**n: a 4 x C grid (treewidth 4) is
+  exact at ANY length — far beyond the 2**n state-table ceiling (n <= 30)
+  of the enumeration paths;
+* it is pure jnp, so ``jax.grad`` of ln Z gives exact clique marginals
+  (E_p[phi]) and exact-MLE training works on graphs of hundreds of
+  variables;
+* everything is static-shape: one jit compilation per graph structure.
+
+Log-domain throughout; factors are dense arrays over their scope with the
+scope's variables in ascending order, one axis per variable (axis order =
+sorted variable order, matching the C++ engine's layout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcmrf_tpu.models.mrf import MRF
+
+
+def min_degree_order(cliques: Sequence[Sequence[int]], n: int) -> List[int]:
+    """Min-degree elimination order (same heuristic as native/kiopto.cpp)."""
+    adj = [set() for _ in range(n)]
+    for C in cliques:
+        for a in C:
+            for b in C:
+                if a != b:
+                    adj[a].add(b)
+    done = [False] * n
+    order = []
+    for _ in range(n):
+        best, best_deg = -1, None
+        for v in range(n):
+            if done[v]:
+                continue
+            deg = sum(1 for u in adj[v] if not done[u])
+            if best_deg is None or deg < best_deg:
+                best, best_deg = v, deg
+        order.append(best)
+        done[best] = True
+        nb = [u for u in adj[best] if not done[u]]
+        for a in nb:
+            for b in nb:
+                if a != b:
+                    adj[a].add(b)
+    return order
+
+
+class _Step:
+    """One elimination step: which pool factors combine, the combined
+    scope, and the axis summed out."""
+
+    __slots__ = ("factor_ids", "scope", "out_scope", "axis")
+
+    def __init__(self, factor_ids, scope, out_scope, axis):
+        self.factor_ids = factor_ids
+        self.scope = scope
+        self.out_scope = out_scope
+        self.axis = axis
+
+
+def _plan(cliques: Sequence[Tuple[int, ...]], n: int):
+    """Static elimination schedule. Returns (steps, isolated_count).
+
+    Pool entries are (scope tuple, source): source is either ('clique', k)
+    for an input factor or ('step', i) for an intermediate.
+    """
+    order = min_degree_order(cliques, n)
+    pool = [(tuple(sorted(C)), ("clique", k)) for k, C in enumerate(cliques)]
+    steps: List[_Step] = []
+    isolated = 0
+    for v in order:
+        touching = [(s, src) for s, src in pool if v in s]
+        rest = [(s, src) for s, src in pool if v not in s]
+        if not touching:
+            isolated += 1
+            pool = rest
+            continue
+        scope = tuple(sorted(set().union(*[set(s) for s, _ in touching])))
+        out_scope = tuple(u for u in scope if u != v)
+        steps.append(_Step([src for _, src in touching], scope, out_scope,
+                           scope.index(v)))
+        pool = rest
+        if out_scope:
+            pool.append((out_scope, ("step", len(steps) - 1)))
+    return steps, isolated
+
+
+def _clique_log_factor(mrf: MRF, k: int) -> jax.Array:
+    """Clique k's theta table as a log-factor over its sorted scope."""
+    C = mrf.cliques[k]
+    m = len(C)
+    off = mrf.theta_offsets[k]
+    tab = mrf.beta * mrf.theta[off: off + (1 << m)]
+    # theta layout: clique-order, first variable slowest -> axes in clique
+    # order; transpose to sorted-variable order
+    tab = tab.reshape((2,) * m)
+    # target axis j holds sorted(C)[j]; its source axis is argsort(C)[j]
+    return jnp.transpose(tab, axes=[int(a) for a in np.argsort(C)])
+
+
+def _expand(f: jax.Array, scope: Tuple[int, ...],
+            target: Tuple[int, ...]) -> jax.Array:
+    """Broadcast a log-factor over ``scope`` to the superset ``target``."""
+    shape = [2 if u in scope else 1 for u in target]
+    return f.reshape(shape)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_lnZ(cliques: Tuple[Tuple[int, ...], ...], n: int):
+    steps, isolated = _plan(cliques, n)
+
+    def lnZ(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
+        clique_factors = [
+            _clique_log_factor(mrf, k) for k in range(len(cliques))
+        ]
+        step_results: List[jax.Array] = []
+        const = isolated * jnp.log(2.0)
+        for st in steps:
+            acc = jnp.zeros((2,) * len(st.scope), theta.dtype)
+            for kind, idx in st.factor_ids:
+                f = (clique_factors[idx] if kind == "clique"
+                     else step_results[idx])
+                src_scope = (tuple(sorted(cliques[idx])) if kind == "clique"
+                             else steps[idx].out_scope)
+                acc = acc + _expand(f, src_scope, st.scope)
+            reduced = jax.scipy.special.logsumexp(acc, axis=st.axis)
+            step_results.append(reduced)
+            if not st.out_scope:
+                const = const + reduced
+        return const
+
+    return jax.jit(lnZ)
+
+
+def log_partition(mrf: MRF) -> jax.Array:
+    """``ln Z`` by variable elimination — exact at any n for bounded
+    treewidth; differentiable (grad gives beta * E_p[phi] via the chain
+    rule on theta)."""
+    fn = _build_lnZ(mrf.cliques, mrf.n)
+    return fn(mrf.theta, mrf.beta)
+
+
+def clique_marginals(mrf: MRF) -> jax.Array:
+    """Exact ``E_p[phi]`` (d,) by autodiff through elimination."""
+    fn = _build_lnZ(mrf.cliques, mrf.n)
+
+    def lnZ_of_theta(theta):
+        return fn(theta, mrf.beta)
+
+    return jax.grad(lnZ_of_theta)(mrf.theta) / mrf.beta
