@@ -36,7 +36,15 @@ from qcmrf_tpu.models.mrf import MRF
 
 def _nll(mrf: MRF, theta: jax.Array, data: jax.Array) -> jax.Array:
     m = mrf.with_theta(theta)
-    return m.log_partition() - m.beta * jnp.mean(m.log_potential(data))
+    if mrf.n > 22:
+        # enumeration's 2^n table stops scaling; bounded-treewidth models
+        # use the (differentiable) variable-elimination lnZ instead
+        from qcmrf_tpu.models import elimination
+
+        lnZ = elimination.log_partition(m)
+    else:
+        lnZ = m.log_partition()
+    return lnZ - m.beta * jnp.mean(m.log_potential(data))
 
 
 @dataclasses.dataclass

@@ -76,9 +76,16 @@ def main(argv: Optional[List[str]] = None) -> str:
         true = template.with_theta(
             jnp.asarray(-np.abs(rng.randn(template.dimension)), jnp.float32)
         )
-        data = msample.sample_exact(
-            jax.random.PRNGKey(args.seed), true, args.samples
-        )
+        if template.n > 22:
+            # no 2^n table at this size: draw data with the Gibbs chain
+            data = msample.sample_gibbs(
+                jax.random.PRNGKey(args.seed), true, args.samples,
+                thin=2, burn=50,
+            )
+        else:
+            data = msample.sample_exact(
+                jax.random.PRNGKey(args.seed), true, args.samples
+            )
         with open(os.path.join(args.outdir, "data.json"), "w") as f:
             json.dump(np.asarray(data).tolist(), f)
 

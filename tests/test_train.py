@@ -65,3 +65,25 @@ def test_fit_mle_sharded_runs():
     )
     assert float(loss) < float(init.nll(data))
     assert np.all(np.asarray(fitted.theta) <= 0)
+
+
+def test_fit_large_chain_via_elimination():
+    """Exact MLE on a 28-variable chain: the NLL routes through variable
+    elimination (2^28 enumeration would be prohibitive in a unit test)."""
+    from qcmrf_tpu.models import sample as msample
+    from qcmrf_tpu.models.mrf import chain_mrf
+
+    n = 28
+    rng = np.random.RandomState(7)
+    true = chain_mrf(n, theta=-np.abs(rng.randn(4 * (n - 1))) * 0.8)
+    data = msample.sample_gibbs(jax.random.PRNGKey(0), true, 4000,
+                                thin=2, burn=50)
+    init = true.with_theta(jnp.full((true.dimension,), -0.5))
+    fitted, loss = mtrain.fit_mle(init, data, steps=150, learning_rate=0.1)
+    assert float(loss) < float(mtrain._nll(init, init.theta, data))
+    # edge marginals of the fit approach the data's empirical marginals
+    from qcmrf_tpu.models import elimination as ve
+
+    fit_marg = np.asarray(ve.clique_marginals(fitted))
+    emp = np.asarray(true.phi(data)).mean(0)
+    assert np.abs(fit_marg - emp).max() < 0.05
