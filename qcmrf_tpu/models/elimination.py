@@ -166,3 +166,79 @@ def clique_marginals(mrf: MRF) -> jax.Array:
         return fn(theta, mrf.beta)
 
     return jax.grad(lnZ_of_theta)(mrf.theta) / mrf.beta
+
+
+# --------------------------------------------------------------------------
+# Max-product elimination with traceback: exact MAP (and, with Gumbel
+# perturbations, perturb-and-MAP sampling) at any n for bounded treewidth.
+# The native engine does the same host-side (kiopto.cpp qk_map/qk_sample_pam);
+# this is the jit-able, vmap-able TPU version.
+# --------------------------------------------------------------------------
+
+
+def _gather_bits(table: jax.Array, scope: Tuple[int, ...],
+                 bits: jax.Array) -> jax.Array:
+    """Dynamic lookup ``table[bits[scope[0]], bits[scope[1]], ...]``."""
+    flat = table.reshape(-1)
+    idx = jnp.zeros((), jnp.int32)
+    m = len(scope)
+    for i, u in enumerate(scope):
+        idx = idx + (bits[u] << (m - 1 - i))
+    return flat[idx]
+
+
+@functools.lru_cache(maxsize=256)
+def _build_map(cliques: Tuple[Tuple[int, ...], ...], n: int):
+    steps, _ = _plan(cliques, n)
+
+    def map_bits(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
+        clique_factors = [
+            _clique_log_factor(mrf, k) for k in range(len(cliques))
+        ]
+        step_results: List[jax.Array] = []
+        argmaxes: List[jax.Array] = []
+        for st in steps:
+            acc = jnp.zeros((2,) * len(st.scope), theta.dtype)
+            for kind, idx in st.factor_ids:
+                f = (clique_factors[idx] if kind == "clique"
+                     else step_results[idx])
+                src_scope = (tuple(sorted(cliques[idx])) if kind == "clique"
+                             else steps[idx].out_scope)
+                acc = acc + _expand(f, src_scope, st.scope)
+            step_results.append(jnp.max(acc, axis=st.axis))
+            argmaxes.append(jnp.argmax(acc, axis=st.axis).astype(jnp.int32))
+
+        # backtrack in reverse elimination order: every variable of a
+        # step's out_scope is decided by a later step, so its bits are
+        # already known when we look up this step's argmax table
+        bits = jnp.zeros((n,), jnp.int32)
+        for st, am in zip(reversed(steps), reversed(argmaxes)):
+            v = st.scope[st.axis]
+            bits = bits.at[v].set(_gather_bits(am, st.out_scope, bits))
+        return bits
+
+    return jax.jit(map_bits)
+
+
+def map_state_bits(mrf: MRF) -> jax.Array:
+    """Exact MAP assignment as per-variable bits (n,), by max-product
+    elimination with traceback."""
+    fn = _build_map(mrf.cliques, mrf.n)
+    return fn(mrf.theta, mrf.beta)
+
+
+def sample_pam(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
+    """Low-order perturb-and-MAP samples as bit arrays (num, n).
+
+    The large-n counterpart of models.sample.sample_pam (which argmaxes an
+    enumerated 2**n table): every sample is an exact MAP of a
+    Gumbel-perturbed model, computed by vmapped max-product elimination.
+    """
+    fn = _build_map(mrf.cliques, mrf.n)
+
+    def one(k):
+        g = jax.random.gumbel(k, (mrf.dimension,), dtype=mrf.theta.dtype)
+        return fn(mrf.beta * mrf.theta + g, jnp.ones((), mrf.theta.dtype))
+
+    return jax.vmap(one)(jax.random.split(key, num_samples))
