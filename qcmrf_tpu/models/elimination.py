@@ -122,6 +122,20 @@ def _expand(f: jax.Array, scope: Tuple[int, ...],
     return f.reshape(shape)
 
 
+def _combine_step(st: "_Step", cliques, clique_factors, step_results,
+                  steps, dtype) -> jax.Array:
+    """Sum (log-domain product) of every factor touching this step's
+    variable, broadcast to the combined scope — shared by the sum-product
+    (lnZ) and max-product (MAP) passes."""
+    acc = jnp.zeros((2,) * len(st.scope), dtype)
+    for kind, idx in st.factor_ids:
+        f = clique_factors[idx] if kind == "clique" else step_results[idx]
+        src_scope = (tuple(sorted(cliques[idx])) if kind == "clique"
+                     else steps[idx].out_scope)
+        acc = acc + _expand(f, src_scope, st.scope)
+    return acc
+
+
 @functools.lru_cache(maxsize=256)
 def _build_lnZ(cliques: Tuple[Tuple[int, ...], ...], n: int):
     steps, isolated = _plan(cliques, n)
@@ -134,13 +148,8 @@ def _build_lnZ(cliques: Tuple[Tuple[int, ...], ...], n: int):
         step_results: List[jax.Array] = []
         const = isolated * jnp.log(2.0)
         for st in steps:
-            acc = jnp.zeros((2,) * len(st.scope), theta.dtype)
-            for kind, idx in st.factor_ids:
-                f = (clique_factors[idx] if kind == "clique"
-                     else step_results[idx])
-                src_scope = (tuple(sorted(cliques[idx])) if kind == "clique"
-                             else steps[idx].out_scope)
-                acc = acc + _expand(f, src_scope, st.scope)
+            acc = _combine_step(st, cliques, clique_factors, step_results,
+                                steps, theta.dtype)
             reduced = jax.scipy.special.logsumexp(acc, axis=st.axis)
             step_results.append(reduced)
             if not st.out_scope:
@@ -199,13 +208,8 @@ def _build_map(cliques: Tuple[Tuple[int, ...], ...], n: int):
         step_results: List[jax.Array] = []
         argmaxes: List[jax.Array] = []
         for st in steps:
-            acc = jnp.zeros((2,) * len(st.scope), theta.dtype)
-            for kind, idx in st.factor_ids:
-                f = (clique_factors[idx] if kind == "clique"
-                     else step_results[idx])
-                src_scope = (tuple(sorted(cliques[idx])) if kind == "clique"
-                             else steps[idx].out_scope)
-                acc = acc + _expand(f, src_scope, st.scope)
+            acc = _combine_step(st, cliques, clique_factors, step_results,
+                                steps, theta.dtype)
             step_results.append(jnp.max(acc, axis=st.axis))
             argmaxes.append(jnp.argmax(acc, axis=st.axis).astype(jnp.int32))
 

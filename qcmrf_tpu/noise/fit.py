@@ -43,21 +43,38 @@ from qcmrf_tpu.noise.backends import NoiseModel
 from qcmrf_tpu.noise.channels import ReadoutError
 
 
-def expected_graph_success(suite, p_dep: float) -> List[float]:
-    """Per-graph mean success rate of the depolarized emulator (exact)."""
-    out = []
+def _suite_constants(suite):
+    """Per-rep (ncx, noiseless delta, accepted-key fraction) — everything
+    the expected-success formula needs that is independent of p_dep, so a
+    fit's ~40 loss evaluations don't recompile/relower 70 circuits each."""
+    consts = []
     for j, C in enumerate(suite.graphs):
-        deltas = []
+        reps = []
         for theta in suite.thetas[j]:
             mrf = MRF.create(C, theta=theta)
             width = mrf.n + mrf.num_cliques + 1
             ncx = basis_gate_counts(compile_qcmrf(mrf)).get("cx", 0)
-            keep = (1.0 - p_dep) ** ncx
-            delta = float(mrf.success_rate())
-            accepted_leak = (1.0 - keep) * (1 << mrf.n) / (1 << width)
-            deltas.append(keep * delta + accepted_leak)
+            reps.append((ncx, float(mrf.success_rate()),
+                         (1 << mrf.n) / (1 << width)))
+        consts.append(reps)
+    return consts
+
+
+def _expected_success_from_constants(consts, p_dep: float) -> List[float]:
+    out = []
+    for reps in consts:
+        deltas = [
+            (1.0 - p_dep) ** ncx * delta
+            + (1.0 - (1.0 - p_dep) ** ncx) * frac
+            for ncx, delta, frac in reps
+        ]
         out.append(float(np.mean(deltas)))
     return out
+
+
+def expected_graph_success(suite, p_dep: float) -> List[float]:
+    """Per-graph mean success rate of the depolarized emulator (exact)."""
+    return _expected_success_from_constants(_suite_constants(suite), p_dep)
 
 
 def measured_graph_success(suite, dists, norm: float) -> List[float]:
@@ -79,9 +96,10 @@ def fit_depolarizing_rate(
     if target is None:
         target = measured_graph_success(suite, dists, norm)
     target = np.asarray(target)
+    consts = _suite_constants(suite)  # circuit stats computed once
 
     def loss(p):
-        got = np.asarray(expected_graph_success(suite, p))
+        got = np.asarray(_expected_success_from_constants(consts, p))
         return float(np.mean((got - target) ** 2))
 
     invphi = (math.sqrt(5.0) - 1.0) / 2.0

@@ -66,6 +66,15 @@ def main(argv: Optional[List[str]] = None) -> str:
 
     cliques = parse_graph(args.graph)
     template = MRF.create(cliques)
+    if template.n > 30:
+        # observed data travels as int32 state ids (samplers + the NLL's
+        # log_potential); beyond 30 variables use the elimination API
+        # directly with moment targets (models/elimination.py)
+        raise SystemExit(
+            f"train CLI supports up to 30 variables (got {template.n}): "
+            "state ids are int32; for larger sparse graphs use "
+            "qcmrf_tpu.models.elimination (exact lnZ/marginals at any n)"
+        )
     os.makedirs(args.outdir, exist_ok=True)
 
     rng = np.random.RandomState(args.seed)
@@ -78,9 +87,11 @@ def main(argv: Optional[List[str]] = None) -> str:
         )
         if template.n > 22:
             # no 2^n table at this size: draw data with the Gibbs chain
+            # (thin=10 matches the reference's chain convention,
+            # eval.py:96-98; short thinning risks autocorrelated moments)
             data = msample.sample_gibbs(
                 jax.random.PRNGKey(args.seed), true, args.samples,
-                thin=2, burn=50,
+                thin=10, burn=100,
             )
         else:
             data = msample.sample_exact(
