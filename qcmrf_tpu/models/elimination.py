@@ -167,6 +167,85 @@ def log_partition(mrf: MRF) -> jax.Array:
     return fn(mrf.theta, mrf.beta)
 
 
+# --------------------------------------------------------------------------
+# Conditional inference: clamp evidence variables, eliminate the rest.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _build_lnZ_clamped(cliques: Tuple[Tuple[int, ...], ...], n: int,
+                       evidence: Tuple[Tuple[int, int], ...]):
+    ev = dict(evidence)
+    # reduced clique scopes (evidence vars sliced out of each factor)
+    red_scopes = [
+        tuple(v for v in sorted(C) if v not in ev) for C in cliques
+    ]
+    # plan over the nonempty reduced scopes; free-variable factors of 2
+    # are accounted for explicitly below (NOT via _plan's isolated count,
+    # which would also count the clamped evidence variables)
+    steps, _ = _plan([s for s in red_scopes if s], n)
+
+    def lnZ(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
+        reduced_factors = []
+        const = jnp.zeros((), theta.dtype)
+        for k, C in enumerate(cliques):
+            f = _clique_log_factor(mrf, k)
+            scope = tuple(sorted(C))
+            # slice evidence axes (descending so axis ids stay valid)
+            for ax in range(len(scope) - 1, -1, -1):
+                v = scope[ax]
+                if v in ev:
+                    f = jnp.take(f, ev[v], axis=ax)
+            if red_scopes[k]:
+                reduced_factors.append(f)
+            else:
+                const = const + f  # fully observed clique: scalar
+        # unobserved variables appearing in no reduced factor: factor 2
+        covered = set().union(*[set(s) for s in red_scopes if s]) \
+            if any(red_scopes) else set()
+        free = set(range(n)) - set(ev) - covered
+        const = const + len(free) * jnp.log(2.0)
+
+        step_results: List[jax.Array] = []
+        nonempty = [s for s in red_scopes if s]
+        for st in steps:
+            acc = jnp.zeros((2,) * len(st.scope), theta.dtype)
+            for kind, idx in st.factor_ids:
+                f = (reduced_factors[idx] if kind == "clique"
+                     else step_results[idx])
+                src_scope = (nonempty[idx] if kind == "clique"
+                             else steps[idx].out_scope)
+                acc = acc + _expand(f, src_scope, st.scope)
+            reduced = jax.scipy.special.logsumexp(acc, axis=st.axis)
+            step_results.append(reduced)
+            if not st.out_scope:
+                const = const + reduced
+        return const
+
+    return jax.jit(lnZ)
+
+
+def log_partition_clamped(mrf: MRF, evidence: dict) -> jax.Array:
+    """Unnormalized log-mass of the evidence: ``ln sum_{x ~ e} e^{beta
+    theta^T phi(x)}``. ``ln P(e) = log_partition_clamped - log_partition``;
+    single-variable conditionals follow by clamping one more variable."""
+    ev = tuple(sorted((int(v), int(b)) for v, b in evidence.items()))
+    fn = _build_lnZ_clamped(mrf.cliques, mrf.n, ev)
+    return fn(mrf.theta, mrf.beta)
+
+
+def conditional_prob(mrf: MRF, v: int, value: int,
+                     evidence: dict = None) -> jax.Array:
+    """Exact ``P(x_v = value | evidence)`` by two clamped eliminations."""
+    evidence = dict(evidence or {})
+    num = log_partition_clamped(mrf, {**evidence, v: value})
+    den = log_partition_clamped(mrf, evidence) if evidence else (
+        log_partition(mrf)
+    )
+    return jnp.exp(num - den)
+
+
 def clique_marginals(mrf: MRF) -> jax.Array:
     """Exact ``E_p[phi]`` (d,) by autodiff through elimination."""
     fn = _build_lnZ(mrf.cliques, mrf.n)

@@ -185,3 +185,48 @@ def test_pam_sampler_large_chain_runs():
     S = np.asarray(ve.sample_pam(jax.random.PRNGKey(1), mrf, 200))
     assert S.shape == (200, n)
     assert set(np.unique(S)) <= {0, 1}
+
+
+def test_clamped_lnZ_matches_enumeration():
+    rng = np.random.RandomState(9)
+    mrf = MRF.create([[0, 1], [1, 2], [2, 3]],
+                     theta=-np.abs(rng.randn(12)))
+    lp = np.asarray(mrf.all_log_potentials())
+    for ev in [{0: 1}, {1: 0, 3: 1}, {0: 0, 1: 1, 2: 0, 3: 1}]:
+        got = float(ve.log_partition_clamped(mrf, ev))
+        mask = np.ones(16, bool)
+        for v, b in ev.items():
+            bits = (np.arange(16) >> (mrf.n - 1 - v)) & 1
+            mask &= bits == b
+        want = np.log(np.exp(lp[mask]).sum())
+        assert np.isclose(got, want, rtol=1e-5), (ev, got, want)
+
+
+def test_conditional_probabilities():
+    rng = np.random.RandomState(10)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    p = np.asarray(mrf.gibbs_probs())
+    bits = lambda v: ((np.arange(8) >> (2 - v)) & 1)
+    # unconditional marginal
+    got = float(ve.conditional_prob(mrf, 1, 1))
+    want = p[bits(1) == 1].sum()
+    assert np.isclose(got, want, rtol=1e-5)
+    # conditional
+    got = float(ve.conditional_prob(mrf, 2, 0, evidence={0: 1}))
+    want = p[(bits(2) == 0) & (bits(0) == 1)].sum() / p[bits(0) == 1].sum()
+    assert np.isclose(got, want, rtol=1e-5)
+    # conditionals over both values sum to 1
+    s = (float(ve.conditional_prob(mrf, 2, 0, {0: 1}))
+         + float(ve.conditional_prob(mrf, 2, 1, {0: 1})))
+    assert np.isclose(s, 1.0, atol=1e-6)
+
+
+def test_clamped_large_chain():
+    """Conditioning on a variable in a 60-var chain (no enumeration)."""
+    n = 60
+    rng = np.random.RandomState(11)
+    mrf = chain_mrf(n, theta=-np.abs(rng.randn(4 * (n - 1))))
+    p1 = float(ve.conditional_prob(mrf, 30, 1))
+    p0 = float(ve.conditional_prob(mrf, 30, 0))
+    assert np.isclose(p0 + p1, 1.0, atol=1e-5)
+    assert 0 < p1 < 1
