@@ -4,9 +4,9 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
 
 Task (BASELINE.json north-star config): sample full measurement outcomes of
-the QCMRF circuit for an n=20 (4x5) grid MRF — 51 qubits worth of circuit
-(20 variables + 30 clique ancillas + workspace), far beyond any dense
-statevector simulator (Aer would need 2^51 amplitudes), executed here via
+the QCMRF circuit for an n=20 (4x5) grid MRF — 52 qubits worth of circuit
+(20 variables + 31 edge-clique ancillas + workspace), far beyond any dense
+statevector simulator (Aer would need 2^52 amplitudes), executed here via
 the factorized outcome law P(x, a) = 2^-n * prod_k Bernoulli terms
 (qcmrf_tpu.sim.analytic, exactness proven in tests against the gate-level
 engine).

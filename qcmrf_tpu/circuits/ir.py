@@ -160,12 +160,28 @@ class Circuit:
         return inv
 
     def extend(self, other: "Circuit", qubit_map: Optional[Sequence[int]] = None):
-        """Append another circuit, optionally remapping its qubits."""
+        """Append another circuit, optionally remapping its qubits.
+
+        Measure gates are remapped clbit-alongside-qubit (this package's
+        wiring is always clbit == qubit index); a measure whose clbit does
+        not follow that convention cannot be remapped unambiguously and
+        raises instead of silently mis-wiring.
+        """
         for g in other.gates:
             qubits = g.qubits
+            clbits = g.clbits
             if qubit_map is not None:
                 qubits = tuple(qubit_map[q] for q in qubits)
-            self.gates.append(dataclasses.replace(g, qubits=qubits))
+                if g.name == "measure":
+                    if g.clbits != g.qubits:
+                        raise ValueError(
+                            "extend(qubit_map=...) cannot remap a measure "
+                            f"with clbits {g.clbits} != qubits {g.qubits}"
+                        )
+                    clbits = qubits
+            self.gates.append(
+                dataclasses.replace(g, qubits=qubits, clbits=clbits)
+            )
         self.global_phase = math.fmod(
             self.global_phase + other.global_phase, 2 * math.pi
         )

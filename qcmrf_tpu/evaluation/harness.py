@@ -152,7 +152,13 @@ def evaluate_suite(
                     )
                 q = _counts_from_samples(s, N)
                 Z = q.sum()
-                this_norm = num_samples
+                # Reference semantics (eval.py:95-104): delta-hat is the
+                # histogrammed-sample count over a FIXED norm of 10 000,
+                # not over num_samples — with kiopto's default chain the
+                # thinned count happens to equal the norm (documented in
+                # native/kiopto.py), but e.g. num_samples=999 must print
+                # delta-hat = 0.0999 exactly like the reference quirk.
+                this_norm = SHOTS
             elif mode == "pam":
                 if native:
                     s = _native_sample_ids(mrf, pam=True,
@@ -162,7 +168,7 @@ def evaluate_suite(
                     s = np.asarray(msample.sample_pam(sub, mrf, num_samples))
                 q = _counts_from_samples(s, N)
                 Z = q.sum()
-                this_norm = num_samples
+                this_norm = SHOTS  # fixed norm, eval.py:106-113
             elif mode == "file":
                 Q = dists[idx]
                 q = np.zeros(N)

@@ -128,3 +128,156 @@ def fit_noise_model(
     p, rms = fit_depolarizing_rate(suite, dists, norm)
     return NoiseModel(name=name, p_dep_2q=p, readout=readout,
                       mitigated=True), rms
+
+
+# --------------------------------------------------------------------------
+# Per-graph calibration: reproduce the stored (F-bar, delta-hat) tables
+# --------------------------------------------------------------------------
+#
+# The isotropic family above reproduces only the delta-hat *trend* (see the
+# module docstring). Landing on the stored per-graph hardware statistics
+# (res_*/result_torino.json etc., reference run_experiment.py:65-68) needs
+# two per-graph knobs that are *orthogonal* under the reference's eval:
+#
+# * ``var_bias`` — asymmetric flip noise restricted to the VARIABLE
+#   register (a proxy for accumulated gate error on the data qubits). It
+#   moves mass only within the accepted/rejected blocks, so delta-hat is
+#   untouched, while the post-selected conditional becomes a biased-channel
+#   image of the Gibbs distribution — lowering the Bhattacharyya fidelity
+#   by exactly a fittable amount even when p is near-uniform (scale 0.1),
+#   which no uniform-mixing channel can do (F(p, uniform) ~ 0.999 there).
+# * ``anc_drop`` / ``anc_boost`` — acceptance-rate scaling via the ancilla
+#   register. True 0->1 ancilla readout flips (unmitigated) scale the
+#   accepted mass by (1-drop)^K; a *mismatched* mitigation that inverts a
+#   confusion that was never applied scales it by (1-boost)^-K — the
+#   "mitigation leakage" that pushes small-graph delta-hat ABOVE noiseless
+#   in the stored tables (SURVEY.md §6). Neither changes the accepted
+#   conditional (the scaling is uniform over accepted keys), so F-bar is
+#   untouched.
+#
+# Both knobs therefore solve independently: delta in closed form, F-bar by
+# a monotone 1-D bisection on exact expected distributions (width <= 10).
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphCalibration:
+    var_bias: float   # e01 flip rate on variable bits (e10 = 0)
+    anc_drop: float   # true unmitigated e01 on ancilla bits (delta down)
+    anc_boost: float  # assumed-but-never-applied e01 inverted by
+    #                   mitigation on ancilla bits (delta up)
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibratedNoiseModel:
+    """Per-graph calibration + a small symmetric true readout error that
+    the mitigation inverts *exactly* (cancels in expectation but puts the
+    finite-shot negative-quasi-probability signature of the stored
+    hardware files into the output)."""
+
+    name: str
+    readout_sym: float
+    graphs: Tuple[GraphCalibration, ...]
+
+
+def _bias_image(p: np.ndarray, b: float) -> np.ndarray:
+    """Image of an n-bit pmf under per-bit confusion [[1-b, 0], [b, 1]]."""
+    n = int(math.log2(p.size))
+    q = p.astype(np.float64)
+    M = np.array([[1.0 - b, 0.0], [b, 1.0]])
+    for bit in range(n):
+        lo, hi = 1 << bit, 1 << (n - 1 - bit)
+        q = np.einsum("mt,htl->hml", M, q.reshape(hi, 2, lo)).reshape(-1)
+    return q
+
+
+def _bhatta(p: np.ndarray, q: np.ndarray) -> float:
+    m = (p > 0) & (q > 0)
+    return float(np.sqrt(p[m] * q[m]).sum() ** 2)
+
+
+def _fit_graph(mrfs, target_f: float, target_delta: float,
+               bias_hi: float, iters: int) -> GraphCalibration:
+    ps = [np.asarray(m.gibbs_probs(), np.float64) for m in mrfs]
+    K = mrfs[0].num_cliques
+
+    # --- delta knob: closed form ---------------------------------------
+    delta0 = float(np.mean([float(m.success_rate()) for m in mrfs]))
+    c = max(target_delta, 1e-9) / delta0
+    if c <= 1.0:
+        anc_drop, anc_boost = 1.0 - c ** (1.0 / K), 0.0
+    else:
+        anc_drop, anc_boost = 0.0, 1.0 - c ** (-1.0 / K)
+
+    # --- F-bar knob: monotone bisection on the exact expectation --------
+    target_f = min(target_f, 1.0)
+
+    def mean_f(b):
+        return float(np.mean([_bhatta(p, _bias_image(p, b)) for p in ps]))
+
+    lo, hi = 0.0, bias_hi
+    if mean_f(hi) > target_f:
+        b = hi  # saturated: target below the family's floor
+    else:
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            if mean_f(mid) > target_f:
+                lo = mid
+            else:
+                hi = mid
+        b = 0.5 * (lo + hi)
+    return GraphCalibration(var_bias=b, anc_drop=anc_drop,
+                            anc_boost=anc_boost)
+
+
+def fit_calibrated(
+    name: str, suite, dists, norm: float = 1.0,
+    readout_sym: float = 0.01, bias_hi: float = 0.75, iters: int = 50,
+    refine: int = 1, shots: int = 10_000,
+) -> CalibratedNoiseModel:
+    """Fit per-graph (var_bias, anc_drop/boost) to a stored result file so
+    the emulator reproduces its per-graph mean fidelity and success rate
+    (targets computed through the same evaluation harness the reference
+    uses on the stored data).
+
+    ``refine`` extra passes correct for the finite-shot bias of the
+    Bhattacharyya estimator: at 10 000 shots a low-acceptance graph's
+    measured F-bar sits below the infinite-shot expectation the bisection
+    fits (sqrt is concave; mitigation amplifies the multinomial noise), so
+    each pass re-fits against a target shifted by the measured gap on a
+    fixed-seed emulator run.
+    """
+    from qcmrf_tpu.evaluation.harness import evaluate_suite
+
+    targets = evaluate_suite(suite, dists=dists, norm=norm)
+    goal_f = [t.mean_f for t in targets]
+    goal_d = [t.mean_delta for t in targets]
+    eff_f = list(goal_f)
+    eff_d = list(goal_d)
+
+    def fit_pass():
+        cals = []
+        for j, C in enumerate(suite.graphs):
+            mrfs = [MRF.create(C, theta=t) for t in suite.thetas[j]]
+            cals.append(
+                _fit_graph(mrfs, eff_f[j], eff_d[j], bias_hi, iters)
+            )
+        return CalibratedNoiseModel(name=name, readout_sym=readout_sym,
+                                    graphs=tuple(cals))
+
+    model = fit_pass()
+    for _ in range(refine):
+        import jax
+
+        from qcmrf_tpu.noise.backends import run_calibrated_suite
+
+        out = run_calibrated_suite(jax.random.PRNGKey(0), suite, model,
+                                   shots=shots)
+        got = evaluate_suite(suite, dists=out["quasi_dists"], norm=1)
+        for j in range(len(suite.graphs)):
+            eff_f[j] += goal_f[j] - got[j].mean_f
+            eff_d[j] *= goal_d[j] / max(got[j].mean_delta, 1e-9)
+        model = fit_pass()
+    return model

@@ -11,7 +11,8 @@ path's tolerance of negative/broad-support dists is exercised end-to-end.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -23,20 +24,28 @@ def mitigate_counts(
     counts: Dict[str, int],
     errors: Sequence[ReadoutError],
     width: int,
+    measured_bits: Optional[Sequence[int]] = None,
 ) -> Tuple[Dict[str, float], dict]:
     """Invert per-bit confusion over a counts dict.
 
     Returns ``(quasi_dist, metadata)`` in the stored hardware schema:
     quasi-probabilities summing to 1 (possibly negative entries) and
-    metadata with ``shots`` and ``readout_mitigation_overhead``.
+    metadata with ``shots``, ``readout_mitigation_overhead`` and the
+    measured ``readout_mitigation_time`` (wall seconds of the inversion,
+    the analog of the per-circuit timing in res_*/result_torino.json).
+    ``measured_bits`` restricts the inversion to the bits that carry a
+    real measurement (the AND-workspace bit never does).
     """
+    t0 = time.perf_counter()
+    if measured_bits is None:
+        measured_bits = range(width)
     shots = sum(counts.values())
     dense = np.zeros(1 << width, dtype=np.float64)
     for k, v in counts.items():
         dense[int(k, 2)] += v / shots
 
     # tensored inverse confusion, bit by bit (bit b = key char width-1-b)
-    for bit, err in zip(range(width), errors):
+    for bit, err in zip(measured_bits, errors):
         lo = 1 << bit
         hi = 1 << (width - 1 - bit)
         dense = np.einsum(
@@ -50,8 +59,10 @@ def mitigate_counts(
     }
     meta = {
         "shots": shots,
-        "readout_mitigation_overhead": mitigation_overhead(errors[:width]),
-        "readout_mitigation_time": 0.0,
+        "readout_mitigation_overhead": mitigation_overhead(
+            errors[: len(list(measured_bits))]
+        ),
+        "readout_mitigation_time": time.perf_counter() - t0,
     }
     return quasi, meta
 

@@ -231,8 +231,13 @@ def _apply_1q_local(re, im, U: np.ndarray, pos: int, local_n: int):
     i_ = im.reshape(hi, 2, lo)
     ur = jnp.asarray(U.real.astype(np.float32))
     ui = jnp.asarray(U.imag.astype(np.float32))
-    nr = jnp.einsum("ab,hbl->hal", ur, r) - jnp.einsum("ab,hbl->hal", ui, i_)
-    ni = jnp.einsum("ab,hbl->hal", ur, i_) + jnp.einsum("ab,hbl->hal", ui, r)
+    # HIGHEST: the TPU MXU default is one-pass bf16, which drifts the
+    # statevector norm by ~1e-3 over a gate sequence (memory: axon quirks)
+    em = functools.partial(
+        jnp.einsum, precision=jax.lax.Precision.HIGHEST
+    )
+    nr = em("ab,hbl->hal", ur, r) - em("ab,hbl->hal", ui, i_)
+    ni = em("ab,hbl->hal", ur, i_) + em("ab,hbl->hal", ui, r)
     return nr.reshape(-1), ni.reshape(-1)
 
 

@@ -1,6 +1,10 @@
 """Driver contract: entry() jit-compiles; dryrun_multichip runs on the
-virtual mesh (what the round driver executes)."""
+virtual mesh (what the round driver executes) — including from a fresh
+process with the image's default env (TPU platform pinned), which is
+exactly how the driver invokes it."""
 
+import os
+import subprocess
 import sys
 
 import numpy as np
@@ -29,11 +33,42 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip(n_devices):
     import __graft_entry__ as g
 
-    g.dryrun_multichip(n_devices)  # asserts finite loss internally
+    g.dryrun_multichip(n_devices)  # asserts finite loss + sharded==dense
 
 
-def test_dryrun_rejects_missing_devices():
+def test_flags_rewrite_replaces_existing_count():
     import __graft_entry__ as g
 
-    with pytest.raises(RuntimeError):
-        g.dryrun_multichip(64)
+    out = g._flags_with_device_count(
+        "--foo --xla_force_host_platform_device_count=8 --bar", 16
+    )
+    assert out.count("xla_force_host_platform_device_count") == 1
+    assert "device_count=16" in out
+    assert "--foo" in out and "--bar" in out
+
+
+def test_dryrun_driver_env():
+    """Run the dryrun the way the round driver does: a fresh interpreter
+    with the image's default platform pin (axon TPU) and no
+    xla_force_host_platform_device_count. The function must bootstrap the
+    virtual CPU mesh itself (round-1 MULTICHIP artifact failure)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("QCMRF_DRYRUN_CHILD", None)
+    # the image pins the TPU platform; dryrun must override it pre-init
+    env["JAX_PLATFORMS"] = "axon"
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8); "
+        "print('dryrun ok')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun ok" in r.stdout
