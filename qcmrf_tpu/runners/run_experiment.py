@@ -46,10 +46,28 @@ def run_suite(
     shots: int = SHOTS,
     engine: str = "analytic",
     seed: int = 0,
+    res_root: str = "/root/reference",
 ) -> List[Dict[str, int]]:
     """Execute every circuit of the suite; returns counts dicts in order."""
     key = jax.random.PRNGKey(seed)
     counts_list: List[Dict[str, int]] = []
+
+    if engine.startswith("calibrated"):
+        # per-graph calibrated hardware emulation: fit the noise model to
+        # the stored result file for this suite's scale, then emulate —
+        # reproduces the stored per-graph mean fidelity/success tables
+        # (noise.fit.fit_calibrated)
+        from qcmrf_tpu.evaluation.harness import load_result_dists
+        from qcmrf_tpu.models.suite import reference_results_path
+        from qcmrf_tpu.noise import backends as nbackends
+        from qcmrf_tpu.noise.fit import fit_calibrated
+
+        backend = engine.split(":", 1)[1] if ":" in engine else "torino"
+        dists, norm = load_result_dists(
+            reference_results_path(suite.scale, backend, res_root)
+        )
+        model = fit_calibrated(backend, suite, dists, norm)
+        return nbackends.run_calibrated_suite(key, suite, model, shots)
 
     if engine.startswith("noisy"):
         from qcmrf_tpu.noise import backends as nbackends
@@ -110,7 +128,12 @@ def main(argv: Optional[List[str]] = None) -> str:
                         help="Variance of parameter prior.")
     parser.add_argument("--shots", type=int, default=SHOTS)
     parser.add_argument("--engine", type=str, default="analytic",
-                        help="analytic | statevector | noisy:<preset>")
+                        help="analytic | statevector | noisy:<preset> | "
+                             "calibrated:<hw backend> (fit to stored "
+                             "hardware tables)")
+    parser.add_argument("--res-root", type=str, default="/root/reference",
+                        help="Root holding res_{scale}/result_*.json for "
+                             "the calibrated engine's fit targets.")
     parser.add_argument("--models", type=str, default=None,
                         help="Load suite from this models_*.json instead of "
                              "regenerating from seed 1984.")
@@ -141,7 +164,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     suite.save(models_path)
 
     counts = run_suite(suite, shots=args.shots, engine=args.engine,
-                       seed=args.seed)
+                       seed=args.seed, res_root=args.res_root)
     tag = args.engine.replace(":", "_")
     out_path = os.path.join(
         args.outdir, f"result_{tag}_{args.scale}.json"
