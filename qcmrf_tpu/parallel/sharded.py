@@ -257,23 +257,64 @@ class _Layout:
         self.n = n
         self.local_n = local_n
         self.pos = list(range(n))  # logical -> physical
+        self.remaps = 0  # collectives issued (trace-time count)
 
     def is_local(self, q: int) -> bool:
         return self.pos[q] < self.local_n
 
-    def swap_blocks(self):
-        """Record the device-bits <-> top-local-bits swap."""
-        dlog = self.n - self.local_n
-        lo_base = self.local_n - dlog
+    def at_physical(self, p: int) -> int:
+        return self.pos.index(p)
 
-        def remap(p):
-            if p >= self.local_n:  # device bit j -> top local bit
-                return p - dlog
-            if lo_base <= p < self.local_n:  # top local -> device
-                return p + dlog
-            return p
+    def exchange(self, dev_j: int, loc_p: int):
+        """Record a device-bit ``dev_j`` <-> local-bit ``loc_p`` swap."""
+        a = self.pos.index(self.local_n + dev_j)
+        b = self.pos.index(loc_p)
+        self.pos[a], self.pos[b] = loc_p, self.local_n + dev_j
+        self.remaps += 1
 
-        self.pos = [remap(p) for p in self.pos]
+
+def _exchange_device_local(re, im, axis: str, D: int, dev_j: int,
+                           loc_p: int, local_n: int):
+    """Swap device bit ``dev_j`` with local bit position ``loc_p``.
+
+    The targeted analog of a Ulysses head/sequence swap: ONE ``ppermute``
+    with the device differing in bit ``dev_j``, moving exactly half of
+    each shard — vs. (D-1)/D of it for a full qubit-block ``all_to_all``
+    — and leaving every other qubit's position untouched, so arbitrary
+    gate orders don't thrash whole-block toggles.
+    """
+    perm = [(s, s ^ (1 << dev_j)) for s in range(D)]
+    bj = _device_bit(axis, dev_j)  # this device's value of bit j (traced)
+    lo = 1 << loc_p
+    hi = 1 << (local_n - 1 - loc_p)
+    r3 = re.reshape(hi, 2, lo)
+    i3 = im.reshape(hi, 2, lo)
+    # each device keeps the half where local bit == its own device bit and
+    # trades the other half with its bit-j partner
+    send = jnp.where(bj == 0,
+                     jnp.stack([r3[:, 1, :], i3[:, 1, :]]),
+                     jnp.stack([r3[:, 0, :], i3[:, 0, :]]))
+    recv = jax.lax.ppermute(send, axis, perm)
+    new0 = jnp.where(bj == 0, jnp.stack([r3[:, 0, :], i3[:, 0, :]]), recv)
+    new1 = jnp.where(bj == 0, recv, jnp.stack([r3[:, 1, :], i3[:, 1, :]]))
+    re = jnp.stack([new0[0], new1[0]], axis=1).reshape(-1)
+    im = jnp.stack([new0[1], new1[1]], axis=1).reshape(-1)
+    return re, im
+
+
+def _locality_needs(gates) -> list:
+    """Per-gate tuple of qubits that must live on local bits: targets of
+    non-diagonal gates. Diagonal gates (rz/cp/flags_phase) and cx controls
+    read bit values, which works on device bits without communication."""
+    out = []
+    for g in gates:
+        if g.name == "cx":
+            out.append((g.qubits[1],))
+        elif g.name in GATES_1Q and g.name != "id":
+            out.append((g.qubits[0],))
+        else:
+            out.append(())
+    return out
 
 
 def _device_bit(axis: str, dev_pos: int) -> jax.Array:
@@ -285,15 +326,25 @@ def _local_bits(x_local: jax.Array, pos: int) -> jax.Array:
     return (x_local >> pos) & 1
 
 
+#: collectives issued by the most recent run_statevector_sharded call
+#: (trace-time count; read by tests/benchmarks)
+LAST_REMAP_COUNT = 0
+
+
 def run_statevector_sharded(
     circuit: Circuit, mesh: Mesh
 ) -> Tuple[jax.Array, jax.Array]:
     """Simulate a circuit with the statevector sharded over the mesh.
 
     Returns (re, im) planes sharded on the leading axis. The whole gate
-    sequence runs inside a single ``shard_map`` trace; remaps compile to
-    one ``all_to_all`` each.
+    sequence runs inside a single ``shard_map`` trace. A non-diagonal gate
+    on a sharded qubit triggers a targeted device-bit <-> local-bit
+    exchange (one ``ppermute`` moving half of each shard); the evicted
+    local qubit is chosen by Belady's rule (furthest next non-diagonal
+    use), and an arbitrary final layout is restored by a sequence of such
+    exchanges plus one local bit transpose — no single-swap restriction.
     """
+    global LAST_REMAP_COUNT
     n = circuit.num_qubits
     D = mesh.devices.size
     dlog = int(math.log2(D))
@@ -303,6 +354,21 @@ def run_statevector_sharded(
         raise ValueError("more device bits than qubits")
     local_n = n - dlog
     axis = mesh.axis_names[0]
+
+    # Belady eviction: per-qubit sorted gate indices of future locality
+    # needs, so ensure_local can evict the local qubit needed last
+    needs = _locality_needs(circuit.gates)
+    uses = {q: [] for q in range(n)}
+    for gi, qs in enumerate(needs):
+        for q in qs:
+            uses[q].append(gi)
+
+    def next_use(q: int, gi: int) -> int:
+        import bisect
+
+        lst = uses[q]
+        k = bisect.bisect_right(lst, gi)
+        return lst[k] if k < len(lst) else 1 << 30
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(),
@@ -317,14 +383,24 @@ def run_statevector_sharded(
         re = re.at[0].set(jnp.where(d == 0, 1.0, 0.0))
         x_local = jnp.arange(chunk, dtype=jnp.int32)
 
-        def ensure_local(q):
+        def exchange(dev_j, loc_p):
             nonlocal re, im
-            if not layout.is_local(q):
-                r2 = re.reshape(D, -1)
-                i2 = im.reshape(D, -1)
-                re = jax.lax.all_to_all(r2, axis, 0, 0).reshape(-1)
-                im = jax.lax.all_to_all(i2, axis, 0, 0).reshape(-1)
-                layout.swap_blocks()
+            re, im = _exchange_device_local(
+                re, im, axis, D, dev_j, loc_p, local_n
+            )
+            layout.exchange(dev_j, loc_p)
+
+        def ensure_local(q, gi):
+            p = layout.pos[q]
+            if p < local_n:
+                return
+            # evict the local-resident qubit whose next locality need is
+            # furthest in the future (Belady-optimal for this gate list)
+            victim = max(
+                range(local_n),
+                key=lambda lp: next_use(layout.at_physical(lp), gi),
+            )
+            exchange(p - local_n, victim)
 
         def bit_of(q):
             p = layout.pos[q]
@@ -332,9 +408,11 @@ def run_statevector_sharded(
                 return _local_bits(x_local, p)
             return _device_bit(axis, p - local_n)
 
-        for g in circuit.gates:
+        for gi, g in enumerate(circuit.gates):
             if g.name in ("barrier", "measure"):
                 continue
+            if g.name == "id":
+                continue  # no-op: never worth a remap
             if g.name in GATES_1Q or g.name == "rz":
                 q = g.qubits[0]
                 if g.name == "rz":
@@ -345,7 +423,7 @@ def run_statevector_sharded(
                     c, s = jnp.cos(ang), jnp.sin(ang)
                     re, im = re * c - im * s, re * s + im * c
                     continue
-                ensure_local(q)
+                ensure_local(q, gi)
                 re, im = _apply_1q_local(
                     re, im, GATES_1Q[g.name], layout.pos[q], local_n
                 )
@@ -368,7 +446,7 @@ def run_statevector_sharded(
                 re, im = re * cs - im * sn, re * sn + im * cs
             elif g.name == "cx":
                 c, t = g.qubits
-                ensure_local(t)
+                ensure_local(t, gi)
                 cb = bit_of(c)
                 fr, fi = _flip_local(re, im, layout.pos[t], local_n)
                 if jnp.ndim(cb) == 0:  # control on a device bit
@@ -381,25 +459,41 @@ def run_statevector_sharded(
             else:
                 raise ValueError(f"unsupported sharded gate {g.name}")
 
-        # return to the canonical layout (identity permutation)
-        if layout.pos != list(range(n)):
-            r2 = re.reshape(D, -1)
-            i2 = im.reshape(D, -1)
-            re = jax.lax.all_to_all(r2, axis, 0, 0).reshape(-1)
-            im = jax.lax.all_to_all(i2, axis, 0, 0).reshape(-1)
-            layout.swap_blocks()
-            if layout.pos != list(range(n)):
-                raise ValueError(
-                    "layout did not return to canonical after one swap; "
-                    "circuit requires a more general final permutation"
+        # ---- restore the canonical layout (arbitrary permutation) ------
+        # 1) place every destined device qubit with targeted exchanges
+        for j in range(dlog):
+            t = local_n + j
+            p = layout.pos[t]
+            if p == local_n + j:
+                continue
+            if p >= local_n:
+                # wrong device bit: route through any local position,
+                # preferring a resident that belongs on a local bit
+                lp = next(
+                    (q for q in range(local_n)
+                     if layout.at_physical(q) < local_n),
+                    0,
                 )
+                exchange(p - local_n, lp)
+            exchange(j, layout.pos[t])
+        # 2) one local bit transpose fixes the remaining local permutation
+        if layout.pos != list(range(n)):
+            L = local_n
+            axes = [L - 1 - layout.pos[L - 1 - k] for k in range(L)]
+            re = re.reshape((2,) * L).transpose(axes).reshape(-1)
+            im = im.reshape((2,) * L).transpose(axes).reshape(-1)
+            layout.pos = list(range(n))
         if circuit.global_phase:
             cs = float(np.cos(circuit.global_phase))
             sn = float(np.sin(circuit.global_phase))
             re, im = re * cs - im * sn, re * sn + im * cs
+        stats["remaps"] = layout.remaps
         return re, im
 
-    return run()
+    stats = {"remaps": 0}
+    out = run()
+    LAST_REMAP_COUNT = stats["remaps"]
+    return out
 
 
 def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:

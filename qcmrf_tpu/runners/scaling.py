@@ -29,6 +29,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     parser.add_argument("--shots", type=int, default=1 << 20)
     parser.add_argument("--estimations", type=int, default=5,
                         help="repeated-estimation iterations")
+    parser.add_argument("--gate-level", action="store_true",
+                        help="also run the sharded gate-level statevector "
+                             "engine (targeted ppermute qubit exchanges) "
+                             "on a QCMRF circuit of ~n qubits")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args(argv)
 
@@ -93,6 +97,33 @@ def main(argv: Optional[List[str]] = None) -> dict:
     out["lnZ_hat"] = round(float(np.log(max(delta_hat, 1e-300))
                                  + mrf.n * np.log(2.0)), 6)
     out["lnZ_abs_err"] = round(abs(out["lnZ_hat"] - lnZ), 6)
+
+    if args.gate_level:
+        # sharded gate-level statevector: a chain QCMRF circuit of width
+        # 2v == ~n qubits (v variables + v-1 ancillas + workspace); the
+        # ancilla H/X sandwich gates land on device bits, driving the
+        # targeted exchange collectives
+        from qcmrf_tpu.circuits.compiler import compile_qcmrf
+        from qcmrf_tpu.models.mrf import MRF
+
+        v = max(args.n // 2, 2)
+        gl_template = MRF.create([[i, i + 1] for i in range(v - 1)])
+        gl = gl_template.with_theta(jnp.asarray(
+            -np.abs(rng.randn(gl_template.dimension)).astype(np.float32)
+            * 0.1
+        ))
+        circ = compile_qcmrf(gl, with_measurements=False)
+        t0 = time.perf_counter()
+        re, im = sharded.run_statevector_sharded(circ, mesh)
+        norm = float(jax.block_until_ready(
+            (re * re + im * im).sum()
+        ))
+        out["gate_level_qubits"] = circ.num_qubits
+        out["gate_level_gates"] = len(circ.gates)
+        out["gate_level_s"] = round(time.perf_counter() - t0, 3)
+        out["gate_level_remaps"] = sharded.LAST_REMAP_COUNT
+        out["gate_level_norm_err"] = abs(norm - 1.0)
+        assert abs(norm - 1.0) < 1e-4, "sharded gate-level norm drifted"
 
     if args.json:
         print(json.dumps(out))

@@ -124,3 +124,46 @@ def test_sharded_larger_than_local(mesh8):
     got = float(sharded.sharded_log_partition(mrf, mesh8))
     want = float(mrf.log_partition())
     assert np.isclose(got, want, rtol=1e-5)
+
+
+def test_sharded_general_final_permutation(mesh8):
+    """Circuits whose targeted exchanges scramble the layout into a
+    general permutation (>= 2 remaps) must still restore canonically
+    (round-1 VERDICT item 8: no single-swap carve-out)."""
+    n = 6  # dlog=3, local_n=3
+    rng = np.random.RandomState(11)
+    c = Circuit(n)
+    # alternate non-diagonal gates between device bits and local bits so
+    # Belady evictions build up a non-trivial permutation
+    seq = [5, 1, 4, 0, 3, 2, 5, 4, 1, 3, 0, 2]
+    for i, q in enumerate(seq):
+        if i % 3 == 2:
+            c.x(q)
+        else:
+            c.h(q)
+        c.rz(float(rng.uniform(-np.pi, np.pi)), q)
+    c.cx(5, 0).cx(0, 4).cx(3, 5)
+    re, im = sharded.run_statevector_sharded(c, mesh8)
+    assert sharded.LAST_REMAP_COUNT >= 2
+    st = np.asarray(re) + 1j * np.asarray(im)
+    want = np.asarray(dense.run_statevector(c))
+    np.testing.assert_allclose(st, want, atol=1e-5)
+
+
+def test_sharded_qcmrf_2e20_amplitudes(mesh8):
+    """Gate-level sharded engine at 2^20 amplitudes (n=20 qubits: a
+    10-variable chain QCMRF circuit) == dense engine (VERDICT item 2)."""
+    cliques = [[i, i + 1] for i in range(9)]
+    mrf = rand_mrf(cliques, seed=12, scale=0.3)
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    assert circ.num_qubits == 20
+    re, im = sharded.run_statevector_sharded(circ, mesh8)
+    assert sharded.LAST_REMAP_COUNT >= 2
+    probs = np.asarray(re) ** 2 + np.asarray(im) ** 2
+    assert probs.shape == (1 << 20,)
+    want = np.abs(np.asarray(dense.run_statevector(circ))) ** 2
+    np.testing.assert_allclose(probs, want, atol=1e-6)
+    # physics cross-check: accepted mass == Z / 2^n
+    np.testing.assert_allclose(
+        probs[: 1 << mrf.n].sum(), float(mrf.success_rate()), atol=1e-5
+    )
