@@ -42,10 +42,15 @@ class QCMRF:
     rather than a circuit subclass.
     """
 
+    #: default lowering basis, parity with the reference's stored-but-
+    #: unused ctor argument (QCMRF.py:25,43); consumed by circuits.lower
+    DEFAULT_BASIS_GATES = ("cx", "id", "rz", "sx", "x")
+
     mrf: MRF
     circuit: Circuit
     with_measurements: bool = True
     with_barriers: bool = False
+    basis_gates: Sequence[str] = DEFAULT_BASIS_GATES
 
     # ---- constructor ------------------------------------------------------
 
@@ -58,6 +63,7 @@ class QCMRF:
         name: str = "QCMRF",
         with_measurements: bool = True,
         with_barriers: bool = False,
+        basis_gates: Sequence[str] = DEFAULT_BASIS_GATES,
         init_key=None,
     ) -> "QCMRF":
         import jax.numpy as jnp
@@ -105,6 +111,7 @@ class QCMRF:
             circuit=circuit,
             with_measurements=with_measurements,
             with_barriers=with_barriers,
+            basis_gates=tuple(basis_gates),
         )
 
     # ---- reference-parity properties ---------------------------------------
@@ -145,6 +152,19 @@ class QCMRF:
     @property
     def num_qubits(self) -> int:
         return self.circuit.num_qubits
+
+    def lowered(self, style: str = "fused") -> Circuit:
+        """The circuit lowered to ``self.basis_gates`` (the reference's
+        ``transpile(..., basis_gates=...)``, run_experiment.py:52). Only
+        the reference basis is implemented; a different basis raises."""
+        if set(self.basis_gates) != set(self.DEFAULT_BASIS_GATES):
+            raise ValueError(
+                f"unsupported basis {self.basis_gates!r}; the lowering "
+                f"pass targets {self.DEFAULT_BASIS_GATES!r}"
+            )
+        from qcmrf_tpu.circuits.lower import lower
+
+        return lower(self.circuit, style=style)
 
     # ---- operator-level helpers (reference QCMRF.py:159-197) --------------
 

@@ -19,8 +19,12 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
+from qcmrf_tpu.utils import profiling
+
 
 def _time(fn: Callable, reps: int = 10) -> float:
+    """Average seconds/call; varies the dummy arg so jit can't hoist the
+    call out of the loop (why this isn't plain profiling.timed)."""
     import jax
 
     jax.block_until_ready(fn(0))
@@ -36,6 +40,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     parser.add_argument("--n", type=int, default=20,
                         help="grid qubits (rows*cols closest to n)")
     parser.add_argument("--shots", type=int, default=1 << 20)
+    parser.add_argument("--trace", type=str, default=None,
+                        help="emit a jax.profiler trace of the sampler "
+                             "benchmark into this directory "
+                             "(TensorBoard-loadable)")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args(argv)
 
@@ -64,6 +72,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     )
     dt = _time(fn)
     out["sampler_shots_per_sec"] = round(args.shots / dt)
+    if args.trace:
+        with profiling.trace(args.trace):
+            jax.block_until_ready(fn(1))
+        out["trace_dir"] = args.trace
 
     # logpot kernel: writes 2^n float32
     lp_fn = jax.jit(lambda s: kernels.all_log_potentials(mrf).sum() + s)
@@ -93,12 +105,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
             return r
         return f
 
-    out["gate_lane_gbps"] = round(
-        moved * CHAIN / _time(chained(3)) / 1e9, 2
-    )
-    out["gate_row_gbps"] = round(
-        moved * CHAIN / _time(chained(n - 2)) / 1e9, 2
-    )
+    lane = profiling.Counter()
+    lane.add(nbytes=moved * CHAIN, seconds=_time(chained(3)))
+    row = profiling.Counter()
+    row.add(nbytes=moved * CHAIN, seconds=_time(chained(n - 2)))
+    out["gate_lane_gbps"] = round(lane.gb_per_sec, 2)
+    out["gate_row_gbps"] = round(row.gb_per_sec, 2)
 
     # fused whole-circuit kernel: full 70-circuit reference suite,
     # gate-level, one launch per graph

@@ -50,7 +50,13 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "models are <= 32 states, so CPU avoids "
                              "per-graph accelerator compiles and is much "
                              "faster end-to-end.")
-    args = parser.parse_args(argv)
+    parser.add_argument("--num-samples", type=int, default=10_000,
+                        help="gibbs/pam modes: samples to histogram (the "
+                             "success column divides by the fixed 10000 "
+                             "norm, matching the reference quirk).")
+    from qcmrf_tpu.utils.config import parse_with_config
+
+    args = parse_with_config(parser, argv)
 
     if args.platform != "default":
         import jax
@@ -77,7 +83,8 @@ def main(argv: Optional[List[str]] = None) -> str:
         norm = args.norm
 
     results = evaluate_suite(suite, dists=dists, norm=norm, mode=args.mode,
-                             native=args.native)
+                             native=args.native,
+                             num_samples=args.num_samples)
     table = results_table(results, with_kl=args.kl)
     print(table)
     return table

@@ -145,7 +145,12 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "are tiny (<= 10 qubits); 'cpu' avoids "
                              "per-circuit accelerator dispatch for the "
                              "noisy/statevector engines.")
-    args = parser.parse_args(argv)
+    from qcmrf_tpu.utils.config import (
+        dump_effective_config,
+        parse_with_config,
+    )
+
+    args = parse_with_config(parser, argv)
 
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
@@ -162,6 +167,9 @@ def main(argv: Optional[List[str]] = None) -> str:
     os.makedirs(args.outdir, exist_ok=True)
     models_path = os.path.join(args.outdir, f"models_{args.scale}.json")
     suite.save(models_path)
+    dump_effective_config(
+        args, os.path.join(args.outdir, f"config_run_{args.scale}.json")
+    )
 
     counts = run_suite(suite, shots=args.shots, engine=args.engine,
                        seed=args.seed, res_root=args.res_root)

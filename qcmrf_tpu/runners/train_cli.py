@@ -3,11 +3,14 @@
 ``python -m qcmrf_tpu train --graph chain:8 --samples 20000 --steps 500``
 
 Generates (or loads) data, fits theta by gradient descent on the exact
-NLL, periodically checkpoints the optimizer state with orbax, and writes
-the fitted model as JSON ``{"cliques": ..., "theta": ...}``. Resume with
-``--resume`` picks up from the newest checkpoint (SURVEY.md §5: the
-reference's only checkpointing is its JSON artifacts; training state
-checkpointing is a new subsystem).
+NLL, periodically checkpoints the optimizer state with **orbax**
+(``<outdir>/ckpt/<step>``, resumable across processes and jax versions),
+and writes the fitted model as JSON ``{"cliques": ..., "theta": ...}``.
+Resume with ``--resume`` picks up from the newest checkpoint (SURVEY.md
+§5: the reference's only checkpointing is its JSON artifacts; training
+state checkpointing is a new subsystem). ``--mesh AxB`` runs the sharded
+(amp x data) training step over a device mesh
+(models.train.make_sharded_train_step).
 """
 
 from __future__ import annotations
@@ -18,6 +21,8 @@ import os
 from typing import List, Optional
 
 import numpy as np
+
+from qcmrf_tpu.utils.config import dump_effective_config, parse_with_config
 
 
 def parse_graph(spec: str):
@@ -34,6 +39,20 @@ def parse_graph(spec: str):
         return json.load(f)
 
 
+def _make_mesh(spec: str):
+    """'AxB' -> a 2-D (amp, data) Mesh over the first A*B devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    a, b = (int(x) for x in spec.split("x"))
+    devs = jax.devices()
+    if len(devs) < a * b:
+        raise SystemExit(
+            f"--mesh {spec} needs {a * b} devices, {len(devs)} visible"
+        )
+    return Mesh(np.array(devs[: a * b]).reshape(a, b), ("amp", "data"))
+
+
 def main(argv: Optional[List[str]] = None) -> str:
     parser = argparse.ArgumentParser(prog="qcmrf_tpu train")
     parser.add_argument("--graph", type=str, default="chain:6")
@@ -47,9 +66,12 @@ def main(argv: Optional[List[str]] = None) -> str:
     parser.add_argument("--outdir", type=str, default="./train_out")
     parser.add_argument("--checkpoint-every", type=int, default=100)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="AxB: run the sharded train step on an "
+                             "(amp=A, data=B) device mesh")
     parser.add_argument("--platform", type=str, default="default",
                         choices=["cpu", "tpu", "default"])
-    args = parser.parse_args(argv)
+    args = parse_with_config(parser, argv)
 
     if args.platform != "default":
         import jax
@@ -59,6 +81,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     import jax
     import jax.numpy as jnp
     import optax
+    import orbax.checkpoint as ocp
 
     from qcmrf_tpu.models import sample as msample
     from qcmrf_tpu.models import train as mtrain
@@ -76,6 +99,7 @@ def main(argv: Optional[List[str]] = None) -> str:
             "qcmrf_tpu.models.elimination (exact lnZ/marginals at any n)"
         )
     os.makedirs(args.outdir, exist_ok=True)
+    dump_effective_config(args, os.path.join(args.outdir, "train_config.json"))
 
     rng = np.random.RandomState(args.seed)
     if args.data:
@@ -106,33 +130,53 @@ def main(argv: Optional[List[str]] = None) -> str:
     opt_state = opt.init(raw)
     start = 0
 
-    ckpt_path = os.path.join(args.outdir, "checkpoint.npz")
-    if args.resume and os.path.isfile(ckpt_path):
-        import pickle
-
-        with open(ckpt_path, "rb") as f:
-            saved = pickle.load(f)
-        raw = jnp.asarray(saved["raw"])
-        opt_state = jax.tree.map(jnp.asarray, saved["opt_state"])
-        start = int(saved["step"])
+    # orbax checkpoint manager: numbered steps under <outdir>/ckpt
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(os.path.join(args.outdir, "ckpt")),
+        options=ocp.CheckpointManagerOptions(max_to_keep=2),
+    )
+    if args.resume and mngr.latest_step() is not None:
+        start = int(mngr.latest_step())
+        restored = mngr.restore(
+            start,
+            args=ocp.args.StandardRestore(
+                {"raw": raw, "opt_state": opt_state}
+            ),
+        )
+        raw = restored["raw"]
+        opt_state = restored["opt_state"]
         print(f"resumed from step {start}")
 
-    step_fn = mtrain.make_train_step(template, opt)
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = _make_mesh(args.mesh)
+        if template.num_states % mesh.shape["amp"]:
+            raise SystemExit("amp axis must divide the state-table size")
+        if data.shape[0] % mesh.shape["data"]:
+            data = data[: data.shape[0]
+                        - data.shape[0] % mesh.shape["data"]]
+        # place inputs on the mesh: params/opt state replicated, batch
+        # sharded over the data axis (restored checkpoints land on a
+        # single device otherwise)
+        rep = NamedSharding(mesh, P())
+        raw = jax.device_put(raw, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        data = jax.device_put(data, NamedSharding(mesh, P("data")))
+        step_fn = mtrain.make_sharded_train_step(template, opt, mesh)
+    else:
+        step_fn = mtrain.make_train_step(template, opt)
     loss = float("nan")
     for s in range(start, args.steps):
         raw, opt_state, loss = step_fn(raw, opt_state, data)
         if (s + 1) % args.checkpoint_every == 0 or s + 1 == args.steps:
-            import pickle
-
-            with open(ckpt_path, "wb") as f:
-                pickle.dump(
-                    {
-                        "raw": np.asarray(raw),
-                        "opt_state": jax.tree.map(np.asarray, opt_state),
-                        "step": s + 1,
-                    },
-                    f,
-                )
+            mngr.save(
+                s + 1,
+                args=ocp.args.StandardSave(
+                    {"raw": raw, "opt_state": opt_state}
+                ),
+            )
+            mngr.wait_until_finished()
             print(f"step {s + 1}: nll={float(loss):.4f} (checkpointed)")
 
     theta = mtrain._to_theta(raw, True)

@@ -45,7 +45,8 @@ class Config:
         d = json.loads(s)
         d["mesh_shape"] = tuple(d.get("mesh_shape", ()))
         d["mesh_axes"] = tuple(d.get("mesh_axes", ("amp",)))
-        return Config(**d)
+        fields = {f.name for f in dataclasses.fields(Config)}
+        return Config(**{k: v for k, v in d.items() if k in fields})
 
     def apply_platform(self) -> None:
         if self.platform != "default":
@@ -63,3 +64,37 @@ class Config:
         n = int(np.prod(self.mesh_shape))
         devs = np.array(jax.devices()[:n]).reshape(self.mesh_shape)
         return Mesh(devs, self.mesh_axes[: len(self.mesh_shape)])
+
+
+# --------------------------------------------------------------------------
+# CLI integration: every runner accepts --config and dumps its effective
+# configuration next to its outputs (experiment provenance)
+# --------------------------------------------------------------------------
+
+
+def parse_with_config(parser, argv=None):
+    """Parse args with ``--config cfg.json`` support: the Config file's
+    fields become the parser's defaults (explicit CLI flags still win,
+    via a re-parse after installing the defaults)."""
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON Config file supplying defaults "
+                             "(explicit flags override).")
+    args = parser.parse_args(argv)
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+        known_dests = {a.dest for a in parser._actions}
+        parser.set_defaults(**{
+            k: v for k, v in dataclasses.asdict(cfg).items()
+            if k in known_dests and v is not None
+        })
+        args = parser.parse_args(argv)
+    return args
+
+
+def dump_effective_config(args, path: str) -> None:
+    """Write the parsed namespace as JSON next to the run's outputs."""
+    d = {k: v for k, v in vars(args).items()
+         if isinstance(v, (int, float, str, bool, type(None), list, tuple))}
+    with open(path, "w") as f:
+        json.dump(d, f, indent=2, default=str)
