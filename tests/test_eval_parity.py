@@ -110,6 +110,26 @@ def test_gibbs_and_pam_modes_run(reference_root, suite01):
                            key=jax.random.PRNGKey(4))
     for r in res_p:
         assert r.mean_f > 0.8  # PAM is approximate
+    # reference success-column semantics (eval.py:95-113): delta-hat is
+    # ALWAYS histogrammed-count / 10 000 regardless of sample count — a
+    # thinned Gibbs chain of 999 prints 0.0999, pam of 2000 prints 0.2
+    for r in res_g:
+        assert abs(r.mean_delta - 0.3) < 1e-9
+    for r in res_p:
+        assert abs(r.mean_delta - 0.2) < 1e-9
+
+
+def test_gibbs_reference_thinned_count_quirk(reference_root, suite01):
+    """The exact reference quirk: px.sample default chain thinned by 10
+    minus the first sample -> 999 histogrammed samples -> delta-hat
+    0.0999 over the fixed 10 000 norm (/root/reference/eval.py:96-104)."""
+    small = type(suite01)(
+        graphs=suite01.graphs[:1], thetas={0: suite01.thetas[0][:1]},
+        scale=0.1,
+    )
+    res = evaluate_suite(small, mode="gibbs", num_samples=999,
+                         key=jax.random.PRNGKey(5))
+    assert abs(res[0].mean_delta - 0.0999) < 1e-9
 
 
 def test_high_shot_kl_beats_reference_noise_floor(reference_root, suite01):
