@@ -71,16 +71,141 @@ def apply_gate(re, im, g: Gate, num_qubits: int):
     raise ValueError(f"unsupported gate {g.name}")
 
 
+_MAX_DIAG_TERMS = 64  # cap per fused pass: bounds the unrolled kernel size
+
+
+def fuse_ops(circuit: Circuit) -> list:
+    """Peephole fusion of the gate stream into HBM-pass-minimal ops.
+
+    * a RUN of consecutive diagonal gates (rz/cp/flags_phase, incl. the cp
+      inside the cx decomposition) -> ONE ``('diag', terms, angles, base)``
+      pass (kernels.apply_diagonal_profile) — this collapses a clique's
+      whole cU_C block sequence into a single sweep;
+    * X gates are DEFERRED (X·D·X is D with the bit condition flipped, so
+      a clique's whole H·cU·X·cU†·X·H sandwich collapses to H · [one
+      fused diagonal] · H — the X row passes vanish entirely);
+    * consecutive non-diagonal 1q gates on LANE qubits (q < 7) compose
+      into one 128x128 matrix -> ONE MXU pass (e.g. the 7 lane-qubit H's
+      of the superposition wall);
+    * consecutive 1q gates on the SAME row qubit compose their 2x2s, and
+      consecutive 1q gates on ADJACENT row qubits merge into one 4x4
+      two-qubit pass (halves the superposition wall's row traffic).
+    """
+    from qcmrf_tpu.ops.kernels import _lane_gate_matrix
+
+    X = np.asarray(GATES_1Q["x"], np.complex64)
+    flips = {}  # qubit -> pending deferred X (0/1)
+
+    prim = []
+
+    def push_1q(name, q):
+        U = np.asarray(GATES_1Q[name], np.complex64)
+        if name == "x":
+            flips[q] = flips.get(q, 0) ^ 1
+            return
+        if flips.get(q):
+            U = U @ X  # the deferred X acted first
+            flips[q] = 0
+        prim.append(("1q", U, q))
+
+    def push_diag(conds, base, masked):
+        conds = tuple(
+            (pos, want ^ flips.get(pos, 0)) for pos, want in conds
+        )
+        prim.append(("diag", conds, base, masked))
+
+    for g in circuit.gates:
+        if g.name in ("barrier", "measure", "id"):
+            continue
+        if g.name == "cx":
+            c, t = g.qubits
+            push_1q("h", t)
+            push_diag(((c, 1), (t, 1)), 0.0, math.pi)
+            push_1q("h", t)
+        elif g.name in ("h", "x", "sx", "sxdg"):
+            push_1q(g.name, g.qubits[0])
+        elif g.name in ("rz", "cp", "flags_phase"):
+            conds, base, masked = _diag_conds_and_angles(g)
+            push_diag(conds, base, masked)
+        else:
+            raise ValueError(f"unsupported gate {g.name}")
+    for q in sorted(flips):
+        if flips[q]:
+            flips[q] = 0
+            prim.append(("1q", X, q))
+
+    ops = []
+    for p in prim:
+        if p[0] == "diag":
+            _, conds, base, a = p
+            if (ops and ops[-1][0] == "diag"
+                    and len(ops[-1][1]) < _MAX_DIAG_TERMS):
+                _, terms, angles, b0 = ops[-1]
+                ops[-1] = ("diag", terms + (conds,), angles + (a,),
+                           b0 + base)
+            else:
+                ops.append(("diag", (conds,), (a,), base))
+        else:
+            _, U, q = p
+            if q < 7:
+                M = _lane_gate_matrix(U, q)
+                if ops and ops[-1][0] == "lane":
+                    ops[-1] = ("lane", M @ ops[-1][1])
+                else:
+                    ops.append(("lane", M))
+            else:
+                if ops and ops[-1][0] == "rowq" and ops[-1][2] == q:
+                    ops[-1] = ("rowq", U @ ops[-1][1], q)
+                else:
+                    ops.append(("rowq", U, q))
+
+    # post-pass: merge 1q ops on ADJACENT row qubits into one 4x4 pass
+    # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo))
+    merged = []
+    for op in ops:
+        if (op[0] == "rowq" and merged and merged[-1][0] == "rowq"
+                and abs(merged[-1][2] - op[2]) == 1):
+            _, U_prev, q_prev = merged[-1]
+            _, U, q = op
+            if q > q_prev:
+                merged[-1] = ("row2", np.kron(U, U_prev), q_prev)
+            else:
+                merged[-1] = ("row2", np.kron(U_prev, U), q)
+        else:
+            merged.append(op)
+    return merged
+
+
+def _apply_ops(re, im, ops, num_qubits: int):
+    for op in ops:
+        if op[0] == "diag":
+            _, terms, angles, base = op
+            re, im = K.apply_diagonal_profile(re, im, terms, angles, base)
+        elif op[0] == "lane":
+            M = op[1]
+            re, im = K._lane_matmul_call(
+                re, im,
+                jnp.asarray(M.real.astype(np.float32)),
+                jnp.asarray(M.imag.astype(np.float32)),
+            )
+        elif op[0] == "row2":
+            _, U4, q_lo = op
+            re, im = K.apply_2q_row_pair(re, im, U4, q_lo)
+        else:
+            _, U, q = op
+            re, im = K.apply_1q(re, im, U, q, num_qubits)
+    return re, im
+
+
 def run_statevector(circuit: Circuit) -> Tuple[jax.Array, jax.Array]:
-    """Final statevector planes with measurements deferred."""
+    """Final statevector planes with measurements deferred (fused ops)."""
     nq = circuit.num_qubits
     if nq < 7:
         raise ValueError(
             "TPU plane engine needs >= 7 qubits; use sim.dense below that"
         )
     re, im = zero_planes(nq)
-    for g in circuit.gates:
-        re, im = apply_gate(re, im, g, nq)
+    re, im = _apply_ops(re, im, fuse_ops(circuit), nq)
     if circuit.global_phase:
         c = float(np.cos(circuit.global_phase))
         s = float(np.sin(circuit.global_phase))
