@@ -166,6 +166,26 @@ def main():
         extra["suite70_gate_level_ms"] = round(
             _t(suite_fused, reps=5) * 1e3, 2)
 
+        # BASELINE "max KL vs exact Gibbs": one rep per suite graph,
+        # 10k post-selected shots from the analytic sampler
+        from qcmrf_tpu.evaluation import metrics as emetrics
+        from qcmrf_tpu.sim import analytic
+
+        kls = []
+        for j, C in enumerate(suite.graphs):
+            m = MRF.create(C, theta=suite.thetas[j][0])
+            xs, accepted = analytic.sample_postselected(
+                jax.random.fold_in(jax.random.PRNGKey(5), j), m, 10_240
+            )
+            xs, accepted = np.asarray(xs), np.asarray(accepted)
+            q = np.bincount(xs[accepted], minlength=m.num_states).astype(
+                np.float64
+            )
+            q /= max(q.sum(), 1.0)
+            kls.append(float(emetrics.kl(np.asarray(m.gibbs_probs(),
+                                                    np.float64), q)))
+        extra["kl_suite_max_10k_shots"] = round(max(kls), 5)
+
         # exact lnZ latency beyond the reference's 10-qubit ceiling
         for rows_, cols_ in ((4, 6), (4, 7)):
             g = grid_mrf(rows_, cols_)

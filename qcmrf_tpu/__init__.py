@@ -25,6 +25,11 @@ from qcmrf_tpu.models.elimination import (
     log_partition as elimination_log_partition,
 )
 from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded
+from qcmrf_tpu.noise.fit import (
+    CalibratedNoiseModel,
+    fit_calibrated,
+    fit_noise_model,
+)
 
 __version__ = "0.1.0"
 
@@ -55,4 +60,7 @@ __all__ = [
     "log_partition_from_counts",
     "elimination_log_partition",
     "elimination_marginals",
+    "CalibratedNoiseModel",
+    "fit_calibrated",
+    "fit_noise_model",
 ]

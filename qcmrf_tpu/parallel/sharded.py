@@ -14,12 +14,14 @@ Design (the scaling-book recipe, specialized to amplitude sharding):
   Hadamard wall) never need communication even on sharded qubits: the
   sharded bits' values are a function of ``jax.lax.axis_index``, so each
   device computes its own phase mask locally;
-* non-diagonal gates on sharded qubits trigger a **qubit-block remap**: one
-  ``lax.all_to_all`` swaps the ``log2 D`` device bits with the top
-  ``log2 D`` local bits (the direct analog of Ulysses-style all-to-all
-  head/sequence swaps), after which the gate is local. The logical->physical
-  qubit permutation is tracked statically in Python, so remaps compile to
-  exactly one collective each;
+* non-diagonal gates on sharded qubits trigger a **targeted qubit
+  exchange**: one ``lax.ppermute`` swaps the needed device bit with one
+  local bit (the analog of a Ulysses-style head/sequence swap, but moving
+  only half of each shard instead of (D-1)/D of it), after which the gate
+  is local. The evicted local qubit is chosen by Belady's rule (furthest
+  next use); the logical->physical permutation is tracked statically in
+  Python, so each remap compiles to exactly one collective, and any final
+  layout restores via a short exchange sequence + one local bit transpose;
 * scalar results (norms, partition functions) reduce with ``psum``.
 
 Complex amplitudes are real/imag float32 planes (TPU has no complex dtype

@@ -196,3 +196,21 @@ def test_operator_helpers_on_facade():
     )
     B = q._conjugate_blocks(ss)
     assert B.n == 3
+
+
+def test_basis_gates_ctor_and_lowered():
+    """Reference ctor parity (QCMRF.py:25): basis_gates is stored; the
+    lowered() method targets it (only the reference basis is supported)."""
+    import pytest
+
+    from qcmrf_tpu.circuits.compiler import QCMRF
+    from qcmrf_tpu.circuits.lower import basis_gate_counts
+
+    q = QCMRF.build([[0, 1]], theta=[-0.2] * 4)
+    assert tuple(q.basis_gates) == ("cx", "id", "rz", "sx", "x")
+    low = q.lowered()
+    counts = basis_gate_counts(low)
+    assert set(counts) <= {"cx", "id", "rz", "sx", "x", "measure", "barrier"}
+    q2 = QCMRF.build([[0, 1]], theta=[-0.2] * 4, basis_gates=["cz", "rx"])
+    with pytest.raises(ValueError):
+        q2.lowered()
