@@ -102,32 +102,17 @@ def main():
     extra = {}
     try:
         from qcmrf_tpu.ops import kernels
-        from qcmrf_tpu.sim import dense as sdense
+        from qcmrf_tpu.runners.bench import gate_apply_gbps, make_suite70_fused
 
         def _t(fn, reps=10):
             jax.block_until_ready(fn(0))
             return best_of(fn, reps=reps)[0]
 
-        # gate-apply bandwidth at n=20 planes (BASELINE.json metric)
-        rows = (1 << n) // 128
-        re0 = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
-        im0 = jnp.zeros_like(re0)
-        H = sdense.GATES_1Q["h"]
-        CHAIN, moved = 16, 4 * (1 << n) * 4
-
-        def chained(q):
-            @jax.jit
-            def f(s):
-                r, i_ = re0 + 0.0 * s, im0
-                for _ in range(CHAIN):
-                    r, i_ = kernels.apply_1q(r, i_, H, q, n)
-                return r
-            return f
-
-        extra["gate_lane_gbps"] = round(
-            moved * CHAIN / _t(chained(3)) / 1e9, 1)
-        extra["gate_row_gbps"] = round(
-            moved * CHAIN / _t(chained(n - 2)) / 1e9, 1)
+        # gate-apply bandwidth at n=20 planes (BASELINE.json metric;
+        # shared body with runners/bench — only the timer differs here)
+        lane_gbps, row_gbps = gate_apply_gbps(n, _t)
+        extra["gate_lane_gbps"] = round(lane_gbps, 1)
+        extra["gate_row_gbps"] = round(row_gbps, 1)
 
         # fused-ops plane engine: full 20-qubit QCMRF circuit (gate-level)
         from qcmrf_tpu.circuits.compiler import compile_qcmrf
@@ -140,6 +125,7 @@ def main():
         )
         circ = compile_qcmrf(chain10, with_measurements=False)
         ops = stpu.fuse_ops(circ)
+        re0, im0 = stpu.zero_planes(20)
 
         @jax.jit
         def run_fused(s):
@@ -150,21 +136,12 @@ def main():
         extra["qcmrf20_gates"] = len(circ.gates)
 
         # fused whole-circuit kernel over the 70-circuit reference suite
+        # (one dispatch for all 7 graph launches; shared body)
+        extra["suite70_gate_level_ms"] = round(
+            _t(make_suite70_fused(0.1), reps=5) * 1e3, 2)
         from qcmrf_tpu.models.suite import generate_suite
-        from qcmrf_tpu.ops import circuit_kernel
 
         suite = generate_suite(0.1)
-        thetas = [np.asarray(suite.thetas[j], np.float32)
-                  for j in range(len(suite.graphs))]
-
-        @jax.jit  # ONE dispatch for all 7 graph launches
-        def suite_fused(s):
-            return [
-                circuit_kernel.batched_circuit_probs(C, th + 0.0 * s)
-                for (C, th) in zip(suite.graphs, thetas)
-            ]
-        extra["suite70_gate_level_ms"] = round(
-            _t(suite_fused, reps=5) * 1e3, 2)
 
         # BASELINE "max KL vs exact Gibbs": one rep per suite graph,
         # 10k post-selected shots from the analytic sampler

@@ -359,11 +359,11 @@ def _row_gate_call(re, im, u, stride_rows: int):
 
 
 def _row_pair_kernel(re_ref, im_ref, u_ref, ore_ref, oim_ref):
-    """4x4 unitary over two ADJACENT row qubits in one pass: the block is
-    (1, 4, stride, LANE) with axis 1 spanning (bit q+1, bit q); u is the
-    4x4 complex matrix as (4, 4, 2) real/imag scalars in SMEM."""
-    a_re = [re_ref[0, j] for j in range(4)]
-    a_im = [im_ref[0, j] for j in range(4)]
+    """4x4 unitary over two ADJACENT row qubits: the block is
+    (chunk_g, 4, stride, LANE) with axis 1 spanning (bit q+1, bit q); u is
+    the 4x4 complex matrix as (4, 4, 2) real/imag scalars in SMEM."""
+    a_re = [re_ref[:, j] for j in range(4)]
+    a_im = [im_ref[:, j] for j in range(4)]
     for j in range(4):  # static unroll: 16 complex FMAs on full planes
         acc_re = None
         acc_im = None
@@ -374,36 +374,37 @@ def _row_pair_kernel(re_ref, im_ref, u_ref, ore_ref, oim_ref):
             ti = ur * a_im[l] + ui * a_re[l]
             acc_re = tr if acc_re is None else acc_re + tr
             acc_im = ti if acc_im is None else acc_im + ti
-        ore_ref[0, j] = acc_re
-        oim_ref[0, j] = acc_im
+        ore_ref[:, j] = acc_re
+        oim_ref[:, j] = acc_im
+
+
+#: largest row-pair stride the fusion pass may merge: stride 1024 keeps
+#: the (1, 4, stride, 128) block at 4096 rows = 2 MB/plane (8 MB for the
+#: four in/out planes) within scoped VMEM; above it callers apply the two
+#: 1q gates separately
+MAX_ROW_PAIR_STRIDE = 1024
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _row_pair_call(re, im, u, stride_rows: int):
     rows = re.shape[0]
     g = rows // (4 * stride_rows)
+    # several bit-groups per block: keeps the grid small and the block at
+    # <= 4096 rows (<= 8 MB of planes) for any mergeable stride
+    chunk_g = max(1, min(g, 4096 // (4 * stride_rows)))
     re4 = re.reshape(g, 4, stride_rows, LANE)
     im4 = im.reshape(g, 4, stride_rows, LANE)
+    bspec = pl.BlockSpec((chunk_g, 4, stride_rows, LANE),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _row_pair_kernel,
         out_shape=(
             jax.ShapeDtypeStruct(re4.shape, jnp.float32),
             jax.ShapeDtypeStruct(re4.shape, jnp.float32),
         ),
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 4, stride_rows, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, stride_rows, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 4, stride_rows, LANE),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, stride_rows, LANE),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        grid=(g // chunk_g,),
+        in_specs=[bspec, bspec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(bspec, bspec),
         interpret=_interpret(),
     )(re4, im4, u)
     return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
@@ -413,6 +414,11 @@ def apply_2q_row_pair(re: jax.Array, im: jax.Array, U4: np.ndarray,
                       q_lo: int) -> Tuple[jax.Array, jax.Array]:
     """Apply a 4x4 unitary to adjacent row qubits (q_lo, q_lo+1), both
     >= 7; U4 row/col index = bit(q_lo+1)*2 + bit(q_lo)."""
+    if (1 << (q_lo - 7)) > MAX_ROW_PAIR_STRIDE:
+        raise ValueError(
+            f"row-pair stride for q_lo={q_lo} exceeds the scoped-VMEM-safe "
+            f"maximum ({MAX_ROW_PAIR_STRIDE}); apply the 1q gates separately"
+        )
     U4 = np.asarray(U4, dtype=np.complex64)
     u = jnp.asarray(
         np.stack([U4.real.astype(np.float32), U4.imag.astype(np.float32)],
@@ -553,6 +559,9 @@ def _build_diag_profile_kernel(terms: tuple, block_rows: int):
 @functools.partial(jax.jit, static_argnums=(0,))
 def _diag_profile_call(terms: tuple, ang, re, im):
     rows = re.shape[0]
+    # grid may exceed _MAX_GRID here: the remote-compile blowup documented
+    # for the logpot kernel is body-size-dependent, and this small body
+    # measured 3.1 s at grid 64 (nq=23, 2026-08-16) — no loop+DMA needed
     block_rows = min(rows, 1024)
     kernel = _build_diag_profile_kernel(terms, block_rows)
     bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),

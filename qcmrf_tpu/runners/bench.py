@@ -35,6 +35,64 @@ def _time(fn: Callable, reps: int = 10) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+# -- shared benchmark bodies (also used by the repo-root bench.py, which
+#    times them best-of-trials for the driver artifact) ---------------------
+
+
+def gate_apply_gbps(n: int, timer: Callable) -> tuple:
+    """(lane_gbps, row_gbps): chained Hadamard applies on the n-qubit
+    statevector planes; ``timer(fn) -> seconds/call`` with fn(dummy_int).
+    This is the BASELINE.json "gate-apply GB/s at n=20" metric body."""
+    import jax
+    import jax.numpy as jnp
+
+    from qcmrf_tpu.ops import kernels
+    from qcmrf_tpu.sim import dense
+
+    rows = (1 << n) // 128
+    re = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
+    im = jnp.zeros_like(re)
+    H = dense.GATES_1Q["h"]
+    chain_len = 16
+    moved = 4 * (1 << n) * 4  # 2 in + 2 out f32 planes per apply
+
+    def chained(q):
+        @jax.jit
+        def f(s):
+            r, i_ = re + 0.0 * s, im
+            for _ in range(chain_len):
+                r, i_ = kernels.apply_1q(r, i_, H, q, n)
+            return r
+        return f
+
+    lane = moved * chain_len / timer(chained(3))
+    row = moved * chain_len / timer(chained(n - 2))
+    return lane / 1e9, row / 1e9
+
+
+def make_suite70_fused(scale: float = 0.1) -> Callable:
+    """Jitted one-dispatch gate-level execution of the whole 70-circuit
+    reference suite (one fused whole-circuit kernel per graph)."""
+    import jax
+    import numpy as np
+
+    from qcmrf_tpu.models.suite import generate_suite
+    from qcmrf_tpu.ops import circuit_kernel
+
+    suite = generate_suite(scale)
+    thetas = [np.asarray(suite.thetas[j], np.float32)
+              for j in range(len(suite.graphs))]
+
+    @jax.jit
+    def suite_fused(s):
+        return [
+            circuit_kernel.batched_circuit_probs(C, th + 0.0 * s)
+            for (C, th) in zip(suite.graphs, thetas)
+        ]
+
+    return suite_fused
+
+
 def main(argv: Optional[List[str]] = None) -> dict:
     parser = argparse.ArgumentParser(prog="qcmrf_tpu bench")
     parser.add_argument("--n", type=int, default=20,
@@ -52,7 +110,6 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     from qcmrf_tpu.models.mrf import grid_mrf
     from qcmrf_tpu.ops import kernels, sampler_kernel
-    from qcmrf_tpu.sim import dense
 
     rows = max(2, int(np.sqrt(args.n)))
     cols = max(2, args.n // rows)
@@ -88,53 +145,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
     out["lnZ_ms"] = round(_time(lnz_fn) * 1e3, 3)
 
     # gate-apply bandwidth (statevector planes, 4 arrays of 2^n f32 moved
-    # per application); CHAIN applications inside one jit so per-call
-    # dispatch does not masquerade as kernel time
-    re = jnp.zeros(((1 << n) // 128, 128), jnp.float32).at[0, 0].set(1.0)
-    im = jnp.zeros_like(re)
-    H = dense.GATES_1Q["h"]
-    CHAIN = 16
-    moved = 4 * (1 << n) * 4
-
-    def chained(q):
-        @jax.jit
-        def f(s):
-            r, i_ = re + 0.0 * s, im
-            for _ in range(CHAIN):
-                r, i_ = kernels.apply_1q(r, i_, H, q, n)
-            return r
-        return f
-
-    lane = profiling.Counter()
-    lane.add(nbytes=moved * CHAIN, seconds=_time(chained(3)))
-    row = profiling.Counter()
-    row.add(nbytes=moved * CHAIN, seconds=_time(chained(n - 2)))
-    out["gate_lane_gbps"] = round(lane.gb_per_sec, 2)
-    out["gate_row_gbps"] = round(row.gb_per_sec, 2)
+    # per application; chained applies inside one jit so per-call dispatch
+    # does not masquerade as kernel time) — shared body, see gate_apply_gbps
+    lane_gbps, row_gbps = gate_apply_gbps(n, _time)
+    out["gate_lane_gbps"] = round(lane_gbps, 2)
+    out["gate_row_gbps"] = round(row_gbps, 2)
 
     # fused whole-circuit kernel: full 70-circuit reference suite,
-    # gate-level, one launch per graph
+    # gate-level, ONE dispatch for all graphs
     try:
-        from qcmrf_tpu.models.suite import generate_suite
-        from qcmrf_tpu.ops import circuit_kernel
-
-        suite = generate_suite(0.1)
-
-        def run_suite_fused(_):
-            return [
-                circuit_kernel.batched_circuit_probs(
-                    C, np.asarray(suite.thetas[j], np.float32)
-                )
-                for j, C in enumerate(suite.graphs)
-            ]
-
-        jax.block_until_ready(run_suite_fused(0))
-        t0 = time.perf_counter()
-        for i in range(10):
-            outs = run_suite_fused(i)
-        jax.block_until_ready(outs)
         out["suite70_gate_level_ms"] = round(
-            (time.perf_counter() - t0) / 10 * 1e3, 2
+            _time(make_suite70_fused(0.1)) * 1e3, 2
         )
     except Exception as e:  # keep the bench robust on odd backends
         out["suite70_gate_level_ms"] = f"failed: {e}"

@@ -130,11 +130,25 @@ def main(argv: Optional[List[str]] = None) -> str:
     opt_state = opt.init(raw)
     start = 0
 
-    # orbax checkpoint manager: numbered steps under <outdir>/ckpt
+    # orbax checkpoint manager: numbered steps under <outdir>/ckpt.
+    # Synchronous saves: async checkpointing spawns worker threads whose
+    # interpreter-shutdown teardown intermittently aborts the process
+    # (observed as "Fatal Python error" after green test runs), and these
+    # states are tiny.
     mngr = ocp.CheckpointManager(
         os.path.abspath(os.path.join(args.outdir, "ckpt")),
-        options=ocp.CheckpointManagerOptions(max_to_keep=2),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=2, enable_async_checkpointing=False
+        ),
     )
+    legacy = os.path.join(args.outdir, "checkpoint.npz")
+    if args.resume and mngr.latest_step() is None and os.path.isfile(legacy):
+        raise SystemExit(
+            f"{legacy} is a legacy pickle checkpoint from a previous "
+            "version; it cannot be resumed by the orbax format. Delete it "
+            "(restarting from scratch) or re-run the old version to "
+            "completion."
+        )
     if args.resume and mngr.latest_step() is not None:
         start = int(mngr.latest_step())
         restored = mngr.restore(
@@ -148,21 +162,24 @@ def main(argv: Optional[List[str]] = None) -> str:
         print(f"resumed from step {start}")
 
     if args.mesh:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         mesh = _make_mesh(args.mesh)
         if template.num_states % mesh.shape["amp"]:
             raise SystemExit("amp axis must divide the state-table size")
         if data.shape[0] % mesh.shape["data"]:
             data = data[: data.shape[0]
                         - data.shape[0] % mesh.shape["data"]]
-        # place inputs on the mesh: params/opt state replicated, batch
-        # sharded over the data axis (restored checkpoints land on a
-        # single device otherwise)
-        rep = NamedSharding(mesh, P())
-        raw = jax.device_put(raw, rep)
-        opt_state = jax.device_put(opt_state, rep)
-        data = jax.device_put(data, NamedSharding(mesh, P("data")))
+        # keep inputs UNCOMMITTED (host round-trip): pre-committing them
+        # to the mesh (device_put with NamedSharding) intermittently
+        # deadlocks XLA-CPU's subgroup all-reduce rendezvous (SIGABRT
+        # after its 40 s termination timeout, ~50% repro on the 8-device
+        # host platform), while uncommitted inputs — data/raw produced by
+        # samplers or checkpoint restore land committed to device 0
+        # otherwise — dispatch cleanly and the step shards them itself.
+        raw = jnp.asarray(np.asarray(raw))
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)), opt_state
+        )
+        data = jnp.asarray(np.asarray(data))
         step_fn = mtrain.make_sharded_train_step(template, opt, mesh)
     else:
         step_fn = mtrain.make_train_step(template, opt)
@@ -179,6 +196,8 @@ def main(argv: Optional[List[str]] = None) -> str:
             mngr.wait_until_finished()
             print(f"step {s + 1}: nll={float(loss):.4f} (checkpointed)")
 
+    mngr.close()  # join orbax's async workers (a live thread pool at
+    # interpreter exit can abort shutdown with a fatal error)
     theta = mtrain._to_theta(raw, True)
     out_path = os.path.join(args.outdir, "fitted_model.json")
     with open(out_path, "w") as f:

@@ -82,10 +82,21 @@ def parse_with_config(parser, argv=None):
     args = parser.parse_args(argv)
     if args.config:
         with open(args.config) as f:
-            cfg = Config.from_json(f.read())
+            raw = json.load(f)
+        # only keys PRESENT in the file become defaults — filling in the
+        # Config dataclass's own defaults here would silently override
+        # each CLI's defaults (e.g. eval's platform="cpu") for every
+        # field the user did not mention
+        fields = {f.name for f in dataclasses.fields(Config)}
         known_dests = {a.dest for a in parser._actions}
+        unknown = set(raw) - fields
+        if unknown:
+            raise SystemExit(
+                f"--config {args.config}: unknown keys {sorted(unknown)}; "
+                f"valid keys: {sorted(fields)}"
+            )
         parser.set_defaults(**{
-            k: v for k, v in dataclasses.asdict(cfg).items()
+            k: v for k, v in raw.items()
             if k in known_dests and v is not None
         })
         args = parser.parse_args(argv)

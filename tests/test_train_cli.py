@@ -55,4 +55,36 @@ def test_config_file_supplies_defaults(tmp_path):
     dumped = json.load(open(tmp_path / "o" / "train_config.json"))
     assert dumped["seed"] == 3
     assert dumped["steps"] == 10
+    # fields NOT in the file keep the CLI's own defaults (a config file
+    # must never smuggle in the Config dataclass's defaults)
+    assert dumped["lr"] == 0.05
+    assert dumped["checkpoint_every"] == 100
     assert os.path.isfile(tmp_path / "o" / "fitted_model.json")
+
+
+def test_config_file_rejects_unknown_keys(tmp_path):
+    import pytest
+
+    cfg = tmp_path / "bad.json"
+    cfg.write_text(json.dumps({"sedd": 3}))
+    with pytest.raises(SystemExit, match="unknown keys"):
+        train_cli.main(["--steps", "1", "--config", str(cfg)])
+
+
+def test_config_file_does_not_override_cli_defaults(tmp_path):
+    """A file mentioning only one key must leave every other default
+    untouched (regression: Config dataclass defaults leaked through)."""
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"scale": 0.25}))
+    import argparse
+
+    from qcmrf_tpu.utils.config import parse_with_config
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scale", type=float, default=0.1)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default="cpu")
+    args = parse_with_config(parser, ["--config", str(cfg)])
+    assert args.scale == 0.25
+    assert args.seed == 0          # NOT Config's 1984
+    assert args.platform == "cpu"  # NOT Config's "default"
