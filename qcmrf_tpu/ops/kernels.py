@@ -378,31 +378,30 @@ def _row_pair_kernel(re_ref, im_ref, u_ref, ore_ref, oim_ref):
         oim_ref[:, j] = acc_im
 
 
-#: largest row-pair stride the fusion pass may merge: stride 1024 keeps
-#: the (1, 4, stride, 128) block at 4096 rows = 2 MB/plane (8 MB for the
-#: four in/out planes) within scoped VMEM; above it callers apply the two
-#: 1q gates separately
-MAX_ROW_PAIR_STRIDE = 1024
-
-
 @functools.partial(jax.jit, static_argnums=(3,))
 def _row_pair_call(re, im, u, stride_rows: int):
     rows = re.shape[0]
     g = rows // (4 * stride_rows)
-    # several bit-groups per block: keeps the grid small and the block at
-    # <= 4096 rows (<= 8 MB of planes) for any mergeable stride
-    chunk_g = max(1, min(g, 4096 // (4 * stride_rows)))
+    # Fixed <= 1024-row (0.5 MB/plane) blocks for ANY stride: a 2-D grid
+    # tiles the group axis and the stride axis independently. Scoped VMEM
+    # must hold the four in/out plane buffers x2 (pipeline double-
+    # buffering) plus the kernel's accumulator temporaries, so the
+    # per-buffer block has to stay well under limit/8 — a 4096-row block
+    # measured 27.8 MB scoped against the 16 MB hardware limit.
+    sblk = min(stride_rows, 256)
+    chunk_g = max(1, min(g, 1024 // (4 * sblk)))
     re4 = re.reshape(g, 4, stride_rows, LANE)
     im4 = im.reshape(g, 4, stride_rows, LANE)
-    bspec = pl.BlockSpec((chunk_g, 4, stride_rows, LANE),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((chunk_g, 4, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _row_pair_kernel,
         out_shape=(
             jax.ShapeDtypeStruct(re4.shape, jnp.float32),
             jax.ShapeDtypeStruct(re4.shape, jnp.float32),
         ),
-        grid=(g // chunk_g,),
+        grid=(g // chunk_g, stride_rows // sblk),
         in_specs=[bspec, bspec, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(bspec, bspec),
         interpret=_interpret(),
@@ -414,11 +413,6 @@ def apply_2q_row_pair(re: jax.Array, im: jax.Array, U4: np.ndarray,
                       q_lo: int) -> Tuple[jax.Array, jax.Array]:
     """Apply a 4x4 unitary to adjacent row qubits (q_lo, q_lo+1), both
     >= 7; U4 row/col index = bit(q_lo+1)*2 + bit(q_lo)."""
-    if (1 << (q_lo - 7)) > MAX_ROW_PAIR_STRIDE:
-        raise ValueError(
-            f"row-pair stride for q_lo={q_lo} exceeds the scoped-VMEM-safe "
-            f"maximum ({MAX_ROW_PAIR_STRIDE}); apply the 1q gates separately"
-        )
     U4 = np.asarray(U4, dtype=np.complex64)
     u = jnp.asarray(
         np.stack([U4.real.astype(np.float32), U4.imag.astype(np.float32)],

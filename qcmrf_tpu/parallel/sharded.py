@@ -198,6 +198,72 @@ def _build_sample_fn(cliques: tuple, n: int, mesh: Mesh, per_dev: int):
     return draw
 
 
+@functools.lru_cache(maxsize=128)
+def _build_estimate_fn(cliques: tuple, n: int, mesh: Mesh, per_dev: int,
+                       iters: int):
+    from qcmrf_tpu.sim import analytic
+
+    _dlog(mesh)  # validate mesh size
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    template = MRF.create([list(C) for C in cliques])
+    use_kernel = jax.default_backend() == "tpu" and per_dev % 128 == 0
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    )
+    def est(seed, theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        d = jax.lax.axis_index(axis)
+
+        def step(carry, i):
+            if use_kernel:
+                from qcmrf_tpu.ops import sampler_kernel
+
+                # distinct stream per (device, iteration): the flat index
+                # d*iters+i spaced by a prime stays below the kernel's own
+                # per-grid-block spacing
+                _x, acc = sampler_kernel.sample_postselected(
+                    seed[0] + (d * iters + i) * jnp.int32(7919),
+                    mrf, per_dev,
+                )
+            else:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(seed[0]), d), i
+                )
+                _x, acc = analytic.sample_postselected(key, mrf, per_dev)
+            return carry, jnp.sum(acc.astype(jnp.float32))
+
+        _, sums = jax.lax.scan(
+            step, jnp.int32(0), jnp.arange(iters, dtype=jnp.int32)
+        )
+        return jax.lax.psum(sums, axis) / (per_dev * D)
+
+    return est
+
+
+def sharded_estimate_delta(
+    key: jax.Array, mrf: MRF, mesh: Mesh, shots: int, iters: int
+) -> jax.Array:
+    """``iters`` independent delta-hat estimates of ``shots`` draws each,
+    fused into ONE jitted dispatch (a lax.scan over the per-device fused
+    sampler). The unfused loop (sharded_sample_postselected per round)
+    pays several host round-trips per iteration, which dominates on a
+    tunneled chip; this path's host cost is one dispatch regardless of
+    ``iters``. Returns the (iters,) acceptance rates, E = Z / 2**n.
+    """
+    D = mesh.devices.size
+    if shots % D:
+        raise ValueError(
+            f"shots ({shots}) must be divisible by the mesh size ({D})"
+        )
+    fn = _build_estimate_fn(mrf.cliques, mrf.n, mesh, shots // D, iters)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    return fn(seed, mrf.theta, mrf.beta)
+
+
 def sharded_sample_postselected(
     key: jax.Array, mrf: MRF, mesh: Mesh, shots: int
 ) -> Tuple[jax.Array, jax.Array]:

@@ -73,23 +73,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
     out["lnZ_ms"] = round((time.perf_counter() - t0) / 3 * 1e3, 2)
 
     # repeated estimation loop: sample -> estimate delta & lnZ-hat.
-    # accumulate on device; a host sync per iteration would dominate
-    # (tunnel round-trips cost ~1 s each)
-    deltas = []
-    key = jax.random.PRNGKey(0)
-    # warm-up compiles outside the timed region
-    _x, _acc = sharded.sharded_sample_postselected(
-        jax.random.PRNGKey(99), mrf, mesh, args.shots
-    )
-    jax.block_until_ready(_acc)
+    # The whole loop is ONE jitted dispatch (lax.scan over the fused
+    # sampler): per-iteration host round-trips would dominate on a
+    # tunneled chip (measured 8 M shots/s unfused vs kernel-bound fused)
+    _ = jax.block_until_ready(sharded.sharded_estimate_delta(
+        jax.random.PRNGKey(99), mrf, mesh, args.shots, args.estimations
+    ))  # warm-up compile outside the timed region
     t0 = time.perf_counter()
-    for i in range(args.estimations):
-        key, sub = jax.random.split(key)
-        x, acc = sharded.sharded_sample_postselected(
-            sub, mrf, mesh, args.shots
+    deltas = np.asarray(jax.block_until_ready(
+        sharded.sharded_estimate_delta(
+            jax.random.PRNGKey(0), mrf, mesh, args.shots, args.estimations
         )
-        deltas.append(jnp.mean(acc))
-    deltas = np.asarray(jax.block_until_ready(jnp.stack(deltas)))
+    ))
     dt = (time.perf_counter() - t0) / args.estimations
     out["est_shots_per_sec"] = round(args.shots / dt)
     delta_hat = float(np.mean(deltas))

@@ -160,16 +160,12 @@ def fuse_ops(circuit: Circuit) -> list:
                     ops.append(("rowq", U, q))
 
     # post-pass: merge 1q ops on ADJACENT row qubits into one 4x4 pass
-    # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo));
-    # skipped above the VMEM-safe stride (kernels.MAX_ROW_PAIR_STRIDE)
-    from qcmrf_tpu.ops.kernels import MAX_ROW_PAIR_STRIDE
-
+    # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo)); the
+    # row-pair kernel's 2-D grid keeps VMEM blocks bounded at any stride
     merged = []
     for op in ops:
         if (op[0] == "rowq" and merged and merged[-1][0] == "rowq"
-                and abs(merged[-1][2] - op[2]) == 1
-                and (1 << (min(merged[-1][2], op[2]) - 7))
-                <= MAX_ROW_PAIR_STRIDE):
+                and abs(merged[-1][2] - op[2]) == 1):
             _, U_prev, q_prev = merged[-1]
             _, U, q = op
             if q > q_prev:

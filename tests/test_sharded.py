@@ -66,6 +66,19 @@ def test_sharded_sampling_distribution(mesh8):
     np.testing.assert_allclose(emp, np.asarray(mrf.gibbs_probs()), atol=0.015)
 
 
+def test_sharded_estimate_delta_fused(mesh8):
+    mrf = rand_mrf([[0, 1], [1, 2]], seed=4)
+    deltas = np.asarray(sharded.sharded_estimate_delta(
+        jax.random.PRNGKey(1), mrf, mesh8, 40_000, 4
+    ))
+    assert deltas.shape == (4,)
+    # each round is an independent estimate of Z/2^n
+    want = float(mrf.success_rate())
+    np.testing.assert_allclose(deltas, want, atol=0.02)
+    # rounds are independent draws, not one repeated value
+    assert len(np.unique(deltas)) > 1
+
+
 def test_sharded_statevector_bell(mesh4):
     c = Circuit(4)
     c.h(3).cx(3, 0)  # entangle a *sharded* qubit (3) with a local one
