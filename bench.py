@@ -163,6 +163,28 @@ def main():
                                                     np.float64), q)))
         extra["kl_suite_max_10k_shots"] = round(max(kls), 5)
 
+        # n=28 fused repeated-estimation throughput (one dispatch for all
+        # rounds; the per-round-dispatch loop measured ~8 M shots/s).
+        # Own try: a failure here must not suppress the lnZ metrics below.
+        try:
+            from qcmrf_tpu.parallel import sharded
+
+            g28 = grid_mrf(4, 7)
+            m28 = g28.with_theta(jnp.asarray(
+                -np.abs(np.random.RandomState(0).randn(g28.dimension))
+                .astype(np.float32) * 0.1))
+            mesh1 = sharded.make_mesh(1)
+            est_shots, est_iters = 1 << 22, 5
+
+            def est28(s):
+                return sharded.sharded_estimate_delta(
+                    jax.random.PRNGKey(s), m28, mesh1, est_shots, est_iters)
+
+            dt28 = _t(est28, reps=3) / est_iters
+            extra["est_n28_shots_per_sec"] = round(est_shots / dt28)
+        except Exception as e:
+            extra["est_error"] = f"{type(e).__name__}: {e}"
+
         # exact lnZ latency beyond the reference's 10-qubit ceiling
         for rows_, cols_ in ((4, 6), (4, 7)):
             g = grid_mrf(rows_, cols_)

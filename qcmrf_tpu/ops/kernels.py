@@ -388,6 +388,11 @@ def _row_pair_call(re, im, u, stride_rows: int):
     # buffering) plus the kernel's accumulator temporaries, so the
     # per-buffer block has to stay well under limit/8 — a 4096-row block
     # measured 27.8 MB scoped against the 16 MB hardware limit.
+    # Grid size is rows/4096 when fully packed (2 at n=20 planes). The
+    # repo's grid-<=8 rule applies to LARGE-body kernels (the unrolled
+    # Moebius chains); tiny-body kernels like this one (16 FMAs) compile
+    # fast at much larger grids — the 1q row-gate kernel already runs at
+    # grid 4096 (q=7, n=20) on this hardware.
     sblk = min(stride_rows, 256)
     chunk_g = max(1, min(g, 1024 // (4 * sblk)))
     re4 = re.reshape(g, 4, stride_rows, LANE)

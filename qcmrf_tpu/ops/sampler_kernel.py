@@ -38,16 +38,23 @@ def _interpret() -> bool:
 
 @functools.lru_cache(maxsize=256)
 def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
-                          accept_only: bool = False):
+                          accept_only: bool = False,
+                          emit_x: bool = True):
     """``accept_only=False``: second output is the ancilla bitmask
     (requires K <= 32). ``True``: second output is the 0/1 post-selection
     flag (all ancillas zero) — no clique-count limit; used by the sharded
-    n=24+ estimation path."""
+    n=24+ estimation path. ``emit_x=False`` (accept_only paths that only
+    need the acceptance rate) drops the x output entirely — half the
+    kernel's HBM writes."""
     K = len(cliques)
     cmax = max(len(C) for C in cliques)
     n_sub = 1 << cmax
 
-    def kernel(seed_ref, coef_ref, x_ref, a_ref):
+    def kernel(seed_ref, coef_ref, *out_refs):
+        if emit_x:
+            x_ref, a_ref = out_refs
+        else:
+            (a_ref,) = out_refs
         # spread user seeds so consecutive seeds never share per-block
         # streams (block b of seed s must differ from block b-1 of s+1)
         pltpu.prng_seed(
@@ -87,14 +94,16 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
             else:
                 fired = (u >= c2).astype(jnp.uint32)
                 a = a | (fired << np.uint32(k))
-        x_ref[:] = x
+        if emit_x:
+            x_ref[:] = x
         a_ref[:] = a
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
+def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef,
+                 emit_x: bool = True):
     cliques, n = cliques_and_n
     rows = shots // LANE
     # VMEM-aware block: cmax lazily-extracted planes + temporaries live
@@ -105,30 +114,28 @@ def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef):
     # back down to the requested shot count
     grid = -(-rows // block_rows)
     rows_padded = grid * block_rows
-    kernel = _build_sampler_kernel(cliques, n, block_rows, accept_only)
-    x, a = pl.pallas_call(
+    kernel = _build_sampler_kernel(cliques, n, block_rows, accept_only,
+                                   emit_x)
+    bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    a_shape = jax.ShapeDtypeStruct(
+        (rows_padded, LANE), jnp.int32 if accept_only else jnp.uint32
+    )
+    x_shape = jax.ShapeDtypeStruct((rows_padded, LANE), jnp.int32)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((rows_padded, LANE), jnp.int32),
-            jax.ShapeDtypeStruct(
-                (rows_padded, LANE),
-                jnp.int32 if accept_only else jnp.uint32,
-            ),
-        ),
+        out_shape=(x_shape, a_shape) if emit_x else (a_shape,),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (K * 2^cmax,)
         ],
-        out_specs=(
-            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(bspec, bspec) if emit_x else (bspec,),
         interpret=_interpret(),
     )(seed, coef)
-    return x.reshape(-1)[:shots], a.reshape(-1)[:shots]
+    if emit_x:
+        return out[0].reshape(-1)[:shots], out[1].reshape(-1)[:shots]
+    return out[0].reshape(-1)[:shots]
 
 
 def _keep_prob_coefficients(mrf: MRF) -> jax.Array:
@@ -166,3 +173,16 @@ def sample_postselected(seed, mrf: MRF, shots: int):
     coef = _keep_prob_coefficients(mrf)
     x, a = _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef)
     return x, a == 1
+
+
+def sample_accept_flags(seed, mrf: MRF, shots: int):
+    """Acceptance flags ONLY (no x output — half the HBM writes of
+    sample_postselected): the delta-hat / lnZ-hat estimation path, where
+    the variable samples are never consumed.
+    """
+    if shots % LANE:
+        raise ValueError("shots must be a multiple of 128")
+    seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
+    coef = _keep_prob_coefficients(mrf)
+    a = _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef, False)
+    return a == 1

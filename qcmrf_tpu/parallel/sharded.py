@@ -224,8 +224,9 @@ def _build_estimate_fn(cliques: tuple, n: int, mesh: Mesh, per_dev: int,
 
                 # distinct stream per (device, iteration): the flat index
                 # d*iters+i spaced by a prime stays below the kernel's own
-                # per-grid-block spacing
-                _x, acc = sampler_kernel.sample_postselected(
+                # per-grid-block spacing. Flags-only: the x samples are
+                # never consumed here, so skip their HBM writes.
+                acc = sampler_kernel.sample_accept_flags(
                     seed[0] + (d * iters + i) * jnp.int32(7919),
                     mrf, per_dev,
                 )

@@ -138,7 +138,11 @@ def main(argv: Optional[List[str]] = None) -> str:
                         help="Load suite from this models_*.json instead of "
                              "regenerating from seed 1984.")
     parser.add_argument("--outdir", type=str, default=".")
-    parser.add_argument("--seed", type=int, default=0)
+    # dest matches Config.sample_seed (Config.seed is the SUITE-generation
+    # seed, a reference-parity constant — binding it here would silently
+    # change the sampling stream instead)
+    parser.add_argument("--sample-seed", "--seed", dest="sample_seed",
+                        type=int, default=0)
     parser.add_argument("--platform", type=str, default="default",
                         choices=["cpu", "tpu", "default"],
                         help="Force a device. The reference suite's models "
@@ -172,7 +176,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     )
 
     counts = run_suite(suite, shots=args.shots, engine=args.engine,
-                       seed=args.seed, res_root=args.res_root)
+                       seed=args.sample_seed, res_root=args.res_root)
     tag = args.engine.replace(":", "_")
     out_path = os.path.join(
         args.outdir, f"result_{tag}_{args.scale}.json"

@@ -108,11 +108,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
             * 0.1
         ))
         circ = compile_qcmrf(gl, with_measurements=False)
+        # first call includes shard_map trace + XLA compile; report it
+        # separately and time a warm call for the steady-state number
+        # (same first/steady split as the lnZ metric above)
         t0 = time.perf_counter()
         re, im = sharded.run_statevector_sharded(circ, mesh)
         norm = float(jax.block_until_ready(
             (re * re + im * im).sum()
         ))
+        out["gate_level_first_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        re, im = sharded.run_statevector_sharded(circ, mesh)
+        jax.block_until_ready((re, im))
         out["gate_level_qubits"] = circ.num_qubits
         out["gate_level_gates"] = len(circ.gates)
         out["gate_level_s"] = round(time.perf_counter() - t0, 3)

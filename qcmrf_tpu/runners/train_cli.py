@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from typing import List, Optional
 
 import numpy as np
@@ -62,7 +63,10 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "from a random ground-truth model)")
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--lr", type=float, default=0.05)
-    parser.add_argument("--seed", type=int, default=0)
+    # dest distinct from Config.seed (the suite-generation
+    # constant): this seed drives data generation only
+    parser.add_argument("--data-seed", "--seed",
+                        dest="data_seed", type=int, default=0)
     parser.add_argument("--outdir", type=str, default="./train_out")
     parser.add_argument("--checkpoint-every", type=int, default=100)
     parser.add_argument("--resume", action="store_true")
@@ -101,7 +105,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     os.makedirs(args.outdir, exist_ok=True)
     dump_effective_config(args, os.path.join(args.outdir, "train_config.json"))
 
-    rng = np.random.RandomState(args.seed)
+    rng = np.random.RandomState(args.data_seed)
     if args.data:
         with open(args.data) as f:
             data = jnp.asarray(json.load(f), jnp.int32)
@@ -114,12 +118,12 @@ def main(argv: Optional[List[str]] = None) -> str:
             # (thin=10 matches the reference's chain convention,
             # eval.py:96-98; short thinning risks autocorrelated moments)
             data = msample.sample_gibbs(
-                jax.random.PRNGKey(args.seed), true, args.samples,
+                jax.random.PRNGKey(args.data_seed), true, args.samples,
                 thin=10, burn=100,
             )
         else:
             data = msample.sample_exact(
-                jax.random.PRNGKey(args.seed), true, args.samples
+                jax.random.PRNGKey(args.data_seed), true, args.samples
             )
         with open(os.path.join(args.outdir, "data.json"), "w") as f:
             json.dump(np.asarray(data).tolist(), f)
@@ -166,8 +170,20 @@ def main(argv: Optional[List[str]] = None) -> str:
         if template.num_states % mesh.shape["amp"]:
             raise SystemExit("amp axis must divide the state-table size")
         if data.shape[0] % mesh.shape["data"]:
-            data = data[: data.shape[0]
-                        - data.shape[0] % mesh.shape["data"]]
+            kept = data.shape[0] - data.shape[0] % mesh.shape["data"]
+            print(
+                f"warning: --mesh data axis {mesh.shape['data']} does not "
+                f"divide the {data.shape[0]} samples; training on the "
+                f"first {kept} (the dropped tail changes the objective "
+                "slightly vs a single-device fit)",
+                file=sys.stderr,
+            )
+            data = data[:kept]
+            # provenance must reflect what was actually trained on
+            args.effective_samples = kept
+            dump_effective_config(
+                args, os.path.join(args.outdir, "train_config.json")
+            )
         # keep inputs UNCOMMITTED (host round-trip): pre-committing them
         # to the mesh (device_put with NamedSharding) intermittently
         # deadlocks XLA-CPU's subgroup all-reduce rendezvous (SIGABRT

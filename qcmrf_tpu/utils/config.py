@@ -27,7 +27,8 @@ class Config:
     # execution
     engine: str = "analytic"  # analytic | statevector | noisy:<preset>
     shots: int = 10_000
-    sample_seed: int = 0
+    sample_seed: int = 0      # shot-sampling stream (run_experiment)
+    data_seed: int = 0        # training-data generation (train CLI)
     platform: str = "default"  # cpu | tpu | default
 
     # sharding
@@ -94,6 +95,19 @@ def parse_with_config(parser, argv=None):
             raise SystemExit(
                 f"--config {args.config}: unknown keys {sorted(unknown)}; "
                 f"valid keys: {sorted(fields)}"
+            )
+        # valid Config keys this particular CLI has no flag for are NOT
+        # silently dropped: say so (a shared config file may legitimately
+        # carry keys for several runners, but the user must see which
+        # ones this command ignored)
+        ignored = sorted(k for k in raw if k not in known_dests)
+        if ignored:
+            import sys
+
+            print(
+                f"--config {args.config}: keys {ignored} have no "
+                f"corresponding flag on this command and were ignored",
+                file=sys.stderr,
             )
         parser.set_defaults(**{
             k: v for k, v in raw.items()

@@ -65,6 +65,18 @@ def test_sampler_kernel_deterministic_per_seed():
     assert not np.array_equal(np.asarray(x1), np.asarray(x3))
 
 
+def test_accept_flags_match_postselected():
+    """Flags-only variant: identical stream to sample_postselected for
+    the same seed (the only difference is skipping the x output)."""
+    from qcmrf_tpu.ops import sampler_kernel
+
+    rng = np.random.RandomState(2)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)) * 0.4)
+    _x, acc = sampler_kernel.sample_postselected(11, mrf, 1 << 13)
+    flags = sampler_kernel.sample_accept_flags(11, mrf, 1 << 13)
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(flags))
+
+
 def test_keep_prob_coefficients_reconstruct():
     from qcmrf_tpu.ops import sampler_kernel
 

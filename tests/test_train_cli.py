@@ -47,13 +47,16 @@ def test_config_file_supplies_defaults(tmp_path):
     """--config values act as defaults; explicit flags still win; the
     effective config is dumped for provenance."""
     cfg = tmp_path / "cfg.json"
-    cfg.write_text(json.dumps({"seed": 3, "outdir": str(tmp_path / "o")}))
+    # "data_seed", not "seed": Config.seed is the SUITE-generation
+    # constant and deliberately has no flag on the train CLI
+    cfg.write_text(json.dumps({"data_seed": 3,
+                               "outdir": str(tmp_path / "o")}))
     train_cli.main([
         "--graph", "chain:4", "--samples", "1024", "--steps", "10",
         "--config", str(cfg),
     ])
     dumped = json.load(open(tmp_path / "o" / "train_config.json"))
-    assert dumped["seed"] == 3
+    assert dumped["data_seed"] == 3
     assert dumped["steps"] == 10
     # fields NOT in the file keep the CLI's own defaults (a config file
     # must never smuggle in the Config dataclass's defaults)
