@@ -63,6 +63,9 @@ def main(argv: Optional[List[str]] = None) -> str:
 
         jax.config.update("jax_platforms", args.platform)
 
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     # suite: prefer the stored models file for bit-parity, else regenerate
     res_dir = os.path.join(args.res_root, f"res_{args.scale}")
     suite = None

@@ -159,6 +159,9 @@ def main(argv: Optional[List[str]] = None) -> str:
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
 
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.models:
         suite = load_suite(args.models, float(args.scale))
     else:

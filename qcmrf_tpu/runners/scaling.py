@@ -39,6 +39,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     from qcmrf_tpu.models.mrf import grid_mrf
     from qcmrf_tpu.parallel import sharded
 

@@ -82,6 +82,9 @@ def main(argv: Optional[List[str]] = None) -> str:
 
         jax.config.update("jax_platforms", args.platform)
 
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import optax

@@ -67,6 +67,33 @@ class Config:
         return Mesh(devs, self.mesh_axes[: len(self.mesh_shape)])
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache shared across CLI processes.
+
+    Each runner process re-traces and re-compiles every jitted shape it
+    touches; on the remote-compile TPU backend a 70-circuit suite spends
+    minutes in compiles that an earlier identical run already did. The
+    on-disk cache (keyed by HLO) makes repeat CLI invocations start warm.
+    Opt out with QCMRF_CACHE_DIR=0; relocate by setting it to a path.
+    """
+    import os
+
+    env = os.environ.get("QCMRF_CACHE_DIR")
+    if env == "0":
+        return
+    path = path or env or os.path.expanduser("~/.cache/qcmrf_tpu/xla")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default threshold (1 s) skips exactly the many small per-graph
+        # programs the suite runners re-pay on every invocation
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass  # cache is an optimization; never fail a run over it
+
+
 # --------------------------------------------------------------------------
 # CLI integration: every runner accepts --config and dumps its effective
 # configuration next to its outputs (experiment provenance)

@@ -26,6 +26,25 @@ def test_config_mesh():
     assert Config(mesh_shape=()).make_mesh() is None
 
 
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    import jax
+
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("QCMRF_CACHE_DIR", str(tmp_path / "c"))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
+        assert (tmp_path / "c").is_dir()
+        # opt-out sentinel leaves the current setting untouched
+        monkeypatch.setenv("QCMRF_CACHE_DIR", "0")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_counter():
     c = profiling.Counter()
     c.add(items=100, nbytes=1e9, seconds=2.0)
