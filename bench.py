@@ -48,6 +48,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     from qcmrf_tpu.models.mrf import grid_mrf
     from qcmrf_tpu.sim import analytic
 

@@ -1,0 +1,38 @@
+"""Fit an MRF to data by exact maximum likelihood (autodiff).
+
+A capability with no reference counterpart: the NLL's gradient is the
+moment gap E_data[phi] - E_model[phi]; model moments come from the exact
+(enumerated or sharded) distribution, so gradient descent on theta is
+exact MLE. See runners/train_cli.py for the checkpointed CLI version.
+
+    python examples/04_training.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcmrf_tpu import MRF, fit_mle, kl
+from qcmrf_tpu.models import sample as msample
+
+# ground truth: a 6-variable chain
+truth = MRF.create([[i, i + 1] for i in range(5)])
+rng = np.random.RandomState(0)
+truth = truth.with_theta(jnp.asarray(
+    -np.abs(rng.randn(truth.dimension)).astype(np.float32)
+))
+
+data = msample.sample_exact(jax.random.PRNGKey(0), truth, 20_000)
+
+init = truth.with_theta(jnp.full((truth.dimension,), -0.5))
+fitted, nll = fit_mle(init, data, steps=300, learning_rate=0.1)
+
+d = float(kl(np.asarray(truth.gibbs_probs(), np.float64),
+             np.asarray(fitted.gibbs_probs(), np.float64)))
+print(f"final NLL {float(nll):.4f}; KL(truth || fitted) = {d:.5f}")
+assert d < 0.01

@@ -75,16 +75,25 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     minutes in compiles that an earlier identical run already did. The
     on-disk cache (keyed by HLO) makes repeat CLI invocations start warm.
     Opt out with QCMRF_CACHE_DIR=0; relocate by setting it to a path.
+
+    By default the cache is only enabled for non-CPU backends: CPU
+    compiles are fast, and reloading an XLA:CPU AOT executable whose
+    recorded machine features don't match the host's detected set can
+    SIGILL (XLA logs exactly this warning). An explicit QCMRF_CACHE_DIR
+    or `path` argument overrides the backend gate.
     """
     import os
 
     env = os.environ.get("QCMRF_CACHE_DIR")
     if env == "0":
         return
+    explicit = path is not None or bool(env)
     path = path or env or os.path.expanduser("~/.cache/qcmrf_tpu/xla")
     try:
         import jax
 
+        if not explicit and jax.default_backend() == "cpu":
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # default threshold (1 s) skips exactly the many small per-graph

@@ -41,6 +41,12 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         monkeypatch.setenv("QCMRF_CACHE_DIR", "0")
         enable_compilation_cache()
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
+        # with no explicit dir, the CPU backend is gated off (XLA:CPU AOT
+        # reload can SIGILL on machine-feature mismatch) — the setting is
+        # left untouched rather than pointed at the default path
+        monkeypatch.delenv("QCMRF_CACHE_DIR")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
 
