@@ -54,7 +54,14 @@ def main():
     from qcmrf_tpu.models.mrf import grid_mrf
     from qcmrf_tpu.sim import analytic
 
-    SHOTS = 1 << 20  # 1M shots per call amortizes dispatch
+    # 128M shots per call: the kernel's device-side rate (~12 G shots/s,
+    # write-bandwidth-bound) is reached only once the ~10 ms per-dispatch
+    # tunnel overhead is amortized — measured 0.6-0.8 G shots/s at 2^20,
+    # 5.8-6.9 G at 2^27, 8.4 G at 2^28 (diminishing; 2 GB outputs there
+    # start crowding HBM). Callers estimating delta/lnZ batch exactly
+    # like this (sharded_estimate_delta), so big batches are the honest
+    # operating point, not a benchmark trick.
+    SHOTS = 1 << 27
     template = grid_mrf(4, 5)
     n, K = template.n, template.num_cliques
     rng = np.random.RandomState(0)
@@ -80,7 +87,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) / reps)
         return best, out
 
-    dt, out = best_of(fn, reps=20)
+    dt, out = best_of(fn, reps=8)
     tpu_rate = SHOTS / dt
 
     # --- CPU numpy baseline --------------------------------------------
@@ -95,8 +102,9 @@ def main():
     )
 
     # sanity: acceptance rate matches Z/2^n (delta ~ 5.5e-4 at this theta,
-    # so compare with a tolerance proportional to the value)
-    acc = float((np.asarray(out[1]) == 0).mean())
+    # so compare with a tolerance proportional to the value). Reduce on
+    # device — pulling the 512 MB mask through the tunnel is pure waste.
+    acc = float(jnp.mean((out[1] == 0).astype(jnp.float32)))
     expected = float(mrf.success_rate())
     assert abs(acc - expected) < max(0.2 * expected, 1e-4), (acc, expected)
 
@@ -177,7 +185,10 @@ def main():
                 -np.abs(np.random.RandomState(0).randn(g28.dimension))
                 .astype(np.float32) * 0.1))
             mesh1 = sharded.make_mesh(1)
-            est_shots, est_iters = 1 << 22, 5
+            # same batch-size lever as the headline: flags-only writes are
+            # 4 B/shot, so 2^25-shot rounds stay small (128 MB) while
+            # amortizing the per-dispatch tunnel overhead
+            est_shots, est_iters = 1 << 25, 5
 
             def est28(s):
                 return sharded.sharded_estimate_delta(
