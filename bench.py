@@ -159,20 +159,26 @@ def main():
         from qcmrf_tpu.evaluation import metrics as emetrics
         from qcmrf_tpu.sim import analytic
 
-        kls = []
-        for j, C in enumerate(suite.graphs):
-            m = MRF.create(C, theta=suite.thetas[j][0])
-            xs, accepted = analytic.sample_postselected(
-                jax.random.fold_in(jax.random.PRNGKey(5), j), m, 10_240
-            )
-            xs, accepted = np.asarray(xs), np.asarray(accepted)
-            q = np.bincount(xs[accepted], minlength=m.num_states).astype(
-                np.float64
-            )
-            q /= max(q.sum(), 1.0)
-            kls.append(float(emetrics.kl(np.asarray(m.gibbs_probs(),
-                                                    np.float64), q)))
-        extra["kl_suite_max_10k_shots"] = round(max(kls), 5)
+        def suite_max_kl(shots):
+            kls = []
+            for j, C in enumerate(suite.graphs):
+                m = MRF.create(C, theta=suite.thetas[j][0])
+                xs, accepted = analytic.sample_postselected(
+                    jax.random.fold_in(jax.random.PRNGKey(5), j), m, shots
+                )
+                xs, accepted = np.asarray(xs), np.asarray(accepted)
+                q = np.bincount(xs[accepted],
+                                minlength=m.num_states).astype(np.float64)
+                q /= max(q.sum(), 1.0)
+                kls.append(float(emetrics.kl(
+                    np.asarray(m.gibbs_probs(), np.float64), q)))
+            return round(max(kls), 6)
+
+        # at the reference's 10k shots KL is shot-noise-floored ~2e-3;
+        # the BASELINE.json "KL <= 1e-3" target is met by simply taking
+        # more shots (the sampler does 9 G/s) — both are recorded
+        extra["kl_suite_max_10k_shots"] = suite_max_kl(10_240)
+        extra["kl_suite_max_1m_shots"] = suite_max_kl(1 << 20)
 
         # n=28 fused repeated-estimation throughput (one dispatch for all
         # rounds; the per-round-dispatch loop measured ~8 M shots/s).
