@@ -192,9 +192,9 @@ def main():
                 .astype(np.float32) * 0.1))
             mesh1 = sharded.make_mesh(1)
             # same batch-size lever as the headline: flags-only writes are
-            # 4 B/shot, so 2^25-shot rounds stay small (128 MB) while
+            # 4 B/shot, so 2^26-shot in-kernel-counted rounds write nothing while
             # amortizing the per-dispatch tunnel overhead
-            est_shots, est_iters = 1 << 25, 5
+            est_shots, est_iters = 1 << 26, 5
 
             def est28(s):
                 return sharded.sharded_estimate_delta(

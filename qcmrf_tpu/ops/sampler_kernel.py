@@ -39,13 +39,19 @@ def _interpret() -> bool:
 @functools.lru_cache(maxsize=256)
 def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
                           accept_only: bool = False,
-                          emit_x: bool = True):
+                          emit_x: bool = True,
+                          reduce_counts: bool = False,
+                          tail: tuple = ()):
     """``accept_only=False``: second output is the ancilla bitmask
     (requires K <= 32). ``True``: second output is the 0/1 post-selection
     flag (all ancillas zero) — no clique-count limit; used by the sharded
     n=24+ estimation path. ``emit_x=False`` (accept_only paths that only
     need the acceptance rate) drops the x output entirely — half the
-    kernel's HBM writes."""
+    kernel's HBM writes. ``reduce_counts`` (implies accept_only, no x)
+    column-sums the flags in-kernel and emits one 128-lane row per grid
+    block — the per-shot HBM traffic drops from 4 B (plus the 4 B XLA
+    re-reads to reduce it) to nothing, leaving the kernel purely
+    VPU-bound; the delta-hat estimation path."""
     K = len(cliques)
     cmax = max(len(C) for C in cliques)
     n_sub = 1 << cmax
@@ -96,14 +102,31 @@ def _build_sampler_kernel(cliques: tuple, n: int, block_rows: int,
                 a = a | (fired << np.uint32(k))
         if emit_x:
             x_ref[:] = x
-        a_ref[:] = a
+        if reduce_counts:
+            if tail:
+                # zero the padding rows of the (static) last grid block so
+                # they don't count as accepted shots
+                last_block, valid_rows = tail
+                rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                limit = jnp.where(pl.program_id(0) == last_block,
+                                  valid_rows, block_rows)
+                a = a * (rid < limit).astype(jnp.int32)
+            # per-lane partial counts; block_rows <= 2048 so the int32
+            # column sum cannot overflow. Mosaic requires >= 8 sublane
+            # rows per output block — partials go in row 0, zeros below.
+            part = jnp.sum(a, axis=0, keepdims=True)
+            a_ref[:] = jnp.concatenate(
+                [part, jnp.zeros((7, LANE), jnp.int32)], axis=0
+            )
+        else:
+            a_ref[:] = a
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
 def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef,
-                 emit_x: bool = True):
+                 emit_x: bool = True, reduce_counts: bool = False):
     cliques, n = cliques_and_n
     rows = shots // LANE
     # VMEM-aware block: cmax lazily-extracted planes + temporaries live
@@ -111,16 +134,26 @@ def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef,
     block_rows = moebius.vmem_block_rows(cmax + 2, rows, max_block=2048)
     # pad the row count up to a whole number of blocks (floor division
     # would leave tail rows unwritten — garbage samples); callers slice
-    # back down to the requested shot count
+    # back down to the requested shot count, and the reduce_counts path
+    # masks the padding rows in-kernel before summing
     grid = -(-rows // block_rows)
     rows_padded = grid * block_rows
+    tail = ()
+    if reduce_counts and rows_padded != rows:
+        tail = (grid - 1, rows - (grid - 1) * block_rows)
     kernel = _build_sampler_kernel(cliques, n, block_rows, accept_only,
-                                   emit_x)
+                                   emit_x, reduce_counts, tail)
     bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     a_shape = jax.ShapeDtypeStruct(
         (rows_padded, LANE), jnp.int32 if accept_only else jnp.uint32
     )
+    if reduce_counts:
+        bspec_a = pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((8 * grid, LANE), jnp.int32)
+    else:
+        bspec_a = bspec
     x_shape = jax.ShapeDtypeStruct((rows_padded, LANE), jnp.int32)
     out = pl.pallas_call(
         kernel,
@@ -130,9 +163,11 @@ def _sample_call(seed, cliques_and_n, shots: int, accept_only: bool, coef,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (K * 2^cmax,)
         ],
-        out_specs=(bspec, bspec) if emit_x else (bspec,),
+        out_specs=(bspec, bspec_a) if emit_x else (bspec_a,),
         interpret=_interpret(),
     )(seed, coef)
+    if reduce_counts:
+        return jnp.sum(out[0])
     if emit_x:
         return out[0].reshape(-1)[:shots], out[1].reshape(-1)[:shots]
     return out[0].reshape(-1)[:shots]
@@ -186,3 +221,18 @@ def sample_accept_flags(seed, mrf: MRF, shots: int):
     coef = _keep_prob_coefficients(mrf)
     a = _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef, False)
     return a == 1
+
+
+def sample_accept_count(seed, mrf: MRF, shots: int) -> jax.Array:
+    """Number of accepted shots out of ``shots``, reduced IN-kernel: no
+    per-shot HBM traffic at all (one 128-lane partial row per grid block),
+    so throughput is the kernel's pure-VPU rate. Draws the identical PRNG
+    stream as ``sample_accept_flags`` with the same seed, so
+    ``count == flags.sum()`` exactly.
+    """
+    if shots % LANE:
+        raise ValueError("shots must be a multiple of 128")
+    seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
+    coef = _keep_prob_coefficients(mrf)
+    return _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef,
+                        False, True)

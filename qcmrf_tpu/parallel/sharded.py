@@ -224,12 +224,14 @@ def _build_estimate_fn(cliques: tuple, n: int, mesh: Mesh, per_dev: int,
 
                 # distinct stream per (device, iteration): the flat index
                 # d*iters+i spaced by a prime stays below the kernel's own
-                # per-grid-block spacing. Flags-only: the x samples are
-                # never consumed here, so skip their HBM writes.
-                acc = sampler_kernel.sample_accept_flags(
+                # per-grid-block spacing. Counts are reduced IN-kernel
+                # (sample_accept_count): neither the x samples nor the
+                # flags ever touch HBM, leaving the kernel VPU-bound.
+                cnt = sampler_kernel.sample_accept_count(
                     seed[0] + (d * iters + i) * jnp.int32(7919),
                     mrf, per_dev,
                 )
+                return carry, cnt.astype(jnp.float32)
             else:
                 key = jax.random.fold_in(
                     jax.random.fold_in(jax.random.PRNGKey(seed[0]), d), i

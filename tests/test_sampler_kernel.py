@@ -126,3 +126,20 @@ def test_sampler_kernel_seed_streams_disjoint():
     half = shots // 2
     # block 1 of seed 0 must differ from block 0 of seed 1
     assert not np.array_equal(np.asarray(x0)[half:], np.asarray(x1)[:half])
+
+
+def test_accept_count_matches_flags_sum():
+    """In-kernel reduction draws the identical stream as the flags path,
+    so the count equals flags.sum() exactly — including when the shot
+    count is not a whole number of kernel blocks (tail masking)."""
+    from qcmrf_tpu.ops import sampler_kernel
+
+    rng = np.random.RandomState(3)
+    mrf = grid_mrf(3, 3).with_theta(
+        jnp.asarray(-np.abs(rng.randn(48)).astype(np.float32) * 0.3))
+    for shots in (1 << 14, (1 << 14) - 128, 384):
+        flags = np.asarray(
+            sampler_kernel.sample_accept_flags(11, mrf, shots))
+        cnt = int(sampler_kernel.sample_accept_count(11, mrf, shots))
+        assert flags.shape == (shots,)
+        assert cnt == flags.sum(), (shots, cnt, flags.sum())
