@@ -1,0 +1,60 @@
+"""Emulate IBM hardware: calibrated noise, mitigation, whisker figure.
+
+The reference ran its suite on real IBM backends (ibm_torino etc.,
+/root/reference/run_experiment.py:63-82) and shipped the result files.
+This example reproduces that pipeline without a cloud account: fit the
+per-graph calibrated noise model to the stored torino tables, emulate the
+suite (sampling + tensored readout mitigation -> negative quasi-probs),
+and compare the emulated per-graph mean fidelity/success against the real
+hardware's. Finishes with the reference's whisker figure rendered from
+the stored results.
+
+    python examples/05_hardware_emulation.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+# the suite models are tiny (<= 10 qubits): host CPU beats paying a
+# remote TPU compile per circuit shape (same choice as the whisker CLI's
+# --platform default). Must happen before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
+from qcmrf_tpu.evaluation.harness import evaluate_suite, load_result_dists
+from qcmrf_tpu.models.suite import (load_suite, reference_models_path,
+                                    reference_results_path)
+from qcmrf_tpu.noise.backends import run_calibrated_suite
+from qcmrf_tpu.noise.fit import fit_calibrated
+
+suite = load_suite(reference_models_path(0.1), 0.1)
+
+# the stored ibm_torino result file is both the calibration target and
+# the comparison baseline
+hw_dists, hw_norm = load_result_dists(
+    reference_results_path(0.1, "torino", "/root/reference"))
+model = fit_calibrated("torino", suite, hw_dists, hw_norm)
+
+result = run_calibrated_suite(jax.random.PRNGKey(0), suite, model,
+                              shots=10_000)
+emu = evaluate_suite(suite, dists=result["quasi_dists"], norm=1)
+hw = evaluate_suite(suite, dists=hw_dists, norm=hw_norm)
+
+print(f"{'graph':>34}  {'F(hw)':>6} {'F(emu)':>6}  "
+      f"{'d(hw)':>6} {'d(emu)':>6}")
+for e, h in zip(emu, hw):
+    print(f"{str(h.graph):>34}  {h.mean_f:6.3f} "
+          f"{e.mean_f:6.3f}  {h.mean_delta:6.3f} "
+          f"{e.mean_delta:6.3f}")
+    assert abs(e.mean_f - h.mean_f) <= 0.02
+    assert abs(e.mean_delta - h.mean_delta) <= 0.05
+
+# the reference's success_{backend}.pdf from the stored tables
+from qcmrf_tpu.viz import whisker
+
+out = whisker.main(["--backend", "torino", "--res-root", "/root/reference",
+                    "--out", "/tmp/success_torino.pdf",
+                    "--platform", "default"])
