@@ -120,9 +120,24 @@ def _build_lnZ_fn(cliques: tuple, n: int, mesh: Mesh):
     )
     def compute(theta, beta):
         mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
-        lp = _local_log_potentials(mrf, dlog, axis)
-        m = jax.lax.pmax(jnp.max(lp), axis)
-        local = jnp.sum(jnp.exp(lp - m))
+        chunk = 1 << (n - dlog)
+        on_tpu = jax.default_backend() == "tpu"
+        if n - dlog >= K._MIN_KERNEL_N and (on_tpu or n - dlog <= 16):
+            # streaming per-lane (max, scaled-sum) partials: no local
+            # 2^(n-dlog) table materializes on any device, so the sharded
+            # ceiling is compute-bound, not memory-bound
+            d = jax.lax.axis_index(axis)
+            x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
+            coef = K._moebius_coefficients(mrf)
+            beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+            ml, sl = K._lse_partials_call(template.cliques, n, chunk,
+                                          coef, beta32, x0)
+            m = jax.lax.pmax(jnp.max(ml), axis)
+            local = jnp.sum(sl * jnp.exp(ml - m))
+        else:
+            lp = _local_log_potentials(mrf, dlog, axis)
+            m = jax.lax.pmax(jnp.max(lp), axis)
+            local = jnp.sum(jnp.exp(lp - m))
         return (m + jnp.log(jax.lax.psum(local, axis)))[None]
 
     return compute

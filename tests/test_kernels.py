@@ -138,3 +138,24 @@ def test_log_potentials_fast_matches_reference():
     got2 = np.asarray(log_potentials_fast(m2, x2))
     want2 = np.asarray(m2.beta * m2.all_log_potentials())
     np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-4)
+
+
+def test_log_partition_fused_streaming():
+    """The streaming logsumexp kernel (no materialized table; the
+    large-table path of kernels.log_partition) agrees with the two-pass
+    table path. Exercised directly so the CPU suite covers it even though
+    the size cutoff would route these n to the table path."""
+    import jax
+    import jax.numpy as jnp
+
+    for g, scale in ((grid_mrf(3, 4), 0.2), (grid_mrf(4, 4), 0.35)):
+        rng = np.random.RandomState(7)
+        m = g.with_theta(jnp.asarray(
+            -np.abs(rng.randn(g.dimension)).astype(np.float32) * scale))
+        coef = kernels._moebius_coefficients(m)
+        beta = jnp.reshape(jnp.asarray(m.beta, jnp.float32), (1,))
+        fused = float(kernels._log_partition_fused(m.cliques, m.n, coef,
+                                                   beta))
+        ref = float(jax.scipy.special.logsumexp(
+            kernels.all_log_potentials(m)))
+        assert abs(fused - ref) < 5e-4, (m.n, fused, ref)
