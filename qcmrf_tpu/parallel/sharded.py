@@ -71,19 +71,35 @@ def _dlog(mesh: Mesh) -> int:
     return dlog
 
 
-def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
-    """This device's contiguous slice of the beta*logpot table."""
+def _kernel_slice_args(mrf: MRF, dlog: int, axis: str):
+    """Shared gate + argument prep for the per-device-slice Pallas
+    kernels (table and streaming-lnZ paths must stay in lockstep on
+    which backend/size combinations hit the kernel).
+
+    Returns ``(chunk, coef, beta32, x0)`` when the kernel path applies,
+    else ``(chunk, None, None, None)``. Interpret mode is allowed only
+    for small test chunks."""
     chunk = 1 << (mrf.n - dlog)
+    on_tpu = jax.default_backend() == "tpu"
+    if not (mrf.n - dlog >= K._MIN_KERNEL_N
+            and (on_tpu or mrf.n - dlog <= 16)):
+        return chunk, None, None, None
     d = jax.lax.axis_index(axis)
     x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
-    on_tpu = jax.default_backend() == "tpu"
-    if mrf.n - dlog >= K._MIN_KERNEL_N and (on_tpu or mrf.n - dlog <= 16):
-        # Pallas kernel on TPU; interpret-mode only for small test chunks
-        coef = K._moebius_coefficients(mrf)
-        beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+    coef = K._moebius_coefficients(mrf)
+    beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+    return chunk, coef, beta32, x0
+
+
+def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
+    """This device's contiguous slice of the beta*logpot table."""
+    chunk, coef, beta, x0 = _kernel_slice_args(mrf, dlog, axis)
+    if coef is not None:
         return K._logpot_call_sized(
             mrf.cliques, mrf.n, False, chunk, coef, beta, x0
         )
+    d = jax.lax.axis_index(axis)
+    x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
     from qcmrf_tpu.sim.analytic import log_potentials_fast
 
     if mrf.n - dlog > 18:
@@ -120,16 +136,11 @@ def _build_lnZ_fn(cliques: tuple, n: int, mesh: Mesh):
     )
     def compute(theta, beta):
         mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
-        chunk = 1 << (n - dlog)
-        on_tpu = jax.default_backend() == "tpu"
-        if n - dlog >= K._MIN_KERNEL_N and (on_tpu or n - dlog <= 16):
+        chunk, coef, beta32, x0 = _kernel_slice_args(mrf, dlog, axis)
+        if coef is not None:
             # streaming per-lane (max, scaled-sum) partials: no local
             # 2^(n-dlog) table materializes on any device, so the sharded
             # ceiling is compute-bound, not memory-bound
-            d = jax.lax.axis_index(axis)
-            x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
-            coef = K._moebius_coefficients(mrf)
-            beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
             ml, sl = K._lse_partials_call(template.cliques, n, chunk,
                                           coef, beta32, x0)
             m = jax.lax.pmax(jnp.max(ml), axis)

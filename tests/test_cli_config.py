@@ -32,6 +32,7 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     from qcmrf_tpu.utils.config import enable_compilation_cache
 
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         monkeypatch.setenv("QCMRF_CACHE_DIR", str(tmp_path / "c"))
         enable_compilation_cache()
@@ -49,6 +50,8 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
 
 
 def test_counter():

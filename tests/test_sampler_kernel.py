@@ -137,7 +137,10 @@ def test_accept_count_matches_flags_sum():
     rng = np.random.RandomState(3)
     mrf = grid_mrf(3, 3).with_theta(
         jnp.asarray(-np.abs(rng.randn(48)).astype(np.float32) * 0.3))
-    for shots in (1 << 14, (1 << 14) - 128, 384):
+    # (1 << 18) + 128 is the smallest case that actually exercises the
+    # in-kernel tail masking: a full 2048x128 block plus one padded block
+    # (grid 2). The smaller cases run grid 1 with block == array.
+    for shots in (1 << 14, (1 << 14) - 128, 384, (1 << 18) + 128):
         flags = np.asarray(
             sampler_kernel.sample_accept_flags(11, mrf, shots))
         cnt = int(sampler_kernel.sample_accept_count(11, mrf, shots))
