@@ -97,7 +97,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
     parser = argparse.ArgumentParser(prog="qcmrf_tpu bench")
     parser.add_argument("--n", type=int, default=20,
                         help="grid qubits (rows*cols closest to n)")
-    parser.add_argument("--shots", type=int, default=1 << 20)
+    # default (None): batches big enough to amortize the ~10 ms
+    # per-dispatch latency of a tunneled chip (throughput saturates near
+    # 2^27; see bench.py's measured curve) — but only on TPU; interpret
+    # mode gets a size it can finish
+    parser.add_argument("--shots", type=int, default=None)
     parser.add_argument("--trace", type=str, default=None,
                         help="emit a jax.profiler trace of the sampler "
                              "benchmark into this directory "
@@ -107,6 +111,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     import jax
     import jax.numpy as jnp
+
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
 
     from qcmrf_tpu.models.mrf import grid_mrf
     from qcmrf_tpu.ops import kernels, sampler_kernel
@@ -120,6 +127,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
         jnp.asarray(-np.abs(rng.randn(template.dimension)).astype(np.float32)
                     * 0.3)
     )
+    if args.shots is None:
+        args.shots = (1 << 27) if jax.default_backend() == "tpu" \
+            else (1 << 20)
     out = {"n": n, "cliques": template.num_cliques,
            "backend": jax.default_backend()}
 

@@ -1,4 +1,4 @@
-"""Scaling run: synthetic n=24-28 qubit grid MRFs on a sharded mesh.
+"""Scaling run: synthetic n=24-31 qubit grid MRFs on a sharded mesh.
 
 BASELINE.json config 5: "Synthetic n=24-28 qubit grid MRFs: ICI-sharded
 statevector with all-to-all qubit remap, repeated-estimation throughput
