@@ -87,7 +87,9 @@ def main():
             best = min(best, (time.perf_counter() - t0) / reps)
         return best, out
 
-    dt, out = best_of(fn, reps=8)
+    # the driver samples this once per round: extra trials are cheap
+    # insurance against catching the tunnel on a bad patch
+    dt, out = best_of(fn, reps=8, trials=5)
     tpu_rate = SHOTS / dt
 
     # --- CPU numpy baseline --------------------------------------------

@@ -159,3 +159,30 @@ def test_log_partition_fused_streaming():
         ref = float(jax.scipy.special.logsumexp(
             kernels.all_log_potentials(m)))
         assert abs(fused - ref) < 5e-4, (m.n, fused, ref)
+
+
+def test_log_partition_fused_random_structures():
+    """Streaming lnZ vs table path on random clique structures (mixed
+    sizes, shared variables, non-contiguous) — the Moebius chain and
+    running-max recursion must agree for any static structure."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        n = int(rng.randint(10, 14))
+        cliques = []
+        for _ in range(rng.randint(2, 5)):
+            size = int(rng.randint(1, 4))
+            cliques.append(sorted(
+                rng.choice(n, size=size, replace=False).tolist()))
+        dim = sum(1 << len(C) for C in cliques)
+        m = MRF.create(cliques, theta=jnp.asarray(
+            -np.abs(rng.randn(dim)).astype(np.float32) * 0.4))
+        coef = kernels._moebius_coefficients(m)
+        beta = jnp.reshape(jnp.asarray(m.beta, jnp.float32), (1,))
+        fused = float(kernels._log_partition_fused(m.cliques, m.n, coef,
+                                                   beta))
+        ref = float(jax.scipy.special.logsumexp(
+            kernels.all_log_potentials(m)))
+        assert abs(fused - ref) < 5e-4, (trial, cliques, fused, ref)
