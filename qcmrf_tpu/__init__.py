@@ -24,7 +24,7 @@ from qcmrf_tpu.models.elimination import (
     clique_marginals as elimination_marginals,
     log_partition as elimination_log_partition,
 )
-from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded
+from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded, fit_mle_shots
 from qcmrf_tpu.noise.fit import (
     CalibratedNoiseModel,
     fit_calibrated,
@@ -55,6 +55,7 @@ __all__ = [
     "basis_gate_counts",
     "fit_mle",
     "fit_mle_sharded",
+    "fit_mle_shots",
     "estimate_from_circuit",
     "clique_marginals_exact",
     "log_partition_from_counts",

@@ -189,3 +189,84 @@ def fit_mle_sharded(
     for _ in range(steps):
         raw, opt_state, loss = step(raw, opt_state, data)
     return mrf0.with_theta(_to_theta(raw, nonpositive)), loss
+
+
+# --------------------------------------------------------------------------
+# Shot-based training: model moments from circuit samples
+# --------------------------------------------------------------------------
+
+
+def make_shots_train_step(
+    template: MRF,
+    optimizer: optax.GradientTransformation,
+    shots: int,
+    data_marg: jax.Array,
+    nonpositive: bool = True,
+) -> Callable:
+    """Shot-gradient training step: (raw, opt_state, key) ->
+    (raw, opt_state, delta_hat).
+
+    ``grad_theta NLL = beta * (E_model[phi] - E_data[phi])``; the model
+    moments are the empirical clique-marginal vector of post-selected
+    circuit shots (`evaluation.estimators.clique_marginals_from_samples`),
+    an unbiased estimate because accepted samples are exact Gibbs draws.
+    Stochastic-gradient noise ~ 1/sqrt(delta * shots), so scale ``shots``
+    with ``2**n / Z``.
+    """
+    import numpy as np
+
+    from qcmrf_tpu.evaluation.estimators import (
+        clique_marginals_from_samples)
+    from qcmrf_tpu.sim import analytic
+
+    data_marg = jnp.asarray(data_marg, jnp.float32)
+
+    @jax.jit
+    def apply(raw, opt_state, model_marg):
+        _theta, vjp = jax.vjp(lambda r: _to_theta(r, nonpositive), raw)
+        (g_raw,) = vjp(template.beta * (model_marg - data_marg))
+        updates, opt_state = optimizer.update(g_raw, opt_state, raw)
+        return optax.apply_updates(raw, updates), opt_state
+
+    def step(raw, opt_state, key):
+        m = template.with_theta(_to_theta(raw, nonpositive))
+        x, acc = analytic.sample_postselected(key, m, shots)
+        x, acc = np.asarray(x), np.asarray(acc)
+        model_marg = jnp.asarray(
+            clique_marginals_from_samples(m, x, acc), jnp.float32)
+        raw, opt_state = apply(raw, opt_state, model_marg)
+        return raw, opt_state, float(acc.mean())
+
+    return step
+
+
+def fit_mle_shots(
+    mrf0: MRF,
+    data: jax.Array,
+    key: jax.Array,
+    steps: int = 200,
+    shots: int = 1 << 14,
+    learning_rate: float = 0.05,
+    nonpositive: bool = True,
+    optimizer: Optional[optax.GradientTransformation] = None,
+) -> Tuple[MRF, float]:
+    """Quantum-in-the-loop MLE: the model-moment term of the NLL gradient
+    comes from post-selected QCMRF circuit shots instead of exact
+    inference — the loop a hardware user would run, with no 2^n
+    enumeration or elimination anywhere in the gradient path. Returns
+    (fitted MRF, final delta-hat)."""
+    import numpy as np
+
+    from qcmrf_tpu.evaluation.estimators import (
+        clique_marginals_from_samples)
+
+    opt = optimizer or optax.adam(learning_rate)
+    raw = _from_theta(mrf0.theta, nonpositive)
+    opt_state = opt.init(raw)
+    data_marg = clique_marginals_from_samples(mrf0, np.asarray(data))
+    step = make_shots_train_step(mrf0, opt, shots, data_marg, nonpositive)
+    delta = 0.0
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        raw, opt_state, delta = step(raw, opt_state, sub)
+    return mrf0.with_theta(_to_theta(raw, nonpositive)), delta

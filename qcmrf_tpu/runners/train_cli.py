@@ -70,6 +70,13 @@ def main(argv: Optional[List[str]] = None) -> str:
     parser.add_argument("--outdir", type=str, default="./train_out")
     parser.add_argument("--checkpoint-every", type=int, default=100)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--grad", type=str, default="exact",
+                        choices=["exact", "shots"],
+                        help="model-moment term of the NLL gradient: "
+                             "exact inference, or post-selected circuit "
+                             "shots (quantum-in-the-loop training)")
+    parser.add_argument("--grad-shots", type=int, default=1 << 14,
+                        help="shots per step for --grad shots")
     parser.add_argument("--mesh", type=str, default=None,
                         help="AxB: run the sharded train step on an "
                              "(amp=A, data=B) device mesh")
@@ -199,7 +206,31 @@ def main(argv: Optional[List[str]] = None) -> str:
             lambda x: jnp.asarray(np.asarray(x)), opt_state
         )
         data = jnp.asarray(np.asarray(data))
+        if args.grad == "shots":
+            raise SystemExit("--grad shots is single-device (no --mesh); "
+                             "shot sampling is already one fused kernel")
         step_fn = mtrain.make_sharded_train_step(template, opt, mesh)
+    elif args.grad == "shots":
+        from qcmrf_tpu.evaluation.estimators import (
+            clique_marginals_from_samples)
+
+        data_marg = clique_marginals_from_samples(template,
+                                                  np.asarray(data))
+        shots_step = mtrain.make_shots_train_step(
+            template, opt, args.grad_shots, data_marg)
+
+        def step_fn(raw, opt_state, _data, _key=[jax.random.PRNGKey(
+                args.data_seed + 1)]):
+            _key[0], sub = jax.random.split(_key[0])
+            raw, opt_state, delta = shots_step(raw, opt_state, sub)
+            # report the NLL estimated from the same shots:
+            # lnZ_hat = ln(delta) + n ln 2
+            nll = float(np.log(max(delta, 1e-300)) + template.n
+                        * np.log(2.0)) - float(
+                template.beta * jnp.mean(
+                    template.with_theta(
+                        mtrain._to_theta(raw, True)).log_potential(_data)))
+            return raw, opt_state, nll
     else:
         step_fn = mtrain.make_train_step(template, opt)
     loss = float("nan")

@@ -87,3 +87,29 @@ def test_fit_large_chain_via_elimination():
     fit_marg = np.asarray(ve.clique_marginals(fitted))
     emp = np.asarray(true.phi(data)).mean(0)
     assert np.abs(fit_marg - emp).max() < 0.05
+
+
+def test_fit_mle_shots_converges():
+    """Shot-based (quantum-in-the-loop) MLE recovers a small model: the
+    gradient's model-moment term comes only from post-selected circuit
+    samples, never exact inference."""
+    import jax
+
+    from qcmrf_tpu.models import sample as msample
+    from qcmrf_tpu.models.train import fit_mle_shots
+
+    rng = np.random.RandomState(0)
+    truth = MRF.create([[0, 1], [1, 2]],
+                       theta=-np.abs(rng.randn(8)).astype(np.float32) * 0.8)
+    data = msample.sample_exact(jax.random.PRNGKey(1), truth, 20_000)
+    init = truth.with_theta(jnp.full((8,), -0.5))
+
+    fitted, delta = fit_mle_shots(
+        init, data, jax.random.PRNGKey(2), steps=150, shots=1 << 13,
+        learning_rate=0.1,
+    )
+    p = np.asarray(truth.gibbs_probs(), np.float64)
+    q = np.asarray(fitted.gibbs_probs(), np.float64)
+    d = float(np.sum(p * np.log(p / q)))
+    assert 0.0 < delta <= 1.0
+    assert d < 0.02, d

@@ -91,3 +91,20 @@ def test_config_file_does_not_override_cli_defaults(tmp_path):
     assert args.scale == 0.25
     assert args.seed == 0          # NOT Config's 1984
     assert args.platform == "cpu"  # NOT Config's "default"
+
+
+def test_shots_gradient_mode(tmp_path):
+    """--grad shots trains from circuit-sampled moments and improves the
+    NLL estimate; incompatible with --mesh."""
+    import pytest
+
+    out = _run(tmp_path, "--steps", "60", "--checkpoint-every", "60",
+               "--grad", "shots", "--grad-shots", "4096")
+    with open(out) as f:
+        fitted = json.load(f)
+    # a 5-chain at theta=-0.5 init starts around nll ~ n*ln2 = 3.47;
+    # 60 shot-gradient steps must move it well below the init plateau
+    assert fitted["final_nll"] < 3.2
+    with pytest.raises(SystemExit):
+        _run(tmp_path / "m", "--steps", "2", "--grad", "shots",
+             "--mesh", "2x1")
