@@ -14,6 +14,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# tiny model + a host-side optimization loop: per-step dispatch latency
+# on a tunneled TPU dwarfs the compute, so run on CPU (must happen
+# before backend initialization)
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,3 +42,16 @@ d = float(kl(np.asarray(truth.gibbs_probs(), np.float64),
              np.asarray(fitted.gibbs_probs(), np.float64)))
 print(f"final NLL {float(nll):.4f}; KL(truth || fitted) = {d:.5f}")
 assert d < 0.01
+
+# quantum-in-the-loop variant: the gradient's model moments come from
+# post-selected circuit samples instead of exact inference (see
+# `python -m qcmrf_tpu train --grad shots` for the checkpointed CLI)
+from qcmrf_tpu import fit_mle_shots
+
+fitted_q, delta = fit_mle_shots(init, data, jax.random.PRNGKey(3),
+                                steps=200, shots=1 << 14,
+                                learning_rate=0.1)
+dq = float(kl(np.asarray(truth.gibbs_probs(), np.float64),
+              np.asarray(fitted_q.gibbs_probs(), np.float64)))
+print(f"shot-gradient fit: KL = {dq:.5f} (delta-hat {delta:.3f})")
+assert dq < 0.02
