@@ -394,49 +394,46 @@ def _lane_matmul_call(re, im, mr, mi):
 
 
 def _row_gate_kernel(re_ref, im_ref, u_ref, ore_ref, oim_ref):
-    """Gate on a row qubit: the block is one (1, 2, stride, LANE) group —
-    axis 1 is the target qubit; u is the 2x2 complex gate as (2, 2, 2)
-    real/imag scalars in SMEM."""
-    a_re, b_re = re_ref[0, 0], re_ref[0, 1]
-    a_im, b_im = im_ref[0, 0], im_ref[0, 1]
+    """Gate on a row qubit: the block is (chunk_g, 2, sblk, LANE) — axis 1
+    is the target qubit; u is the 2x2 complex gate as (2, 2, 2) real/imag
+    scalars in SMEM."""
+    a_re, b_re = re_ref[:, 0], re_ref[:, 1]
+    a_im, b_im = im_ref[:, 0], im_ref[:, 1]
     u00r, u00i = u_ref[0, 0, 0], u_ref[0, 0, 1]
     u01r, u01i = u_ref[0, 1, 0], u_ref[0, 1, 1]
     u10r, u10i = u_ref[1, 0, 0], u_ref[1, 0, 1]
     u11r, u11i = u_ref[1, 1, 0], u_ref[1, 1, 1]
-    ore_ref[0, 0] = u00r * a_re - u00i * a_im + u01r * b_re - u01i * b_im
-    oim_ref[0, 0] = u00r * a_im + u00i * a_re + u01r * b_im + u01i * b_re
-    ore_ref[0, 1] = u10r * a_re - u10i * a_im + u11r * b_re - u11i * b_im
-    oim_ref[0, 1] = u10r * a_im + u10i * a_re + u11r * b_im + u11i * b_re
+    ore_ref[:, 0] = u00r * a_re - u00i * a_im + u01r * b_re - u01i * b_im
+    oim_ref[:, 0] = u00r * a_im + u00i * a_re + u01r * b_im + u01i * b_re
+    ore_ref[:, 1] = u10r * a_re - u10i * a_im + u11r * b_re - u11i * b_im
+    oim_ref[:, 1] = u10r * a_im + u10i * a_re + u11r * b_im + u11i * b_re
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _row_gate_call(re, im, u, stride_rows: int):
     rows = re.shape[0]
-    # view as (groups, 2, stride_rows, LANE): axis 1 is the qubit
+    # view as (groups, 2, stride_rows, LANE): axis 1 is the qubit. The
+    # stride axis is tiled like _row_pair_call's (same scoped-VMEM math:
+    # in/out plane buffers x2 pipeline stages must stay well under the
+    # 16 MB limit, so blocks are capped at 1024 rows) — without it a lone
+    # high-qubit gate at n >= 21 (stride 2^13+) fails Mosaic compile.
     g = rows // (2 * stride_rows)
+    sblk = min(stride_rows, 256)
+    chunk_g = max(1, min(g, 1024 // (2 * sblk)))
     re4 = re.reshape(g, 2, stride_rows, LANE)
     im4 = im.reshape(g, 2, stride_rows, LANE)
-    grid = (g,)
+    bspec = pl.BlockSpec((chunk_g, 2, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _row_gate_kernel,
         out_shape=(
             jax.ShapeDtypeStruct(re4.shape, jnp.float32),
             jax.ShapeDtypeStruct(re4.shape, jnp.float32),
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2, stride_rows, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, stride_rows, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 2, stride_rows, LANE),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, stride_rows, LANE),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        grid=(g // chunk_g, stride_rows // sblk),
+        in_specs=[bspec, bspec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(bspec, bspec),
         interpret=_interpret(),
     )(re4, im4, u)
     return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))

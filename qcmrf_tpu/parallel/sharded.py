@@ -50,6 +50,12 @@ AXIS = "amp"
 def make_mesh(num_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} device(s) are visible — a silently smaller "
+                "mesh would misreport every sharded result"
+            )
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -76,16 +82,17 @@ def _kernel_slice_args(mrf: MRF, dlog: int, axis: str):
     kernels (table and streaming-lnZ paths must stay in lockstep on
     which backend/size combinations hit the kernel).
 
-    Returns ``(chunk, coef, beta32, x0)`` when the kernel path applies,
-    else ``(chunk, None, None, None)``. Interpret mode is allowed only
-    for small test chunks."""
+    Returns ``(chunk, coef, beta32, x0)``; ``coef``/``beta32`` are None
+    when the kernel path does not apply (interpret mode is allowed only
+    for small test chunks), but the slice offset ``x0`` is always
+    computed here so no caller re-derives it."""
     chunk = 1 << (mrf.n - dlog)
+    d = jax.lax.axis_index(axis)
+    x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
     on_tpu = jax.default_backend() == "tpu"
     if not (mrf.n - dlog >= K._MIN_KERNEL_N
             and (on_tpu or mrf.n - dlog <= 16)):
-        return chunk, None, None, None
-    d = jax.lax.axis_index(axis)
-    x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
+        return chunk, None, None, x0
     coef = K._moebius_coefficients(mrf)
     beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
     return chunk, coef, beta32, x0
@@ -98,8 +105,6 @@ def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
         return K._logpot_call_sized(
             mrf.cliques, mrf.n, False, chunk, coef, beta, x0
         )
-    d = jax.lax.axis_index(axis)
-    x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
     from qcmrf_tpu.sim.analytic import log_potentials_fast
 
     if mrf.n - dlog > 18:
@@ -288,6 +293,17 @@ def sharded_estimate_delta(
         raise ValueError(
             f"shots ({shots}) must be divisible by the mesh size ({D})"
         )
+    if (jax.default_backend() == "tpu" and (shots // D) % 128
+            and shots // D >= 128):
+        import sys
+
+        print(
+            f"warning: per-device shots {shots // D} is not a multiple of "
+            "128 — the fused hardware-PRNG kernel is bypassed for the "
+            "(~100x slower) XLA sampler; round shots to a multiple of "
+            f"{128 * D} to keep the kernel path",
+            file=sys.stderr,
+        )
     fn = _build_estimate_fn(mrf.cliques, mrf.n, mesh, shots // D, iters)
     seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     return fn(seed, mrf.theta, mrf.beta)
@@ -308,6 +324,17 @@ def sharded_sample_postselected(
         raise ValueError(
             f"shots ({shots}) must be divisible by the mesh size ({D}); "
             "a silent floor would bias delta-hat estimates"
+        )
+    if (jax.default_backend() == "tpu" and (shots // D) % 128
+            and shots // D >= 128):
+        import sys
+
+        print(
+            f"warning: per-device shots {shots // D} is not a multiple of "
+            "128 — the fused hardware-PRNG kernel is bypassed for the "
+            "(~100x slower) XLA sampler; round shots to a multiple of "
+            f"{128 * D} to keep the kernel path",
+            file=sys.stderr,
         )
     fn = _build_sample_fn(mrf.cliques, mrf.n, mesh, shots // D)
     seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
@@ -426,6 +453,7 @@ def _local_bits(x_local: jax.Array, pos: int) -> jax.Array:
 #: collectives issued by the most recent run_statevector_sharded call
 #: (trace-time count; read by tests/benchmarks)
 LAST_REMAP_COUNT = 0
+_SV_EXEC_CACHE: dict = {}
 
 
 def run_statevector_sharded(
@@ -444,13 +472,27 @@ def run_statevector_sharded(
     global LAST_REMAP_COUNT
     n = circuit.num_qubits
     D = mesh.devices.size
-    dlog = int(math.log2(D))
-    if (1 << dlog) != D:
-        raise ValueError("mesh size must be a power of two")
+    dlog = _dlog(mesh)
     if dlog > n - 1:
         raise ValueError("more device bits than qubits")
     local_n = n - dlog
     axis = mesh.axis_names[0]
+
+    # compiled-executable cache keyed by (gate stream, mesh): a fresh
+    # shard_map closure per call would re-trace the whole circuit every
+    # time (the hazard _build_lnZ_fn's docstring warns about); the remap
+    # count is determined at trace time, so it is cached alongside
+    cache_key = (
+        n, circuit.num_clbits, float(circuit.global_phase or 0.0),
+        tuple((g.name, g.qubits, tuple(float(p) for p in g.params),
+               g.flags) for g in circuit.gates),
+        mesh,
+    )
+    hit = _SV_EXEC_CACHE.get(cache_key)
+    if hit is not None:
+        fn, remaps = hit
+        LAST_REMAP_COUNT = remaps
+        return fn()
 
     # Belady eviction: per-qubit sorted gate indices of future locality
     # needs, so ensure_local can evict the local qubit needed last
@@ -544,15 +586,12 @@ def run_statevector_sharded(
             elif g.name == "cx":
                 c, t = g.qubits
                 ensure_local(t, gi)
-                cb = bit_of(c)
+                # control bit may be a scalar (device bit) or per-state
+                # array (local bit) — jnp.where broadcasts both
+                sel = bit_of(c) == 1
                 fr, fi = _flip_local(re, im, layout.pos[t], local_n)
-                if jnp.ndim(cb) == 0:  # control on a device bit
-                    re = jnp.where(cb == 1, fr, re)
-                    im = jnp.where(cb == 1, fi, im)
-                else:
-                    sel = (cb == 1)
-                    re = jnp.where(sel, fr, re)
-                    im = jnp.where(sel, fi, im)
+                re = jnp.where(sel, fr, re)
+                im = jnp.where(sel, fi, im)
             else:
                 raise ValueError(f"unsupported sharded gate {g.name}")
 
@@ -588,14 +627,32 @@ def run_statevector_sharded(
         return re, im
 
     stats = {"remaps": 0}
-    out = run()
+    fn = jax.jit(run)
+    out = jax.block_until_ready(fn())  # trace + compile now (fills stats)
+    if len(_SV_EXEC_CACHE) >= 64:
+        _SV_EXEC_CACHE.pop(next(iter(_SV_EXEC_CACHE)))
+    _SV_EXEC_CACHE[cache_key] = (fn, stats["remaps"])
     LAST_REMAP_COUNT = stats["remaps"]
     return out
 
 
 def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
-    """|psi|^2 over the full register, sharded (QCMRF wiring: clbit = qubit,
-    so the key distribution is |psi|^2 directly)."""
+    """|psi|^2 over the full register, sharded.
+
+    Valid for identity measurement wiring (every measured qubit wired to
+    clbit == qubit — the QCMRF convention, where the one unmeasured
+    workspace qubit provably returns to |0> so |psi|^2 IS the key
+    distribution). A permuted qubit->clbit map would need the
+    marginalization of sim/tpu.outcome_probs — raises rather than
+    silently returning the wrong distribution. Callers with unmeasured
+    qubits left in superposition get the full-register |psi|^2, not a
+    key distribution."""
+    if any(q != c for q, c in circuit.measured_pairs):
+        raise NotImplementedError(
+            "sharded_outcome_probs requires identity measurement wiring "
+            "(clbit == qubit); marginalize via sim.tpu.outcome_probs on "
+            "a gathered state instead"
+        )
     re, im = run_statevector_sharded(circuit, mesh)
     axis = mesh.axis_names[0]
 

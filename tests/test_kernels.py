@@ -186,3 +186,26 @@ def test_log_partition_fused_random_structures():
         ref = float(jax.scipy.special.logsumexp(
             kernels.all_log_potentials(m)))
         assert abs(fused - ref) < 5e-4, (trial, cliques, fused, ref)
+
+
+def test_row_gate_high_qubit_stride_tiling():
+    """apply_1q on a high row qubit exercises the stride-axis tiling
+    (stride_rows > 256): without it the VMEM block grows with 2^(q-7)
+    and fails Mosaic compile at n >= 21 on hardware."""
+    import jax.numpy as jnp
+
+    n, q = 17, 16  # stride 512 -> two stride tiles of 256
+    rows = (1 << n) // 128
+    rng = np.random.RandomState(2)
+    re = jnp.asarray(rng.randn(rows, 128).astype(np.float32))
+    im = jnp.asarray(rng.randn(rows, 128).astype(np.float32))
+    H = np.array([[1, 1], [1, -1]], np.complex64) / np.sqrt(2)
+    ore, oim = kernels.apply_1q(re, im, H, q, n)
+    psi = (np.asarray(re) + 1j * np.asarray(im)).reshape(-1)
+    idx = np.arange(psi.size)
+    hi = (idx >> q) & 1
+    a0 = np.where(hi == 0, psi, psi[idx ^ (1 << q)])
+    a1 = np.where(hi == 0, psi[idx ^ (1 << q)], psi)
+    ref = np.where(hi == 0, a0 + a1, a0 - a1) / np.sqrt(2)
+    got = (np.asarray(ore) + 1j * np.asarray(oim)).reshape(-1)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
