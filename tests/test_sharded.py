@@ -180,3 +180,22 @@ def test_sharded_qcmrf_2e20_amplitudes(mesh8):
     np.testing.assert_allclose(
         probs[: 1 << mrf.n].sum(), float(mrf.success_rate()), atol=1e-5
     )
+
+
+def test_statevector_executable_cache(mesh4):
+    """Repeat calls with an identical gate stream hit the compiled
+    executable (no re-trace) and still report the trace-time remap count;
+    a different circuit misses."""
+    mrf = rand_mrf([[0, 1], [1, 2]], seed=9)
+    circ = compile_qcmrf(mrf)
+    before = len(sharded._SV_EXEC_CACHE)
+    r1 = sharded.run_statevector_sharded(circ, mesh4)
+    remaps = sharded.LAST_REMAP_COUNT
+    assert len(sharded._SV_EXEC_CACHE) == before + 1
+    r2 = sharded.run_statevector_sharded(circ, mesh4)
+    assert len(sharded._SV_EXEC_CACHE) == before + 1  # hit, no new entry
+    assert sharded.LAST_REMAP_COUNT == remaps
+    np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r2[0]))
+    other = compile_qcmrf(rand_mrf([[0, 1, 2]], seed=9))
+    sharded.run_statevector_sharded(other, mesh4)
+    assert len(sharded._SV_EXEC_CACHE) == before + 2
