@@ -66,8 +66,6 @@ class QCMRF:
         basis_gates: Sequence[str] = DEFAULT_BASIS_GATES,
         init_key=None,
     ) -> "QCMRF":
-        import jax.numpy as jnp
-
         # dimension check happens in MRF.create; resolve theta first
         probe = MRF.create(cliques)
         dim = probe.dimension
@@ -77,6 +75,18 @@ class QCMRF:
                 raise ValueError(
                     "The QCMRF parameter vector has an incorrect dimension. "
                     f"Expected: {dim}"
+                )
+            # this facade is MRF-backed: gamma must map to a finite
+            # theta <= 0, i.e. cos(2*gamma) in (0, 1] (|gamma| < pi/4).
+            # The reference accepts any gamma (QCMRF.py:221-228 feeds it
+            # straight into the phase gates, converting to theta only
+            # lazily), but such circuits correspond to no MRF (c2 > 1 is
+            # not a probability) — raise rather than silently building
+            # an all-NaN circuit through 2*log(cos(2*gamma)).
+            if not np.all(np.cos(2.0 * gamma) > 0.0):
+                raise ValueError(
+                    "gamma must satisfy |gamma| < pi/4 so that "
+                    "cos(2*gamma) in (0, 1] defines a valid MRF weight"
                 )
             theta = np.asarray(cparams.gamma_to_theta(gamma, beta))
         elif theta is None:

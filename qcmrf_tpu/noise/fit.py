@@ -31,6 +31,7 @@ physical channel family can emit.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import List, Tuple
 
@@ -159,9 +160,6 @@ def fit_noise_model(
 # a monotone 1-D bisection on exact expected distributions (width <= 10).
 
 
-import dataclasses
-
-
 @dataclasses.dataclass(frozen=True)
 class GraphCalibration:
     var_bias: float   # e01 flip rate on variable bits (e10 = 0)
@@ -183,7 +181,12 @@ class CalibratedNoiseModel:
 
 
 def _bias_image(p: np.ndarray, b: float) -> np.ndarray:
-    """Image of an n-bit pmf under per-bit confusion [[1-b, 0], [b, 1]]."""
+    """Image of an n-bit pmf under per-bit confusion [[1-b, 0], [b, 1]].
+
+    Numpy mirror of ``channels.apply_bit_matrix`` (same column-stochastic
+    convention and einsum — keep them in lockstep): the bisection below
+    calls this hundreds of times per graph in a host loop, where per-bit
+    jnp dispatches would dominate."""
     n = int(math.log2(p.size))
     q = p.astype(np.float64)
     M = np.array([[1.0 - b, 0.0], [b, 1.0]])
@@ -193,18 +196,16 @@ def _bias_image(p: np.ndarray, b: float) -> np.ndarray:
     return q
 
 
-def _bhatta(p: np.ndarray, q: np.ndarray) -> float:
-    m = (p > 0) & (q > 0)
-    return float(np.sqrt(p[m] * q[m]).sum() ** 2)
-
-
-def _fit_graph(mrfs, target_f: float, target_delta: float,
-               bias_hi: float, iters: int) -> GraphCalibration:
-    ps = [np.asarray(m.gibbs_probs(), np.float64) for m in mrfs]
-    K = mrfs[0].num_cliques
+def _fit_graph(ps, K: int, delta0: float, target_f: float,
+               target_delta: float, bias_hi: float,
+               iters: int) -> GraphCalibration:
+    """Fit one graph's calibration from its exact per-rep Gibbs pmfs
+    ``ps``, clique count ``K`` and mean noiseless acceptance ``delta0``
+    (precomputed once — the refine loop re-enters with new targets
+    only)."""
+    from qcmrf_tpu.evaluation.metrics import fidelity
 
     # --- delta knob: closed form ---------------------------------------
-    delta0 = float(np.mean([float(m.success_rate()) for m in mrfs]))
     c = max(target_delta, 1e-9) / delta0
     if c <= 1.0:
         anc_drop, anc_boost = 1.0 - c ** (1.0 / K), 0.0
@@ -215,7 +216,8 @@ def _fit_graph(mrfs, target_f: float, target_delta: float,
     target_f = min(target_f, 1.0)
 
     def mean_f(b):
-        return float(np.mean([_bhatta(p, _bias_image(p, b)) for p in ps]))
+        return float(np.mean([float(fidelity(p, _bias_image(p, b)))
+                              for p in ps]))
 
     lo, hi = 0.0, bias_hi
     if mean_f(hi) > target_f:
@@ -257,13 +259,22 @@ def fit_calibrated(
     eff_f = list(goal_f)
     eff_d = list(goal_d)
 
+    # exact per-rep Gibbs pmfs and noiseless acceptance, computed ONCE —
+    # refine passes only change the targets, not the models
+    graph_consts = []
+    for j, C in enumerate(suite.graphs):
+        mrfs = [MRF.create(C, theta=t) for t in suite.thetas[j]]
+        graph_consts.append((
+            [np.asarray(m.gibbs_probs(), np.float64) for m in mrfs],
+            mrfs[0].num_cliques,
+            float(np.mean([float(m.success_rate()) for m in mrfs])),
+        ))
+
     def fit_pass():
-        cals = []
-        for j, C in enumerate(suite.graphs):
-            mrfs = [MRF.create(C, theta=t) for t in suite.thetas[j]]
-            cals.append(
-                _fit_graph(mrfs, eff_f[j], eff_d[j], bias_hi, iters)
-            )
+        cals = [
+            _fit_graph(ps, K, delta0, eff_f[j], eff_d[j], bias_hi, iters)
+            for j, (ps, K, delta0) in enumerate(graph_consts)
+        ]
         return CalibratedNoiseModel(name=name, readout_sym=readout_sym,
                                     graphs=tuple(cals))
 

@@ -214,3 +214,18 @@ def test_basis_gates_ctor_and_lowered():
     q2 = QCMRF.build([[0, 1]], theta=[-0.2] * 4, basis_gates=["cz", "rx"])
     with pytest.raises(ValueError):
         q2.lowered()
+
+
+def test_gamma_domain_rejected():
+    """gamma outside |gamma| < pi/4 has no MRF equivalent (cos(2g) <= 0
+    would make 2*log(cos) NaN/-inf); the facade raises instead of
+    silently building an all-NaN circuit. (The reference feeds such gamma
+    straight to the phase gates, QCMRF.py:221-228, converting to theta
+    only lazily — but every distribution-level API here is MRF-backed.)"""
+    with pytest.raises(ValueError, match="gamma"):
+        QCMRF.build([[0, 1]], gamma=[0.9] * 4)
+    # (float pi/4 itself maps to cos ~ 6e-17 > 0: a huge but finite and
+    # valid theta, so only strictly-outside values are rejected)
+    # interior gamma still round-trips
+    q = QCMRF.build([[0, 1]], gamma=[0.3] * 4)
+    np.testing.assert_allclose(np.asarray(q.gamma), 0.3, atol=1e-6)
