@@ -34,20 +34,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.ops._common import interpret as _interpret
 
 LANE = 128
 _INV_SQRT2 = np.float32(1.0 / math.sqrt(2.0))
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+# the whole 2**width statevector is one VMEM block per grid step (that is
+# the point of the kernel); past this width the planes no longer fit the
+# 16 MB scoped-VMEM budget and the right tool is the plane engine
+# (sim/tpu.py) or the sharded layer
+_MAX_WIDTH = 16
+# large-body kernel (fully unrolled circuit): remote Mosaic compile time
+# grows with grid size (CLAUDE.md; ~28 min at grid 128 for comparable
+# bodies), so batches are chunked into separate launches
+_MAX_BATCH_GRID = 16
 
 
 def _lane_matrix_h(q: int) -> np.ndarray:
+    from qcmrf_tpu.ops.kernels import _lane_gate_matrix
+
     H = np.array([[_INV_SQRT2, _INV_SQRT2], [_INV_SQRT2, -_INV_SQRT2]],
                  dtype=np.float32)
-    return np.kron(np.kron(np.eye(1 << (6 - q), dtype=np.float32), H),
-                   np.eye(1 << q, dtype=np.float32))
+    return _lane_gate_matrix(H, q)
 
 
 def _apply_h(re, im, q: int, rows: int, hmats_ref=None):
@@ -157,19 +165,32 @@ def _lane_h_stack() -> np.ndarray:
 def _circuit_call(cliques: tuple, n: int, gammas):
     B = gammas.shape[0]
     kernel, rows, pad_width = _build_circuit_kernel(cliques, n)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, rows, LANE), jnp.float32),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gamma (B, d), unblocked
-            pl.BlockSpec((7, LANE, LANE), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rows, LANE), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(gammas, jnp.asarray(_lane_h_stack()))
+    hmats = jnp.asarray(_lane_h_stack())
+
+    def launch(g):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (g.shape[0], rows, LANE), jnp.float32),
+            grid=(g.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # gamma, unblocked
+                pl.BlockSpec((7, LANE, LANE), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, LANE), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(g, hmats)
+
+    # chunk the batch so no single launch exceeds _MAX_BATCH_GRID grid
+    # steps of this large-body kernel (compile-time guard); chunks reuse
+    # the same program when their shapes match
+    chunks = [
+        launch(gammas[s: s + _MAX_BATCH_GRID])
+        for s in range(0, B, _MAX_BATCH_GRID)
+    ]
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
     return out.reshape(B, rows * LANE)
 
 
@@ -181,13 +202,29 @@ def batched_circuit_probs(cliques, thetas, beta: float = 1.0) -> jax.Array:
     entirely in one fused kernel (the whole statevector lives in
     registers/VMEM across all gates).
     """
-    from qcmrf_tpu.circuits.params import theta_to_gamma
+    from qcmrf_tpu.circuits.params import (theta_to_gamma,
+                                           validate_theta_domain)
 
     cliques = tuple(tuple(int(v) for v in C) for C in cliques)
     template = MRF.create([list(C) for C in cliques])
     n, K = template.n, template.num_cliques
     width = n + K + 1
-    thetas = jnp.asarray(thetas, jnp.float32)
-    gammas = theta_to_gamma(thetas, beta).astype(jnp.float32)
+    if width > _MAX_WIDTH:
+        raise ValueError(
+            f"circuit width {width} exceeds the whole-state kernel's "
+            f"VMEM budget (max {_MAX_WIDTH}); use sim.tpu or "
+            "parallel.sharded for wider circuits"
+        )
+    if not isinstance(thetas, jax.core.Tracer):
+        # concrete input: validate the domain (theta > 0 would silently
+        # produce NaN gammas) and keep the arccos in float64 — the
+        # float32 round-trip loses the conditioning params._xp documents
+        thetas64 = np.asarray(thetas, np.float64)
+        validate_theta_domain(thetas64)
+        gammas = jnp.asarray(
+            np.asarray(theta_to_gamma(thetas64, beta)), jnp.float32)
+    else:
+        gammas = theta_to_gamma(
+            jnp.asarray(thetas, jnp.float32), beta).astype(jnp.float32)
     probs = _circuit_call(cliques, n, gammas)
     return probs[:, : 1 << width]

@@ -38,12 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from qcmrf_tpu.models.mrf import MRF
 from qcmrf_tpu.utils import moebius
 
+from qcmrf_tpu.ops._common import interpret as _interpret
+
 LANE = 128
 _MIN_KERNEL_N = 10  # below this, plain jnp is faster than kernel launch
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 # --------------------------------------------------------------------------

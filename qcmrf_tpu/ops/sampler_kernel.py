@@ -25,15 +25,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.ops._common import interpret as _interpret
 from qcmrf_tpu.utils import moebius
-from qcmrf_tpu.sim.analytic import _moebius_layout
+from qcmrf_tpu.sim.analytic import _moebius_layout, check_theta_domain
 
 LANE = 128
 _U24 = np.float32(1.0 / (1 << 24))
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 @functools.lru_cache(maxsize=256)
@@ -191,6 +188,7 @@ def sample_outcome_parts(seed, mrf: MRF, shots: int):
         raise ValueError("ancilla bitmask limited to 32 cliques")
     if shots % LANE:
         raise ValueError("shots must be a multiple of 128")
+    check_theta_domain(mrf)
     seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     coef = _keep_prob_coefficients(mrf)
     return _sample_call(seed, (mrf.cliques, mrf.n), shots, False, coef)
@@ -204,6 +202,7 @@ def sample_postselected(seed, mrf: MRF, shots: int):
     """
     if shots % LANE:
         raise ValueError("shots must be a multiple of 128")
+    check_theta_domain(mrf)
     seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     coef = _keep_prob_coefficients(mrf)
     x, a = _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef)
@@ -232,6 +231,12 @@ def sample_accept_count(seed, mrf: MRF, shots: int) -> jax.Array:
     """
     if shots % LANE:
         raise ValueError("shots must be a multiple of 128")
+    if shots >= 1 << 31:
+        # the final count accumulates in int32 (x64 disabled); capping
+        # shots below 2**31 makes overflow impossible (count <= shots)
+        raise ValueError("shots must be < 2**31 per call (int32 count); "
+                         "loop calls for more")
+    check_theta_domain(mrf)
     seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     coef = _keep_prob_coefficients(mrf)
     return _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef,

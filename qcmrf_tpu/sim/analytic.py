@@ -34,6 +34,26 @@ from qcmrf_tpu.models.mrf import MRF
 from qcmrf_tpu.utils import moebius
 
 
+def check_theta_domain(mrf: MRF) -> None:
+    """Host-side guard for the sampling entry points: theta > 0 makes
+    ``c2 = exp(beta*theta) > 1``, so the Bernoulli ``u >= c2`` silently
+    never fires (the sample follows the theta=0 law instead of erroring)
+    and ``1 - c2`` goes negative in the joint law. Only checks concrete
+    (non-traced) theta — inside jit the caller owns the domain (training
+    reparameterizes to theta <= 0 by construction)."""
+    import numpy as np
+
+    theta = mrf.theta
+    if isinstance(theta, jax.core.Tracer):
+        return
+    if np.any(np.asarray(theta) > 0):
+        raise ValueError(
+            "theta must be <= 0 (QCMRF.py:139 domain): positive entries "
+            "give clique keep-probabilities > 1 and a silently wrong "
+            "outcome law"
+        )
+
+
 def clique_keep_probs(mrf: MRF, x) -> jax.Array:
     """``c2_k(x) = exp(beta * theta_k(y_k(x)))`` for each clique k.
 
@@ -47,7 +67,7 @@ def clique_keep_probs(mrf: MRF, x) -> jax.Array:
 def _moebius_layout(cliques: tuple, n: int):
     """Static tables for the gather-free keep-prob evaluation.
 
-    Returns (idx_map (K, 2^cmax) int32, shifts (cmax, K) int32):
+    Returns (idx_map (K, 2^cmax) int32, shifts (cmax, K) int32, cmax):
     ``idx_map[k, s]`` maps slot-encoded subset ``s`` (bit i <-> clique slot
     i; out-of-range slots aliased down so their Moebius coefficients vanish)
     to the flat theta index; ``shifts[i, k]`` is the state-id right-shift of
@@ -126,6 +146,7 @@ def postselected_probs(mrf: MRF) -> Tuple[jax.Array, jax.Array]:
     Returns ``(p, delta)`` where ``p[x]`` is the Gibbs distribution over the
     ``2**n`` variable states and ``delta = Z / 2**n``.
     """
+    check_theta_domain(mrf)
     logpot = mrf.beta * mrf.all_log_potentials()
     lse = jax.scipy.special.logsumexp(logpot)
     p = jnp.exp(logpot - lse)
@@ -142,6 +163,7 @@ def joint_outcome_probs(mrf: MRF) -> jax.Array:
     small suites (n + K + 1 <= ~24); large models use
     :func:`sample_outcomes` which never materializes the joint.
     """
+    check_theta_domain(mrf)
     n, K = mrf.n, mrf.num_cliques
     # bound the true peak allocation: both the (2**K, 2**n, K) broadcast
     # intermediate below and the 2**(n+K+1) output/keys arrays
@@ -171,7 +193,6 @@ def joint_outcome_probs(mrf: MRF) -> jax.Array:
     return out.at[keys.reshape(-1)].add(P.reshape(-1))
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
 def sample_outcome_parts(key: jax.Array, mrf: MRF, shots: int):
     """Sample full measurement outcomes without materializing any 2^Q vector.
 
@@ -181,9 +202,15 @@ def sample_outcome_parts(key: jax.Array, mrf: MRF, shots: int):
     bit k = clique k's ancilla; K <= 32). O(shots * K) work, independent
     of 2**n — this is the n=20+ throughput path.
     """
-    K = mrf.num_cliques
-    if K > 32:
+    if mrf.num_cliques > 32:
         raise ValueError("ancilla bitmask limited to 32 cliques per word")
+    check_theta_domain(mrf)
+    return _sample_outcome_parts(key, mrf, shots)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sample_outcome_parts(key, mrf, shots):
+    K = mrf.num_cliques
     kx, ka = jax.random.split(key)
     x = jax.random.randint(kx, (shots,), 0, mrf.num_states, dtype=jnp.int32)
     c2 = clique_keep_probs_fast(mrf, x)  # (shots, K)
@@ -209,7 +236,6 @@ def sample_outcomes(key: jax.Array, mrf: MRF, shots: int) -> jax.Array:
     return x + (a.astype(jnp.int32) << (n + 1))
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
 def sample_postselected(key: jax.Array, mrf: MRF, shots: int):
     """Sample ``shots`` outcomes: (variable states, accept mask).
 
@@ -219,6 +245,12 @@ def sample_postselected(key: jax.Array, mrf: MRF, shots: int):
     No per-ancilla packing, so there is no clique-count limit (n=24-28
     grids have K > 32).
     """
+    check_theta_domain(mrf)
+    return _sample_postselected(key, mrf, shots)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sample_postselected(key, mrf, shots):
     K = mrf.num_cliques
     kx, ka = jax.random.split(key)
     x = jax.random.randint(kx, (shots,), 0, mrf.num_states, dtype=jnp.int32)

@@ -219,10 +219,13 @@ def outcome_probs(circuit: Circuit, re, im) -> jax.Array:
     probs = (re * re + im * im).reshape(-1)
     pairs = circuit.measured_pairs
     # the identity shortcut is only valid when EVERY qubit is measured to
-    # its own clbit — with unmeasured qubits in superposition, mass must
-    # be marginalized onto keys with those clbits zero (dense semantics)
+    # its own clbit AND the clbit register is exactly the qubit register
+    # (a wider clbit register needs the 2**num_clbits output the dense
+    # engine documents) — otherwise mass must be marginalized onto keys
+    # with unmeasured clbits zero (dense semantics)
     if not pairs or (
         len(pairs) == circuit.num_qubits
+        and circuit.num_clbits == circuit.num_qubits
         and all(q == c for q, c in pairs)
     ):
         return probs
