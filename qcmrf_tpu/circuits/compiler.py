@@ -174,7 +174,9 @@ class QCMRF:
             )
         from qcmrf_tpu.circuits.lower import lower
 
-        return lower(self.circuit, style=style)
+        # workspace passed explicitly: the compiler's layout reserves
+        # qubit n, and the facade knows n (the IR alone does not)
+        return lower(self.circuit, style=style, workspace=self.mrf.n)
 
     # ---- operator-level helpers (reference QCMRF.py:159-197) --------------
 

@@ -131,20 +131,33 @@ def lower(circuit: Circuit, style: str = "fused",
     """Lower a circuit to the ``[cx, id, rz, sx, x]`` basis.
 
     ``workspace`` names the shared AND-workspace qubit used by
-    ``style='literal'``; defaults to the QCMRF convention (the qubit after
-    the last pattern qubit is unknowable from the IR alone, so the caller
-    should pass ``mrf.n`` — for circuits compiled by
-    :func:`qcmrf_tpu.circuits.compiler.compile_qcmrf` the default of
-    ``max flags_phase pattern qubit + 1`` recovers exactly that).
+    ``style='literal'``. The safe default is the lowest qubit no gate of
+    the circuit touches (measure/barrier excluded) — for QCMRF circuits
+    that is exactly qubit ``mrf.n``, which the compiler leaves idle. A
+    guess like "max pattern qubit + 1" would collide with a live
+    variable qubit whenever variable 0 appears in no clique (the
+    reflection v -> (n-1)-v puts it at the TOP of the pattern range),
+    silently corrupting the lowered circuit; with no idle qubit at all
+    the caller must pass ``workspace`` explicitly.
     """
     if style not in ("fused", "literal"):
         raise ValueError(f"unknown lowering style {style!r}")
-    if workspace is None:
-        pattern_max = -1
-        for g in circuit.gates:
-            if g.name == "flags_phase":
-                pattern_max = max(pattern_max, max(g.qubits[:-1]))
-        workspace = pattern_max + 1
+    needs_ws = style == "literal" and any(
+        g.name == "flags_phase" for g in circuit.gates
+    )
+    if workspace is None and needs_ws:
+        touched = {
+            q for g in circuit.gates
+            if g.name not in ("measure", "barrier")
+            for q in g.qubits
+        }
+        idle = [q for q in range(circuit.num_qubits) if q not in touched]
+        if not idle:
+            raise ValueError(
+                "literal lowering needs a workspace qubit but every "
+                "qubit carries gates; pass workspace= explicitly"
+            )
+        workspace = idle[0]
     out = Circuit(circuit.num_qubits, circuit.num_clbits,
                   name=circuit.name + "_lowered")
     out.global_phase = circuit.global_phase

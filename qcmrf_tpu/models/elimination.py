@@ -122,15 +122,17 @@ def _expand(f: jax.Array, scope: Tuple[int, ...],
     return f.reshape(shape)
 
 
-def _combine_step(st: "_Step", cliques, clique_factors, step_results,
-                  steps, dtype) -> jax.Array:
+def _combine_step(st: "_Step", clique_scopes, clique_factors,
+                  step_results, steps, dtype) -> jax.Array:
     """Sum (log-domain product) of every factor touching this step's
     variable, broadcast to the combined scope — shared by the sum-product
-    (lnZ) and max-product (MAP) passes."""
+    (lnZ), clamped, and max-product (MAP) passes. ``clique_scopes[idx]``
+    is the sorted scope of ``clique_factors[idx]`` (already reduced for
+    the clamped pass)."""
     acc = jnp.zeros((2,) * len(st.scope), dtype)
     for kind, idx in st.factor_ids:
         f = clique_factors[idx] if kind == "clique" else step_results[idx]
-        src_scope = (tuple(sorted(cliques[idx])) if kind == "clique"
+        src_scope = (clique_scopes[idx] if kind == "clique"
                      else steps[idx].out_scope)
         acc = acc + _expand(f, src_scope, st.scope)
     return acc
@@ -148,8 +150,9 @@ def _build_lnZ(cliques: Tuple[Tuple[int, ...], ...], n: int):
         step_results: List[jax.Array] = []
         const = isolated * jnp.log(2.0)
         for st in steps:
-            acc = _combine_step(st, cliques, clique_factors, step_results,
-                                steps, theta.dtype)
+            acc = _combine_step(
+                st, [tuple(sorted(C)) for C in cliques], clique_factors,
+                step_results, steps, theta.dtype)
             reduced = jax.scipy.special.logsumexp(acc, axis=st.axis)
             step_results.append(reduced)
             if not st.out_scope:
@@ -210,13 +213,8 @@ def _build_lnZ_clamped(cliques: Tuple[Tuple[int, ...], ...], n: int,
         step_results: List[jax.Array] = []
         nonempty = [s for s in red_scopes if s]
         for st in steps:
-            acc = jnp.zeros((2,) * len(st.scope), theta.dtype)
-            for kind, idx in st.factor_ids:
-                f = (reduced_factors[idx] if kind == "clique"
-                     else step_results[idx])
-                src_scope = (nonempty[idx] if kind == "clique"
-                             else steps[idx].out_scope)
-                acc = acc + _expand(f, src_scope, st.scope)
+            acc = _combine_step(st, nonempty, reduced_factors,
+                                step_results, steps, theta.dtype)
             reduced = jax.scipy.special.logsumexp(acc, axis=st.axis)
             step_results.append(reduced)
             if not st.out_scope:
@@ -226,10 +224,21 @@ def _build_lnZ_clamped(cliques: Tuple[Tuple[int, ...], ...], n: int,
     return jax.jit(lnZ)
 
 
+def _validate_evidence(n: int, evidence: dict) -> None:
+    for v, b in evidence.items():
+        if not 0 <= int(v) < n:
+            raise ValueError(f"evidence variable {v} out of range [0, {n})")
+        if int(b) not in (0, 1):
+            raise ValueError(f"evidence value {b} for variable {v} is not "
+                             "a binary state (jnp.take would silently "
+                             "clamp it)")
+
+
 def log_partition_clamped(mrf: MRF, evidence: dict) -> jax.Array:
     """Unnormalized log-mass of the evidence: ``ln sum_{x ~ e} e^{beta
     theta^T phi(x)}``. ``ln P(e) = log_partition_clamped - log_partition``;
     single-variable conditionals follow by clamping one more variable."""
+    _validate_evidence(mrf.n, evidence)
     ev = tuple(sorted((int(v), int(b)) for v, b in evidence.items()))
     fn = _build_lnZ_clamped(mrf.cliques, mrf.n, ev)
     return fn(mrf.theta, mrf.beta)
@@ -237,8 +246,16 @@ def log_partition_clamped(mrf: MRF, evidence: dict) -> jax.Array:
 
 def conditional_prob(mrf: MRF, v: int, value: int,
                      evidence: dict = None) -> jax.Array:
-    """Exact ``P(x_v = value | evidence)`` by two clamped eliminations."""
+    """Exact ``P(x_v = value | evidence)`` by two clamped eliminations.
+
+    Conflicting evidence on ``v`` itself short-circuits to 0 or 1 (the
+    clamped ratio would otherwise compute a cross-mass quotient)."""
     evidence = dict(evidence or {})
+    _validate_evidence(mrf.n, {**evidence, v: value})
+    if int(v) in {int(u) for u in evidence}:
+        agree = int(evidence[[u for u in evidence
+                              if int(u) == int(v)][0]]) == int(value)
+        return jnp.asarray(1.0 if agree else 0.0, mrf.theta.dtype)
     num = log_partition_clamped(mrf, {**evidence, v: value})
     den = log_partition_clamped(mrf, evidence) if evidence else (
         log_partition(mrf)
@@ -287,8 +304,9 @@ def _build_map(cliques: Tuple[Tuple[int, ...], ...], n: int):
         step_results: List[jax.Array] = []
         argmaxes: List[jax.Array] = []
         for st in steps:
-            acc = _combine_step(st, cliques, clique_factors, step_results,
-                                steps, theta.dtype)
+            acc = _combine_step(
+                st, [tuple(sorted(C)) for C in cliques], clique_factors,
+                step_results, steps, theta.dtype)
             step_results.append(jnp.max(acc, axis=st.axis))
             argmaxes.append(jnp.argmax(acc, axis=st.axis).astype(jnp.int32))
 

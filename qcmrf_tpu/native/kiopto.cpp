@@ -59,10 +59,11 @@ struct Model {
   std::vector<std::vector<int>> cliques;
   std::vector<size_t> offsets;    // weight offset per clique
   std::vector<double> weights;    // dimension sum(2^|C|)
+  std::vector<std::vector<int>> var_cliques;  // clique ids touching v
 
-  void init(const std::vector<std::vector<int>>& cl) {
+  void init(const std::vector<std::vector<int>>& cl, int n_vars) {
     cliques = cl;
-    n = 0;
+    n = n_vars;  // may exceed the clique maximum: isolated trailing vars
     size_t off = 0;
     offsets.clear();
     for (auto& C : cliques) {
@@ -71,6 +72,9 @@ struct Model {
       off += (size_t{1} << C.size());
     }
     weights.assign(off, 0.0);
+    var_cliques.assign(n, {});
+    for (size_t k = 0; k < cliques.size(); ++k)
+      for (int v : cliques[k]) var_cliques[v].push_back((int)k);
   }
 
   // theta^T phi(x) with variable 0 as MSB of x
@@ -241,7 +245,9 @@ double run_elimination(const Model& m, bool sum,
     }
     Trace t;
     t.var = v;
-    t.before = acc;
+    // the pre-elimination factor is only needed for MAP back-substitution;
+    // copying it on the sum path is dead work per eliminated variable
+    if (!sum && assignment) t.before = acc;
     Factor reduced = eliminate(acc, v, sum, sum ? nullptr : &t.argmax);
     if (!sum && assignment) traces.push_back(std::move(t));
     if (reduced.arity() == 0) {
@@ -278,7 +284,7 @@ double run_elimination(const Model& m, bool sum,
 
 extern "C" {
 
-void* qk_create(const int* flat, const int* sizes, int K) {
+void* qk_create(const int* flat, const int* sizes, int K, int n_vars) {
   std::vector<std::vector<int>> cl;
   int p = 0;
   for (int k = 0; k < K; ++k) {
@@ -286,7 +292,7 @@ void* qk_create(const int* flat, const int* sizes, int K) {
     p += sizes[k];
   }
   auto* m = new Model();
-  m->init(cl);
+  m->init(cl, n_vars);
   return m;
 }
 
@@ -327,17 +333,24 @@ void qk_sample_gibbs(void* h, int num, int burn, int* out,
   std::vector<int> bits(m.n, 0);
   for (int v = 0; v < m.n; ++v) bits[v] = (rng() >> 33) & 1u;
 
-  auto state_id = [&]() {
-    uint64_t x = 0;
-    for (int v = 0; v < m.n; ++v) x = (x << 1) | (uint64_t)bits[v];
-    return x;
-  };
+  // per-variable conditional from only the cliques touching v (no
+  // packed state id: works for any n, and O(sum_v K_v) per sweep
+  // instead of O(n * K * |C|))
   auto sweep = [&]() {
     for (int v = 0; v < m.n; ++v) {
-      uint64_t x = state_id();
-      uint64_t mask = uint64_t{1} << (m.n - 1 - v);
-      double l1 = m.logpot(x | mask), l0 = m.logpot(x & ~mask);
-      double p1 = 1.0 / (1.0 + std::exp(-(l1 - l0)));
+      double diff = 0.0;  // logpot(bits with v=1) - logpot(v=0)
+      for (int k : m.var_cliques[v]) {
+        const auto& C = m.cliques[k];
+        size_t y1 = 0, y0 = 0;
+        for (size_t i = 0; i < C.size(); ++i) {
+          int b = bits[C[i]];
+          y1 = (y1 << 1) | (size_t)(C[i] == v ? 1 : b);
+          y0 = (y0 << 1) | (size_t)(C[i] == v ? 0 : b);
+        }
+        diff += m.weights[m.offsets[k] + y1]
+              - m.weights[m.offsets[k] + y0];
+      }
+      double p1 = 1.0 / (1.0 + std::exp(-diff));
       bits[v] = unif(rng) < p1 ? 1 : 0;
     }
   };

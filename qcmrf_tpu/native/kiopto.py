@@ -54,7 +54,7 @@ def _lib() -> ctypes.CDLL:
         lib.qk_create.restype = ctypes.c_void_p
         lib.qk_create.argtypes = [
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
         ]
         lib.qk_destroy.argtypes = [ctypes.c_void_p]
         lib.qk_dim.restype = ctypes.c_longlong
@@ -84,14 +84,19 @@ def _lib() -> ctypes.CDLL:
 class Backend:
     """Handle to a native MRF (reference: object from ``px.backend``)."""
 
-    def __init__(self, cliques: Sequence[Sequence[int]]):
+    def __init__(self, cliques: Sequence[Sequence[int]],
+                 num_vars: int = 0):
         lib = _lib()
+        if any(len(C) == 0 for C in cliques):
+            raise ValueError("empty cliques are not allowed (their weight "
+                             "would be dropped from elimination but kept "
+                             "by logpot)")
         flat: List[int] = [int(v) for C in cliques for v in C]
         sizes = [len(C) for C in cliques]
         self._h = lib.qk_create(
             (ctypes.c_int * len(flat))(*flat),
             (ctypes.c_int * len(sizes))(*sizes),
-            len(sizes),
+            len(sizes), int(num_vars),
         )
         self._lib = lib
         self.cliques = [list(map(int, C)) for C in cliques]
@@ -116,12 +121,18 @@ def backend(cliques, states_per_var=None, inference: str = "exact") -> Backend:
 
     Only binary variables are supported — exactly the reference's usage
     (``[2]*n`` at every call site)."""
+    num_vars = 0
     if states_per_var is not None:
-        if any(int(s) != 2 for s in np.asarray(states_per_var).flatten()):
+        spv = np.asarray(states_per_var).flatten()
+        if any(int(s) != 2 for s in spv):
             raise ValueError("only binary variables are supported")
+        # the reference kiopto takes n from len(states_per_var): trailing
+        # variables in no clique are real (each contributes a factor 2 to
+        # Z, a bit of sample width, a logpot bit position)
+        num_vars = len(spv)
     if inference != "exact":
         raise ValueError("only inference='exact' is supported")
-    return Backend(cliques)
+    return Backend(cliques, num_vars)
 
 
 class _WeightsView(np.ndarray):
@@ -150,6 +161,9 @@ def infer(b: Backend, task: str = "partition") -> float:
 
 def logpot(b: Backend, xid: int) -> float:
     """theta^T phi(x) for a state id (parity: ``px.logpot``, eval.py:92)."""
+    if b.n > 64:
+        raise ValueError("packed state ids are 64-bit; logpot supports "
+                         "n <= 64 (partition/MAP/sampling have no limit)")
     return float(b._lib.qk_logpot(b._h, int(xid)))
 
 

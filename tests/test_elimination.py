@@ -230,3 +230,19 @@ def test_clamped_large_chain():
     p0 = float(ve.conditional_prob(mrf, 30, 0))
     assert np.isclose(p0 + p1, 1.0, atol=1e-5)
     assert 0 < p1 < 1
+
+
+def test_evidence_validation_and_conflicts():
+    rng = np.random.RandomState(4)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    with pytest.raises(ValueError, match="out of range"):
+        ve.conditional_prob(mrf, 70, 1)
+    with pytest.raises(ValueError, match="binary"):
+        ve.conditional_prob(mrf, 0, 2)
+    with pytest.raises(ValueError, match="out of range"):
+        ve.log_partition_clamped(mrf, {5: 0})
+    # evidence conflicting/agreeing on the queried variable itself
+    assert float(ve.conditional_prob(
+        mrf, 0, 0, evidence={0: 1})) == 0.0
+    assert float(ve.conditional_prob(
+        mrf, 0, 1, evidence={0: 1})) == 1.0

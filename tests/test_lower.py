@@ -112,3 +112,31 @@ def test_basis_gate_counts():
     # literal style routes through the workspace qubit: strictly more gates
     lit = L.basis_gate_counts(circ, style="literal")
     assert lit["cx"] > counts["cx"]
+
+
+def test_literal_workspace_no_collision_when_var0_unused():
+    """Variable 0 in no clique: its reflected qubit (n-1) sits ABOVE the
+    pattern range, so 'max pattern qubit + 1' would collide with it; the
+    idle-qubit default (and QCMRF.lowered's explicit workspace) must pick
+    the true workspace qubit n instead."""
+    import numpy as np
+
+    from qcmrf_tpu.circuits.compiler import QCMRF, compile_qcmrf
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.sim import dense
+
+    rng = np.random.RandomState(6)
+    mrf = MRF.create([[1, 2]], theta=-np.abs(rng.randn(4)) * 0.5)
+    assert mrf.n == 3  # variable 0 exists but appears in no clique
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    low = L.lower(circ, style="literal")
+    np.testing.assert_allclose(
+        np.asarray(dense.run_statevector(low)),
+        np.asarray(dense.run_statevector(circ)), atol=1e-6)
+    # facade path passes workspace explicitly
+    q = QCMRF.build([[1, 2]], theta=np.asarray(mrf.theta),
+                    with_measurements=False)
+    low2 = q.lowered(style="literal")
+    np.testing.assert_allclose(
+        np.asarray(dense.run_statevector(low2)),
+        np.asarray(dense.run_statevector(circ)), atol=1e-6)

@@ -175,3 +175,37 @@ def test_eval_harness_native_modes(px, reference_root):
     assert all(r.mean_f > 0.99 for r in res)
     res_p = evaluate_suite(small, mode="pam", num_samples=1000, native=True)
     assert all(r.mean_f > 0.8 for r in res_p)
+
+
+def test_isolated_trailing_variables(px):
+    """n comes from len(states_per_var), like the reference kiopto: a
+    trailing variable in no clique still contributes ln 2 to lnZ, a bit
+    of sample width, and a logpot bit position."""
+    b = px.backend([[0, 1]], np.array([2, 2, 2]))
+    assert b.n == 3
+    assert np.isclose(px.infer(b), 3 * np.log(2.0))  # zero weights
+    S = px.sample(b, pam=True, num=4, seed=0)
+    assert S.shape == (4, 3)
+    # logpot reads variable 0 as MSB of a 3-bit id: only the [0,1] clique
+    # contributes, via bits 2..1
+    px.weights(b)[:] = [0.0, 0.0, 0.0, -1.0]
+    assert np.isclose(px.logpot(b, 0b110), -1.0)
+    assert np.isclose(px.logpot(b, 0b111), -1.0)
+    assert np.isclose(px.logpot(b, 0b100), 0.0)
+
+
+def test_gibbs_beyond_64_variables(px):
+    """The per-variable-clique Gibbs sweep packs no state id, so n > 64
+    works (the old packed-id sweep was undefined behavior there)."""
+    n = 70
+    b = px.backend([[i, i + 1] for i in range(n - 1)], np.array([2] * n))
+    S = px.sample(b, num=300, seed=1)
+    assert S.shape[1] == n
+    # zero weights: each bit is a fair coin
+    m = S.mean()
+    assert 0.4 < m < 0.6, m
+
+
+def test_empty_clique_rejected(px):
+    with pytest.raises(ValueError, match="empty"):
+        px.backend([[0, 1], []], np.array([2, 2]))
