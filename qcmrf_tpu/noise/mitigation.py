@@ -57,12 +57,19 @@ def mitigate_counts(
         for i, p in enumerate(dense)
         if p != 0.0
     }
+    # key-for-key the stored hardware metadata schema (res_0.1/
+    # result_torino.json metadata[*]): shots, circuit_metadata (empty dict
+    # in every stored row), the two mitigation stats, and the runtime
+    # warning string ("Optimization level clipped from 3 to 1" upstream —
+    # here it flags the emulation itself)
     meta = {
         "shots": shots,
+        "circuit_metadata": {},
         "readout_mitigation_overhead": mitigation_overhead(
             errors[: len(list(measured_bits))]
         ),
         "readout_mitigation_time": time.perf_counter() - t0,
+        "warning": "Emulated backend (qcmrf_tpu noise model), not hardware",
     }
     return quasi, meta
 

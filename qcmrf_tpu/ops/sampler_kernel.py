@@ -216,6 +216,7 @@ def sample_accept_flags(seed, mrf: MRF, shots: int):
     """
     if shots % LANE:
         raise ValueError("shots must be a multiple of 128")
+    check_theta_domain(mrf)
     seed = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     coef = _keep_prob_coefficients(mrf)
     a = _sample_call(seed, (mrf.cliques, mrf.n), shots, True, coef, False)

@@ -293,8 +293,7 @@ def sharded_estimate_delta(
         raise ValueError(
             f"shots ({shots}) must be divisible by the mesh size ({D})"
         )
-    if (jax.default_backend() == "tpu" and (shots // D) % 128
-            and shots // D >= 128):
+    if jax.default_backend() == "tpu" and (shots // D) % 128:
         import sys
 
         print(
@@ -325,8 +324,7 @@ def sharded_sample_postselected(
             f"shots ({shots}) must be divisible by the mesh size ({D}); "
             "a silent floor would bias delta-hat estimates"
         )
-    if (jax.default_backend() == "tpu" and (shots // D) % 128
-            and shots // D >= 128):
+    if jax.default_backend() == "tpu" and (shots // D) % 128:
         import sys
 
         print(

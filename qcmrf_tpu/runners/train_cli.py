@@ -222,14 +222,18 @@ def main(argv: Optional[List[str]] = None) -> str:
         def step_fn(raw, opt_state, _data, _key=[jax.random.PRNGKey(
                 args.data_seed + 1)]):
             _key[0], sub = jax.random.split(_key[0])
+            raw_pre = raw  # delta-hat below is estimated at these params
             raw, opt_state, delta = shots_step(raw, opt_state, sub)
             # report the NLL estimated from the same shots:
-            # lnZ_hat = ln(delta) + n ln 2
+            # lnZ_hat = ln(delta) + n ln 2; the data term uses the SAME
+            # (pre-update) theta the shots were drawn at, so both terms
+            # of the logged loss refer to one parameter vector
             nll = float(np.log(max(delta, 1e-300)) + template.n
                         * np.log(2.0)) - float(
                 template.beta * jnp.mean(
                     template.with_theta(
-                        mtrain._to_theta(raw, True)).log_potential(_data)))
+                        mtrain._to_theta(raw_pre, True)).log_potential(
+                            _data)))
             return raw, opt_state, nll
     else:
         step_fn = mtrain.make_train_step(template, opt)

@@ -120,3 +120,28 @@ def test_overhead_range_matches_reference():
     for width in (3, 6, 10):
         ov = mitigation_overhead([model.readout] * width)
         assert 1.05 < ov < 3.0
+
+
+def test_metadata_schema_superset_of_stored(reference_root):
+    """Emitted metadata keys (and value types) must cover every key of the
+    stored hardware rows (res_0.1/result_torino.json metadata[*]) —
+    byte-level result-file schema parity."""
+    import json
+
+    import os
+
+    stored = json.load(
+        open(os.path.join(reference_root, "res_0.1", "result_torino.json"))
+    )["metadata"]
+    stored_keys = {k for row in stored for k in row}
+
+    mrf = make_mrf([[0, 1]], seed=3)
+    width = mrf.n + mrf.num_cliques + 1
+    model = nb.preset("torino")
+    counts = nb.sample_noisy_counts(jax.random.PRNGKey(4), mrf, model, 1000)
+    _, meta = mitigate_counts(counts, [model.readout] * width, width)
+    assert set(meta.keys()) >= stored_keys, (
+        f"missing keys: {stored_keys - set(meta.keys())}"
+    )
+    for k in stored_keys:  # same JSON value types as the stored rows
+        assert type(meta[k]) is type(stored[0][k]), (k, type(meta[k]))
