@@ -29,7 +29,9 @@ def test_entry_compiles_and_runs():
     assert int(np.asarray(x).max()) < (1 << 20)
 
 
-@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize(
+    "n_devices", [2, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_dryrun_multichip(n_devices):
     import __graft_entry__ as g
 
@@ -47,6 +49,7 @@ def test_flags_rewrite_replaces_existing_count():
     assert "--foo" in out and "--bar" in out
 
 
+@pytest.mark.slow
 def test_dryrun_driver_env():
     """Run the dryrun the way the round driver does: a fresh interpreter
     with the image's default platform pin (axon TPU) and no

@@ -2,6 +2,7 @@
 (BASELINE.json config 5; the reference caps at 10 qubits)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,7 @@ from qcmrf_tpu.models.mrf import grid_mrf
 from qcmrf_tpu.parallel import sharded
 
 
+@pytest.mark.slow
 def test_n24_sharded_estimation():
     mrf = grid_mrf(4, 6)  # n=24, K=38
     rng = np.random.RandomState(0)
