@@ -270,3 +270,70 @@ def fit_mle_shots(
         key, sub = jax.random.split(key)
         raw, opt_state, delta = step(raw, opt_state, sub)
     return mrf0.with_theta(_to_theta(raw, nonpositive)), delta
+
+
+# --------------------------------------------------------------------------
+# Moment-target training on bit-array data: exact MLE past the int32
+# state-id ceiling (n > 30), powered by differentiable elimination.
+# --------------------------------------------------------------------------
+
+
+def empirical_moments_from_bits(template: MRF, bits) -> jax.Array:
+    """Empirical ``E_data[phi]`` (d,) from per-variable bit arrays (S, n).
+
+    The sufficient statistics of the data are all the NLL ever needs
+    (``mean log-lik = beta * theta^T mu_hat - lnZ``), so data at any ``n``
+    reduces to one (d,) vector — no state ids, no 2^n anywhere. Bit
+    conventions match the theta layout (clique-major, y binary counting,
+    first clique variable slowest; CLAUDE.md conventions)."""
+    import numpy as np
+
+    bits = np.asarray(bits)
+    if bits.ndim != 2 or bits.shape[1] != template.n:
+        raise ValueError(
+            f"bits must be (samples, n={template.n}), got {bits.shape}"
+        )
+    if not np.isin(bits, (0, 1)).all():
+        raise ValueError("bits must be 0/1 arrays")
+    S = bits.shape[0]
+    mu = np.zeros(template.dimension)
+    for k, C in enumerate(template.cliques):
+        m = len(C)
+        y = np.zeros(S, dtype=np.int64)
+        for i, v in enumerate(C):
+            y |= bits[:, v].astype(np.int64) << (m - 1 - i)
+        np.add.at(mu, template.theta_offsets[k] + y, 1.0)
+    return jnp.asarray(mu / max(S, 1), jnp.float32)
+
+
+def make_moment_train_step(
+    template: MRF,
+    optimizer: optax.GradientTransformation,
+    mu_hat: jax.Array,
+    nonpositive: bool = True,
+) -> Callable:
+    """Jitted exact-MLE step on the sufficient statistics:
+    ``loss(theta) = lnZ(theta) - beta * theta^T mu_hat`` (the exact mean
+    NLL of the data). lnZ comes from variable elimination, so this trains
+    bounded-treewidth graphs at any ``n`` (the CLI uses it past the
+    int32-state-id ceiling). Signature matches make_train_step's
+    (raw, opt_state, batch) -> (raw, opt_state, loss); ``batch`` is
+    ignored (the moments are baked in)."""
+    from qcmrf_tpu.models import elimination
+
+    mu_hat = jnp.asarray(mu_hat, jnp.float32)
+    lnZ_fn = elimination._build_lnZ(template.cliques, template.n)
+
+    @jax.jit
+    def step(raw, opt_state, batch=None):
+        def loss_fn(r):
+            theta = _to_theta(r, nonpositive)
+            return (lnZ_fn(theta, template.beta)
+                    - template.beta * jnp.vdot(theta, mu_hat))
+
+        loss, g = jax.value_and_grad(loss_fn)(raw)
+        updates, opt_state = optimizer.update(g, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        return raw, opt_state, loss
+
+    return step

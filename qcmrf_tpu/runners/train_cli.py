@@ -103,22 +103,48 @@ def main(argv: Optional[List[str]] = None) -> str:
 
     cliques = parse_graph(args.graph)
     template = MRF.create(cliques)
-    if template.n > 30:
-        # observed data travels as int32 state ids (samplers + the NLL's
-        # log_potential); beyond 30 variables use the elimination API
-        # directly with moment targets (models/elimination.py)
-        raise SystemExit(
-            f"train CLI supports up to 30 variables (got {template.n}): "
-            "state ids are int32; for larger sparse graphs use "
-            "qcmrf_tpu.models.elimination (exact lnZ/marginals at any n)"
-        )
+    # past the int32 state-id ceiling, data travels as per-variable bit
+    # arrays and training runs on the sufficient statistics with the
+    # differentiable-elimination lnZ (exact for bounded treewidth at any
+    # n; models/elimination.py)
+    big = template.n > 30
+    if big and args.mesh:
+        raise SystemExit("--mesh is for the enumerated state table "
+                         "(n <= 30); elimination training is single-device")
+    if big and args.grad == "shots":
+        raise SystemExit("--grad shots needs the circuit sampler's int32 "
+                         "state ids (n <= 30)")
     os.makedirs(args.outdir, exist_ok=True)
     dump_effective_config(args, os.path.join(args.outdir, "train_config.json"))
 
     rng = np.random.RandomState(args.data_seed)
     if args.data:
         with open(args.data) as f:
-            data = jnp.asarray(json.load(f), jnp.int32)
+            loaded = json.load(f)
+        if big:
+            data = np.asarray(loaded, np.uint8)
+            if data.ndim != 2 or data.shape[1] != template.n:
+                raise SystemExit(
+                    f"--data for n={template.n} > 30 must be a JSON list "
+                    f"of {template.n}-bit arrays (one list of 0/1 per "
+                    f"sample); got shape {data.shape}"
+                )
+        else:
+            data = jnp.asarray(loaded, jnp.int32)
+    elif big:
+        # ground truth at large n: exact MAP of Gumbel-perturbed models
+        # (perturb-and-MAP, elimination.sample_pam) — bit-array samples
+        # at any n for bounded treewidth
+        from qcmrf_tpu.models import elimination
+
+        true = template.with_theta(
+            jnp.asarray(-np.abs(rng.randn(template.dimension)), jnp.float32)
+        )
+        data = np.asarray(elimination.sample_pam(
+            jax.random.PRNGKey(args.data_seed), true, args.samples
+        ), np.uint8)
+        with open(os.path.join(args.outdir, "data.json"), "w") as f:
+            json.dump(data.tolist(), f)
     else:
         true = template.with_theta(
             jnp.asarray(-np.abs(rng.randn(template.dimension)), jnp.float32)
@@ -210,6 +236,10 @@ def main(argv: Optional[List[str]] = None) -> str:
             raise SystemExit("--grad shots is single-device (no --mesh); "
                              "shot sampling is already one fused kernel")
         step_fn = mtrain.make_sharded_train_step(template, opt, mesh)
+    elif big:
+        mu_hat = mtrain.empirical_moments_from_bits(template, data)
+        data = jnp.zeros((), jnp.int32)  # unused by the moment step
+        step_fn = mtrain.make_moment_train_step(template, opt, mu_hat)
     elif args.grad == "shots":
         from qcmrf_tpu.evaluation.estimators import (
             clique_marginals_from_samples)

@@ -108,3 +108,66 @@ def test_shots_gradient_mode(tmp_path):
     with pytest.raises(SystemExit):
         _run(tmp_path / "m", "--steps", "2", "--grad", "shots",
              "--mesh", "2x1")
+
+
+def test_elimination_training_past_n30(tmp_path):
+    """n=60 chain: data as bit arrays, moment-target elimination MLE
+    (VERDICT round-2 item 5 — the CLI exposes what the library could
+    already do). Converges, checkpoints, resumes."""
+    out = train_cli.main([
+        "--graph", "chain:60", "--samples", "1024", "--steps", "30",
+        "--lr", "0.15", "--checkpoint-every", "15",
+        "--outdir", str(tmp_path), "--seed", "5",
+    ])
+    m = json.load(open(out))
+    assert len(m["theta"]) == 59 * 4
+    first = m["final_nll"]
+    assert np.isfinite(first)
+    # data was saved as (samples, n) bit arrays
+    data = np.asarray(json.load(open(tmp_path / "data.json")))
+    assert data.shape == (1024, 60) and set(np.unique(data)) <= {0, 1}
+    # resume continues from the checkpoint and keeps improving
+    out = train_cli.main([
+        "--graph", "chain:60", "--samples", "1024", "--steps", "60",
+        "--lr", "0.15", "--checkpoint-every", "30",
+        "--outdir", str(tmp_path), "--seed", "5", "--resume",
+        "--data", str(tmp_path / "data.json"),
+    ])
+    second = json.load(open(out))["final_nll"]
+    assert second < first
+    # NLL is bounded below by the entropy floor ~ n*ln2 at most
+    assert second < 60 * np.log(2.0)
+
+
+def test_big_n_guards(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="mesh"):
+        train_cli.main(["--graph", "chain:40", "--steps", "1",
+                        "--mesh", "2x4", "--outdir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="shots"):
+        train_cli.main(["--graph", "chain:40", "--steps", "1",
+                        "--grad", "shots", "--outdir", str(tmp_path)])
+
+
+def test_empirical_moments_match_state_id_path():
+    """Bit-array moments == state-id moments on a small graph (the two
+    data representations must agree where both exist)."""
+    import jax
+
+    from qcmrf_tpu.evaluation.estimators import (
+        clique_marginals_from_samples)
+    from qcmrf_tpu.models import sample as msample
+    from qcmrf_tpu.models import train as mtrain
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.utils.bits import bits_from_state_id
+
+    rng = np.random.RandomState(0)
+    mrf = MRF.create([[0, 1], [1, 2], [2, 3]],
+                     theta=-np.abs(rng.randn(12)) * 0.4)
+    x = np.asarray(
+        msample.sample_exact(jax.random.PRNGKey(0), mrf, 4096))
+    mu_ids = clique_marginals_from_samples(mrf, x)
+    bits = np.asarray(bits_from_state_id(x, mrf.n))
+    mu_bits = np.asarray(mtrain.empirical_moments_from_bits(mrf, bits))
+    np.testing.assert_allclose(mu_bits, mu_ids, atol=1e-6)
