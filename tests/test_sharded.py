@@ -199,3 +199,35 @@ def test_statevector_executable_cache(mesh4):
     other = compile_qcmrf(rand_mrf([[0, 1, 2]], seed=9))
     sharded.run_statevector_sharded(other, mesh4)
     assert len(sharded._SV_EXEC_CACHE) == before + 2
+
+
+def test_sharded_outcome_probs_permuted_wiring(mesh4):
+    """Nontrivial qubit->clbit permutation: shard-side marginalization
+    must equal the dense engine's outcome_probs (VERDICT round-2 item 6:
+    no identity-wiring carve-out)."""
+    n = 6
+    c = Circuit(n, num_clbits=n)
+    for q in range(n):
+        c.h(q)
+    c.rz(0.9, 5).cx(5, 0).cp(0.6, 4, 1).cx(2, 3)
+    perm = [3, 5, 0, 4, 2, 1]  # qubit q -> clbit perm[q]
+    for q in range(n):
+        c.measure(q, perm[q])
+    got = np.asarray(sharded.sharded_outcome_probs(c, mesh4))
+    want = np.asarray(dense.outcome_probs(c, dense.run_statevector(c)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.isclose(got.sum(), 1.0, atol=1e-6)
+
+
+def test_sharded_outcome_probs_measured_subset(mesh4):
+    """Measuring a subset marginalizes the unmeasured qubits shard-side."""
+    n = 6
+    c = Circuit(n, num_clbits=3)
+    for q in range(n):
+        c.h(q)
+    c.cx(5, 1).rz(0.4, 4)
+    c.measure(5, 0).measure(1, 2).measure(3, 1)
+    got = np.asarray(sharded.sharded_outcome_probs(c, mesh4))
+    want = np.asarray(dense.outcome_probs(c, dense.run_statevector(c)))
+    assert got.shape == (8,)
+    np.testing.assert_allclose(got, want, atol=1e-6)
