@@ -39,9 +39,11 @@ Per-backend parameters (physical rates):
 Fitting (``fit_physical``) pushes as much of the observed degradation as
 possible through the GATE channel: the budget is raised until it either
 explains the measured acceptance rate or hits the measured fidelity
-(whichever binds first); readout drift only mops up the residuals.
-KL and ±std are NOT fitted — they emerge from the channels and the
-finite-shot sampling, and are pinned by tests/test_physical_noise.py.
+(whichever binds first); readout drift only mops up the residuals. A
+per-graph temporal-jitter sigma (``jitter``) supplies the rep-to-rep
+noise-strength fluctuation behind the stored ±std columns. KL is NOT
+fitted anywhere — it emerges from the channel structure alone and is
+pinned by tests/test_physical_noise.py.
 """
 
 from __future__ import annotations
@@ -76,6 +78,16 @@ class PhysicalNoiseModel:
     lam: Tuple[float, ...]        # per-graph gate-depolarizing budget
     var_drift: Tuple[float, ...]  # per-graph true extra e01, variable bits
     anc_drift: Tuple[float, ...]  # per-graph assumed-minus-true anc e01
+    # per-graph TEMPORAL drift: relative (lognormal sigma) fluctuation of
+    # the whole noise strength from one circuit execution to the next —
+    # real backends recalibrate and drift between runs, which is where the
+    # stored tables' rep-to-rep +-std comes from (shot noise alone is far
+    # too small to explain it)
+    jitter: Tuple[float, ...] = ()
+
+    def __post_init__(self):
+        if not self.jitter:
+            object.__setattr__(self, "jitter", (0.0,) * len(self.lam))
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)
@@ -88,7 +100,19 @@ class PhysicalNoiseModel:
             lam=tuple(float(x) for x in d["lam"]),
             var_drift=tuple(float(x) for x in d["var_drift"]),
             anc_drift=tuple(float(x) for x in d["anc_drift"]),
+            jitter=tuple(float(x) for x in d.get("jitter", ())),
         )
+
+
+def rep_multipliers(model: PhysicalNoiseModel, g: int,
+                    reps: int) -> np.ndarray:
+    """Deterministic per-rep noise-strength multipliers for graph ``g``:
+    mean-1 lognormal draws with the graph's jitter sigma. The SAME draws
+    are used by the fit and the forward emulation, so the fitted +-std
+    lands on the emitted files."""
+    sigma = model.jitter[g]
+    xi = np.random.RandomState(0xC0FFE + g).standard_normal(reps)
+    return np.exp(sigma * xi - 0.5 * sigma * sigma)
 
 
 def calibration_path(name: str, scale: float,
@@ -131,23 +155,26 @@ def _register_bits(mrf: MRF) -> Tuple[List[int], List[int]]:
     return list(range(mrf.n)), list(range(mrf.n + 1, width))
 
 
-def true_errors(mrf: MRF, model: PhysicalNoiseModel,
-                g: int) -> List[ReadoutError]:
-    """Per-measured-bit confusion truly APPLIED by the device emulation."""
+def true_errors(mrf: MRF, model: PhysicalNoiseModel, g: int,
+                mult: float = 1.0) -> List[ReadoutError]:
+    """Per-measured-bit confusion truly APPLIED by the device emulation
+    (``mult`` is the rep's temporal noise-strength multiplier)."""
     r = model.readout_sym
     vbits, abits = _register_bits(mrf)
-    anc_e01 = r + max(-model.anc_drift[g], 0.0)
-    return ([ReadoutError(r + model.var_drift[g], r)] * len(vbits)
+    anc_e01 = r + mult * max(-model.anc_drift[g], 0.0)
+    return ([ReadoutError(r + mult * model.var_drift[g], r)] * len(vbits)
             + [ReadoutError(anc_e01, r)] * len(abits))
 
 
-def assumed_errors(mrf: MRF, model: PhysicalNoiseModel,
-                   g: int) -> List[ReadoutError]:
+def assumed_errors(mrf: MRF, model: PhysicalNoiseModel, g: int,
+                   mult: float = 1.0) -> List[ReadoutError]:
     """Per-measured-bit confusion the mitigation believes in (its
-    calibration) and therefore inverts."""
+    calibration) and therefore inverts. The calibration tracks the slow
+    drift component, so the assumed ancilla gap scales with ``mult``
+    like the true one does."""
     r = model.readout_sym
     vbits, abits = _register_bits(mrf)
-    anc_e01 = r + max(model.anc_drift[g], 0.0)
+    anc_e01 = r + mult * max(model.anc_drift[g], 0.0)
     return ([ReadoutError(r, r)] * len(vbits)
             + [ReadoutError(anc_e01, r)] * len(abits))
 
@@ -173,15 +200,17 @@ def _apply_errors(probs: np.ndarray, errors: Sequence[ReadoutError],
 
 
 def expected_quasi(mrf: MRF, model: PhysicalNoiseModel, g: int,
-                   gate_probs: np.ndarray) -> np.ndarray:
+                   gate_probs: np.ndarray,
+                   mult: float = 1.0) -> np.ndarray:
     """Infinite-shot mitigated quasi-distribution: true confusion applied,
     assumed confusion inverted (mitigation is linear, so the expectation
     of the mitigated empirical dist is the mitigated expected dist)."""
     width = mrf.n + mrf.num_cliques + 1
     bits = measured_bits(mrf)
-    q = _apply_errors(gate_probs, true_errors(mrf, model, g), bits, width)
-    return _apply_errors(q, assumed_errors(mrf, model, g), bits, width,
-                         invert=True)
+    q = _apply_errors(gate_probs, true_errors(mrf, model, g, mult), bits,
+                      width)
+    return _apply_errors(q, assumed_errors(mrf, model, g, mult), bits,
+                         width, invert=True)
 
 
 def run_physical_suite(key, suite, model: PhysicalNoiseModel,
@@ -196,17 +225,19 @@ def run_physical_suite(key, suite, model: PhysicalNoiseModel,
     quasi: List[Dict[str, float]] = []
     meta: List[dict] = []
     for j, C in enumerate(suite.graphs):
-        for theta in suite.thetas[j]:
+        mults = rep_multipliers(model, j, len(suite.thetas[j]))
+        for r, theta in enumerate(suite.thetas[j]):
             mrf = MRF.create(C, theta=theta)
             width = mrf.n + mrf.num_cliques + 1
             bits = measured_bits(mrf)
-            probs = gate_noisy_probs(mrf, model.lam[j])
-            probs = _apply_errors(probs, true_errors(mrf, model, j),
-                                  bits, width)
+            probs = gate_noisy_probs(mrf, model.lam[j] * mults[r])
+            probs = _apply_errors(
+                probs, true_errors(mrf, model, j, mults[r]), bits, width)
             key, sub = jax.random.split(key)
             counts = sampler.sample_counts(sub, probs, shots, width)
-            q, m = mitigate_counts(counts, assumed_errors(mrf, model, j),
-                                   width, measured_bits=bits)
+            q, m = mitigate_counts(
+                counts, assumed_errors(mrf, model, j, mults[r]),
+                width, measured_bits=bits)
             quasi.append(q)
             meta.append(m)
     return build_result_file(quasi, meta)
@@ -241,19 +272,25 @@ class _GraphSurrogate:
                         for t in tables]
 
     def probs(self, lam: float) -> List[np.ndarray]:
+        return [self.probs_one(r, lam) for r in range(len(self.mrfs))]
+
+    def probs_one(self, r: int, lam: float) -> np.ndarray:
         lam = float(np.clip(lam, self.anchors[0], self.anchors[-1]))
-        return [np.clip(f(lam), 0.0, None) for f in self._interp]
+        return np.clip(self._interp[r](lam), 0.0, None)
 
 
 def _expected_stats(surr: _GraphSurrogate, model: PhysicalNoiseModel,
-                    g: int, lam: float) -> Tuple[float, float]:
-    """(mean fidelity, mean accepted mass) over the graph's reps at
-    budget ``lam`` under the model's readout/mitigation pipeline."""
+                    g: int, lam: float) -> Tuple[float, float, float]:
+    """(mean fidelity, mean accepted mass, std of fidelity) over the
+    graph's reps at budget ``lam`` under the model's readout/mitigation
+    pipeline, with the model's per-rep temporal-jitter multipliers."""
     from qcmrf_tpu.evaluation.metrics import fidelity
 
+    mults = rep_multipliers(model, g, len(surr.mrfs))
     fs, ds = [], []
-    for mrf, probs in zip(surr.mrfs, surr.probs(lam)):
-        q = expected_quasi(mrf, model, g, probs)
+    for r, mrf in enumerate(surr.mrfs):
+        probs = surr.probs_one(r, lam * mults[r])
+        q = expected_quasi(mrf, model, g, probs, mults[r])
         acc = q[: 1 << mrf.n]
         Z = acc.sum()
         ds.append(float(Z / q.sum()))
@@ -261,7 +298,7 @@ def _expected_stats(surr: _GraphSurrogate, model: PhysicalNoiseModel,
         fs.append(float(fidelity(p, np.clip(acc, 0, None)
                                  / max(float(np.clip(acc, 0, None).sum()),
                                        1e-12))))
-    return float(np.mean(fs)), float(np.mean(ds))
+    return float(np.mean(fs)), float(np.mean(ds)), float(np.std(fs))
 
 
 def _bisect(fn, lo: float, hi: float, iters: int = 40) -> float:
@@ -311,12 +348,14 @@ def fit_physical(
         if verbose:
             print(f"  surrogate {j} ({C}) built")
 
+    sigma = [0.0] * G
+
     def fit_pass(prev: Optional[PhysicalNoiseModel]) -> PhysicalNoiseModel:
         lam = list(prev.lam) if prev else [0.0] * G
         var_d, anc_d = [0.0] * G, [0.0] * G
         base = PhysicalNoiseModel(name, suite.scale, readout_sym,
                                   tuple([0.0] * G), tuple(var_d),
-                                  tuple(anc_d))
+                                  tuple(anc_d), tuple(sigma))
         for j in range(G):
             surr = surrs[j]
             if prev is None:
@@ -333,7 +372,7 @@ def fit_physical(
             def f_at(v):
                 m = PhysicalNoiseModel(name, suite.scale, readout_sym,
                                        tuple(lam), _one(var_d, j, v),
-                                       tuple(anc_d))
+                                       tuple(anc_d), tuple(sigma))
                 return _expected_stats(surr, m, j, lam[j])[0] - eff_f[j]
             var_d[j] = _bisect(f_at, 0.0, 0.75)
 
@@ -341,23 +380,42 @@ def fit_physical(
             def d_at(d):
                 m = PhysicalNoiseModel(name, suite.scale, readout_sym,
                                        tuple(lam), tuple(var_d),
-                                       _one(anc_d, j, d))
+                                       _one(anc_d, j, d), tuple(sigma))
                 return -( _expected_stats(surr, m, j, lam[j])[1]
                           - eff_d[j])
             anc_d[j] = _bisect(d_at, -0.6, 0.6)
             if verbose:
                 print(f"  graph {j}: lam={lam[j]:.4f} "
-                      f"var_drift={var_d[j]:.4f} anc_drift={anc_d[j]:.4f}")
+                      f"var_drift={var_d[j]:.4f} anc_drift={anc_d[j]:.4f} "
+                      f"jitter={sigma[j]:.3f}")
         return PhysicalNoiseModel(name, suite.scale, readout_sym,
-                                  tuple(lam), tuple(var_d), tuple(anc_d))
+                                  tuple(lam), tuple(var_d), tuple(anc_d),
+                                  tuple(sigma))
 
     model = fit_pass(None)
-    for _ in range(refine):
+    for it in range(refine):
         import jax
 
         out = run_physical_suite(jax.random.PRNGKey(0), suite, model,
                                  shots=shots)
         got = evaluate_suite(suite, dists=out["quasi_dists"], norm=1)
+        if it == 0:
+            # temporal jitter: supply the rep-to-rep fidelity variance the
+            # sigma=0 emulation is missing (got[j].std_f is its baseline:
+            # shot noise + theta variation across reps)
+            for j in range(G):
+                want = np.sqrt(max(
+                    targets[j].std_f ** 2 - got[j].std_f ** 2, 0.0))
+                if want <= 1e-5:
+                    continue
+
+                def s_at(sg, j=j, want=want):
+                    m = PhysicalNoiseModel(
+                        name, suite.scale, readout_sym, model.lam,
+                        model.var_drift, model.anc_drift, _one(sigma, j, sg))
+                    return want - _expected_stats(
+                        surrs[j], m, j, model.lam[j])[2]
+                sigma[j] = _bisect(s_at, 0.0, 0.8)
         for j in range(G):
             eff_f[j] = min(eff_f[j] + goal_f[j] - got[j].mean_f, 1.0)
             eff_d[j] *= goal_d[j] / max(got[j].mean_delta, 1e-9)

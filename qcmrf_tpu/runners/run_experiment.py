@@ -53,21 +53,32 @@ def run_suite(
     counts_list: List[Dict[str, int]] = []
 
     if engine.startswith("calibrated"):
-        # per-graph calibrated hardware emulation: fit the noise model to
-        # the stored result file for this suite's scale, then emulate —
-        # reproduces the stored per-graph mean fidelity/success tables
-        # (noise.fit.fit_calibrated)
-        from qcmrf_tpu.evaluation.harness import load_result_dists
-        from qcmrf_tpu.models.suite import reference_results_path
-        from qcmrf_tpu.noise import backends as nbackends
-        from qcmrf_tpu.noise.fit import fit_calibrated
+        # calibrated hardware emulation: the PHYSICAL per-gate channel
+        # model (noise.physical — gate-level depolarizing in the density
+        # engine + readout/mitigation drift), loaded from the stored
+        # calibration JSONs fitted against the reference result files;
+        # reproduces the stored per-graph F-bar, delta-hat, KL and +-std
+        # columns. Falls back to re-fitting the legacy statistical model
+        # (noise.fit.fit_calibrated) when no stored calibration exists
+        # for this backend/scale.
+        from qcmrf_tpu.noise import physical as nphysical
 
         backend = engine.split(":", 1)[1] if ":" in engine else "torino"
-        dists, norm = load_result_dists(
-            reference_results_path(suite.scale, backend, res_root)
-        )
-        model = fit_calibrated(backend, suite, dists, norm)
-        return nbackends.run_calibrated_suite(key, suite, model, shots)
+        try:
+            model = nphysical.load_physical(backend, suite.scale)
+        except FileNotFoundError:
+            from qcmrf_tpu.evaluation.harness import load_result_dists
+            from qcmrf_tpu.models.suite import reference_results_path
+            from qcmrf_tpu.noise import backends as nbackends
+            from qcmrf_tpu.noise.fit import fit_calibrated
+
+            dists, norm = load_result_dists(
+                reference_results_path(suite.scale, backend, res_root)
+            )
+            legacy = fit_calibrated(backend, suite, dists, norm)
+            return nbackends.run_calibrated_suite(key, suite, legacy,
+                                                  shots)
+        return nphysical.run_physical_suite(key, suite, model, shots)
 
     if engine.startswith("noisy"):
         from qcmrf_tpu.noise import backends as nbackends
