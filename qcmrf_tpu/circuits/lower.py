@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import itertools
 import math
-from typing import Sequence
+from typing import List, Sequence
+
+import numpy as np
 
 from qcmrf_tpu.circuits.ir import Circuit, Gate
 
@@ -126,9 +128,56 @@ def _emit_flags_phase_literal(qc: Circuit, g: Gate, workspace: int) -> None:
     and_gate()  # MCX is self-inverse
 
 
+def _emit_fused_diagonal(qc: Circuit, run: List[Gate]) -> None:
+    """Synthesize the PRODUCT of a run of ``flags_phase`` gates over the
+    same qubit set as ONE exact diagonal operator.
+
+    The run's combined action is diagonal: ``e^{i phi(b)}`` with
+    ``phi(b) = sum_g angle_g * [pattern(b) == flags_g] * [ctrl(b) == 1]``.
+    Expanding phi in the Walsh basis ``phi(b) = sum_S theta_S chi_S(b)``
+    (``chi_S(b) = (-1)^{|b & S|}`` = the Z_S eigenvalue) gives the exact
+    synthesis ``prod_S exp(i theta_S Z_S)`` — at most ``2^k - 1``
+    Z-string rotations for the WHOLE run, vs ``~2^k`` PER GATE when each
+    flags_phase expands its own multi-controlled phase. For a QCMRF
+    clique of size m (run length 2^m over m+1 qubits) that is a 2^m-fold
+    gate reduction — the fused-diagonal pass is what a transpiler's
+    commutative-diagonal merge (qiskit O1+) achieves on this circuit
+    family, done exactly."""
+    *pattern, ctrl = run[0].qubits
+    qs = list(pattern) + [ctrl]
+    k = len(qs)
+    b = np.arange(1 << k)
+    bits = (b[:, None] >> np.arange(k)) & 1  # bits[:, i] = value of qs[i]
+    phi = np.zeros(1 << k)
+    for g in run:
+        want = np.asarray([(f + 1) // 2 for f in g.flags])
+        match = (bits[:, : k - 1] == want).all(axis=1) & (bits[:, -1] == 1)
+        phi += g.params[0] * match
+    # Walsh-Hadamard transform: theta_S = 2^-k sum_b phi(b) chi_S(b)
+    theta = phi.copy()
+    for i in range(k):  # in-place fast WHT over bit axes
+        lo = 1 << i
+        t = theta.reshape(-1, 2, lo)
+        a, c = t[:, 0].copy(), t[:, 1].copy()
+        t[:, 0], t[:, 1] = a + c, a - c
+    theta /= 1 << k
+    qc.add_global_phase(float(theta[0]))
+    for S in range(1, 1 << k):
+        if abs(theta[S]) < 1e-12:
+            continue
+        sq = [qs[i] for i in range(k) if (S >> i) & 1]
+        _emit_zstring_rotation(qc, float(theta[S]), sq)
+
+
 def lower(circuit: Circuit, style: str = "fused",
-          workspace: int | None = None) -> Circuit:
+          workspace: int | None = None, optimize: int = 0) -> Circuit:
     """Lower a circuit to the ``[cx, id, rz, sx, x]`` basis.
+
+    ``optimize=1`` (fused style only) merges each maximal run of
+    consecutive ``flags_phase`` gates over the same qubit set into one
+    exact diagonal synthesis (see :func:`_emit_fused_diagonal`) — up to
+    a 2^|C|-fold gate reduction per QCMRF clique block, statevector-
+    exact including global phase.
 
     ``workspace`` names the shared AND-workspace qubit used by
     ``style='literal'``. The safe default is the lowest qubit no gate of
@@ -161,7 +210,39 @@ def lower(circuit: Circuit, style: str = "fused",
     out = Circuit(circuit.num_qubits, circuit.num_clbits,
                   name=circuit.name + "_lowered")
     out.global_phase = circuit.global_phase
-    for g in circuit.gates:
+    gates = list(circuit.gates)
+    if optimize >= 1 and style == "fused":
+        merged = []
+        i = 0
+        while i < len(gates):
+            g = gates[i]
+            if g.name != "flags_phase":
+                merged.append(g)
+                i += 1
+                continue
+            run = [g]
+            while (i + len(run) < len(gates)
+                   and gates[i + len(run)].name == "flags_phase"
+                   and gates[i + len(run)].qubits == g.qubits):
+                run.append(gates[i + len(run)])
+            merged.append(run)
+            i += len(run)
+        for item in merged:
+            if isinstance(item, list):
+                _emit_fused_diagonal(out, item)
+            elif item.name in ("cx", "x", "sx", "rz", "id", "measure",
+                               "barrier"):
+                out.gates.append(item)
+            elif item.name == "h":
+                _emit_h(out, item.qubits[0])
+            elif item.name == "sxdg":
+                _emit_sxdg(out, item.qubits[0])
+            elif item.name == "cp":
+                _emit_cp(out, item.params[0], *item.qubits)
+            else:
+                raise ValueError(f"cannot lower gate {item.name}")
+        return out
+    for g in gates:
         if g.name in ("cx", "x", "sx", "rz", "id"):
             out.gates.append(g)
         elif g.name in ("measure", "barrier"):

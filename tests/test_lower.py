@@ -140,3 +140,54 @@ def test_literal_workspace_no_collision_when_var0_unused():
     np.testing.assert_allclose(
         np.asarray(dense.run_statevector(low2)),
         np.asarray(dense.run_statevector(circ)), atol=1e-6)
+
+
+@pytest.mark.parametrize("cliques", [
+    [[0, 1]],
+    [[0, 1], [1, 2], [2, 3]],
+    [[0, 1, 2]],
+    [[0, 1, 2, 3]],
+])
+def test_fused_diagonal_optimization_exact(cliques):
+    """optimize=1 merges each clique's flags_phase run into one exact
+    diagonal synthesis: statevector-identical (incl. global phase) with
+    a large gate reduction (2^|C|-fold per clique block)."""
+    from qcmrf_tpu.circuits.compiler import compile_qcmrf
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.sim import dense
+
+    rng = np.random.RandomState(8)
+    probe = MRF.create(cliques)
+    mrf = MRF.create(cliques,
+                     theta=-np.abs(rng.randn(probe.dimension)) * 0.4)
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    base = L.lower(circ)
+    opt = L.lower(circ, optimize=1)
+    np.testing.assert_allclose(
+        np.asarray(dense.run_statevector(opt)),
+        np.asarray(dense.run_statevector(circ)), atol=1e-6)
+
+    def count(c):
+        return sum(v for k, v in c.count_ops().items()
+                   if k not in ("measure", "barrier"))
+
+    m = max(len(C) for C in cliques)
+    assert count(opt) * max(2, (1 << m) // 2) <= count(base), (
+        count(base), count(opt))
+    # still strictly in the hardware basis
+    assert set(g.name for g in opt.gates) <= set(L.BASIS) | {
+        "measure", "barrier"}
+
+
+def test_fused_diagonal_single_gate_run():
+    """A run of length 1 still lowers exactly (degenerate merge)."""
+    from qcmrf_tpu.circuits.ir import Circuit
+    from qcmrf_tpu.sim import dense
+
+    c = Circuit(3)
+    c.h(0).h(1).h(2)
+    c.flags_phase([0, 1], (1, -1), 0.83, control=2)
+    opt = L.lower(c, optimize=1)
+    np.testing.assert_allclose(
+        np.asarray(dense.run_statevector(opt)),
+        np.asarray(dense.run_statevector(c)), atol=1e-6)
