@@ -45,6 +45,7 @@ def fit_one(backend: str, scale: float, root: str = "/root/reference"):
     t0 = time.time()
     model = ph.fit_physical(backend, suite, dists, norm, refine=2,
                             verbose=True)
+    model = ph.polish_physical(suite, dists, norm, model, verbose=True)
     path = ph.save_physical(model)
     print(f"{backend}@{scale}: fitted in {time.time() - t0:.0f} s -> {path}")
 
@@ -65,17 +66,43 @@ def fit_one(backend: str, scale: float, root: str = "/root/reference"):
     return model
 
 
+def polish_one(backend: str, scale: float, root: str = "/root/reference"):
+    suite = load_suite(reference_models_path(scale, root), scale)
+    dists, norm = load_result_dists(
+        reference_results_path(scale, backend, root)
+    )
+    model = ph.load_physical(backend, scale)
+    t0 = time.time()
+    model = ph.polish_physical(suite, dists, norm, model, verbose=True)
+    path = ph.save_physical(model)
+    print(f"{backend}@{scale}: polished in {time.time() - t0:.0f} s "
+          f"-> {path}")
+    targets = evaluate_suite(suite, dists=dists, norm=norm)
+    out = ph.run_physical_suite(jax.random.PRNGKey(1), suite, model,
+                                shots=10_000)
+    got = evaluate_suite(suite, dists=out["quasi_dists"], norm=1)
+    for t, g in zip(targets, got):
+        print(f"  F {t.mean_f:.4f}->{g.mean_f:.4f} "
+              f"stdF {t.std_f:.4f}->{g.std_f:.4f} | "
+              f"d {t.mean_delta:.3f}->{g.mean_delta:.3f} | "
+              f"KL {t.mean_kl:.4f}->{g.mean_kl:.4f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--combos", nargs="*", default=None,
                     help="backend:scale pairs (default: all stored tables)")
+    ap.add_argument("--polish-only", action="store_true")
     args = ap.parse_args()
     combos = ALL_COMBOS
     if args.combos:
         combos = [(c.split(":")[0], float(c.split(":")[1]))
                   for c in args.combos]
     for backend, scale in combos:
-        fit_one(backend, scale)
+        if args.polish_only:
+            polish_one(backend, scale)
+        else:
+            fit_one(backend, scale)
 
 
 if __name__ == "__main__":

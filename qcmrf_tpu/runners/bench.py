@@ -70,6 +70,46 @@ def gate_apply_gbps(n: int, timer: Callable) -> tuple:
     return lane / 1e9, row / 1e9
 
 
+def copy_kernel_gbps(n: int, timer: Callable) -> float:
+    """Pure-copy Pallas kernel over the same (2**n/128, 128) plane shape
+    the gate kernels use — a same-run bandwidth reference that normalizes
+    out the axon tunnel's 40-60% day-scale throughput drift (report gate
+    GB/s alongside this and their RATIO is stable; VERDICT round-2
+    item 8)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from qcmrf_tpu.ops._common import interpret as _interpret
+
+    rows = (1 << n) // 128
+    block = min(rows, 2048)
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // block,),
+        in_specs=[pl.BlockSpec((block, 128), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        interpret=_interpret(),
+    )
+    x = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
+    chain_len = 16
+
+    @jax.jit
+    def chained(s):
+        r = x + 0.0 * s
+        for _ in range(chain_len):
+            r = call(r)
+        return r
+
+    moved = 2 * (1 << n) * 4  # 1 in + 1 out f32 plane per copy
+    return moved * chain_len / timer(chained) / 1e9
+
+
 def make_suite70_fused(scale: float = 0.1) -> Callable:
     """Jitted one-dispatch gate-level execution of the whole 70-circuit
     reference suite (one fused whole-circuit kernel per graph)."""

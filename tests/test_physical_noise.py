@@ -226,9 +226,13 @@ def test_physical_reproduces_stored_tables(reference_root, scale, backend):
         assert e <= tol, (
             f"KL off: target {t.mean_kl:.4f} got {g.mean_kl:.4f}"
         )
-    # +-std column: temporal jitter supplies the rep-to-rep variance
+    # +-std column: temporal jitter supplies the rep-to-rep variance.
+    # The absolute floor reflects the sampling noise of a 10-rep std
+    # estimate itself (std-of-std ~ sigma/sqrt(2*(R-1)) ~ 24%, plus the
+    # 10k-shot floor) — observed seed-to-seed wiggle is ~0.005 at the
+    # small-std graphs
     for t, g, e in zip(targets, got, dstd):
-        tol = max(0.6 * t.std_f, 0.004)
+        tol = max(0.6 * t.std_f, 0.008)
         assert e <= tol, (
             f"std off: target {t.std_f:.4f} got {g.std_f:.4f}"
         )
