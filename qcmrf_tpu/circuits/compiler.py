@@ -163,10 +163,12 @@ class QCMRF:
     def num_qubits(self) -> int:
         return self.circuit.num_qubits
 
-    def lowered(self, style: str = "fused") -> Circuit:
+    def lowered(self, style: str = "fused", optimize: int = 0) -> Circuit:
         """The circuit lowered to ``self.basis_gates`` (the reference's
         ``transpile(..., basis_gates=...)``, run_experiment.py:52). Only
-        the reference basis is implemented; a different basis raises."""
+        the reference basis is implemented; a different basis raises.
+        ``optimize=1`` applies the fused-diagonal merge (the analog of
+        qiskit's optimization_level=1 commuting-diagonal collection)."""
         if set(self.basis_gates) != set(self.DEFAULT_BASIS_GATES):
             raise ValueError(
                 f"unsupported basis {self.basis_gates!r}; the lowering "
@@ -176,7 +178,8 @@ class QCMRF:
 
         # workspace passed explicitly: the compiler's layout reserves
         # qubit n, and the facade knows n (the IR alone does not)
-        return lower(self.circuit, style=style, workspace=self.mrf.n)
+        return lower(self.circuit, style=style, workspace=self.mrf.n,
+                     optimize=optimize)
 
     # ---- operator-level helpers (reference QCMRF.py:159-197) --------------
 

@@ -184,13 +184,23 @@ def assumed_errors(mrf: MRF, model: PhysicalNoiseModel, g: int,
             + [ReadoutError(anc_e01, r)] * len(abits))
 
 
+def lowered_for_noise(mrf: MRF):
+    """The transpiled circuit the emulator attaches channels to: the
+    fused-diagonal-optimized basis circuit (lower(optimize=1)) — the
+    analog of the reference's qiskit optimization_level=1 transpilation
+    ("Optimization level clipped from 3 to 1" in the stored metadata),
+    and 4-15x smaller than the unoptimized expansion, which keeps the
+    exact density-matrix evolution cheap."""
+    return lower(compile_qcmrf(mrf), optimize=1)
+
+
 def gate_noisy_probs(mrf: MRF, lam: float,
                      lowered=None) -> np.ndarray:
     """Pre-readout outcome distribution of the gate-depolarized circuit.
 
     ``lam`` is the total depolarizing budget; the per-cx rate is
     ``lam / ncx`` (and ``P1Q_FRAC`` of that on sx/x pulses)."""
-    lc = lowered if lowered is not None else lower(compile_qcmrf(mrf))
+    lc = lowered if lowered is not None else lowered_for_noise(mrf)
     ncx = sum(1 for g in lc.gates if g.name == "cx")
     p2 = min(lam / max(ncx, 1), 0.75)
     return noisy_clbit_probs(lc, p1q=P1Q_FRAC * p2, p2q=p2)
@@ -268,7 +278,7 @@ class _GraphSurrogate:
         self.mrfs = mrf_list
         tables = []  # (reps, anchors, 2^width)
         for mrf in mrf_list:
-            lc = lower(compile_qcmrf(mrf))
+            lc = lowered_for_noise(mrf)
             rows = [gate_noisy_probs(mrf, lam, lowered=lc)
                     for lam in anchors]
             tables.append(np.stack(rows))
@@ -572,7 +582,7 @@ def effective_cx_rates(suite, model: PhysicalNoiseModel) -> List[float]:
     rates = []
     for j, C in enumerate(suite.graphs):
         mrf = MRF.create(C, theta=suite.thetas[j][0])
-        lc = lower(compile_qcmrf(mrf))
+        lc = lowered_for_noise(mrf)
         ncx = sum(1 for g in lc.gates if g.name == "cx")
         rates.append(model.lam[j] / max(ncx, 1))
     return rates
