@@ -228,33 +228,49 @@ def expected_quasi(mrf: MRF, model: PhysicalNoiseModel, g: int,
                          width, invert=True)
 
 
-def run_physical_suite(key, suite, model: PhysicalNoiseModel,
-                       shots: int = 10_000) -> dict:
-    """Hardware-style result file from the physical emulator: per rep,
-    evolve the noisy density matrix, apply true readout confusion, draw
-    ``shots`` counts, and mitigate with the assumed confusion."""
+def _emulate_graph(key, C, thetas, model: PhysicalNoiseModel, g: int,
+                   mults, shots: int, gate_probs=None):
+    """Forward-emulate one graph's reps: noisy density evolution (or the
+    precomputed ``gate_probs`` list), true readout confusion, ``shots``
+    sampled counts, mitigation with the assumed confusion. Returns
+    (quasi_dists, metadata, next_key)."""
     import jax
 
     from qcmrf_tpu.sim import sampler
 
     quasi: List[Dict[str, float]] = []
     meta: List[dict] = []
+    for r, theta in enumerate(thetas):
+        mrf = MRF.create(C, theta=theta)
+        width = mrf.n + mrf.num_cliques + 1
+        bits = measured_bits(mrf)
+        probs = (gate_probs[r] if gate_probs is not None
+                 else gate_noisy_probs(mrf, model.lam[g] * mults[r]))
+        probs = _apply_errors(
+            probs, true_errors(mrf, model, g, mults[r]), bits, width)
+        key, sub = jax.random.split(key)
+        counts = sampler.sample_counts(sub, probs, shots, width)
+        q, m = mitigate_counts(
+            counts, assumed_errors(mrf, model, g, mults[r]),
+            width, measured_bits=bits)
+        quasi.append(q)
+        meta.append(m)
+    return quasi, meta, key
+
+
+def run_physical_suite(key, suite, model: PhysicalNoiseModel,
+                       shots: int = 10_000) -> dict:
+    """Hardware-style result file from the physical emulator: per rep,
+    evolve the noisy density matrix, apply true readout confusion, draw
+    ``shots`` counts, and mitigate with the assumed confusion."""
+    quasi: List[Dict[str, float]] = []
+    meta: List[dict] = []
     for j, C in enumerate(suite.graphs):
         mults = rep_multipliers(model, j, len(suite.thetas[j]))
-        for r, theta in enumerate(suite.thetas[j]):
-            mrf = MRF.create(C, theta=theta)
-            width = mrf.n + mrf.num_cliques + 1
-            bits = measured_bits(mrf)
-            probs = gate_noisy_probs(mrf, model.lam[j] * mults[r])
-            probs = _apply_errors(
-                probs, true_errors(mrf, model, j, mults[r]), bits, width)
-            key, sub = jax.random.split(key)
-            counts = sampler.sample_counts(sub, probs, shots, width)
-            q, m = mitigate_counts(
-                counts, assumed_errors(mrf, model, j, mults[r]),
-                width, measured_bits=bits)
-            quasi.append(q)
-            meta.append(m)
+        q, m, key = _emulate_graph(key, C, suite.thetas[j], model, j,
+                                   mults, shots)
+        quasi.extend(q)
+        meta.extend(m)
     return build_result_file(quasi, meta)
 
 
@@ -262,7 +278,10 @@ def run_physical_suite(key, suite, model: PhysicalNoiseModel,
 # Fitting
 # --------------------------------------------------------------------------
 
-ANCHORS = (0.0, 0.5, 1.5, 4.0)
+# the last anchor bounds the surrogate's budget domain: jittered budgets
+# lam*mult evaluate clipped to it, so it must sit deep in the fully-mixed
+# plateau (e^-12) where further clipping is physically negligible
+ANCHORS = (0.0, 0.5, 1.5, 4.0, 12.0)
 
 
 class _GraphSurrogate:
@@ -444,14 +463,15 @@ def fit_physical(
 
 
 def _measured_graph_stats(suite, model: PhysicalNoiseModel, j: int,
-                          shots: int = 10_000, seed: int = 0):
+                          shots: int = 10_000, seed: int = 0,
+                          gate_probs=None):
     """Finite-shot emulation of ONE graph through the reference harness:
     returns its GraphResult (mean_f/std_f/mean_delta/mean_kl...). The
     ground truth the expected-pipeline cannot see — the Bhattacharyya
     skip rule on negative quasi-entries and the estimator's shot bias —
-    is fully present here."""
-    import dataclasses as _dc
-
+    is fully present here. ``gate_probs`` optionally supplies the
+    per-rep pre-readout distributions (they depend only on lam and
+    jitter, so callers bisecting readout knobs can reuse them)."""
     import jax
 
     from qcmrf_tpu.evaluation.harness import evaluate_suite
@@ -459,45 +479,11 @@ def _measured_graph_stats(suite, model: PhysicalNoiseModel, j: int,
 
     sub = ModelSuite(graphs=[suite.graphs[j]],
                      thetas={0: suite.thetas[j]}, scale=suite.scale)
-    subm = _dc.replace(
-        model,
-        lam=(model.lam[j],), var_drift=(model.var_drift[j],),
-        anc_drift=(model.anc_drift[j],), jitter=(model.jitter[j],),
-    )
-    # rep_multipliers keys off the graph index: re-seed so graph j's
-    # draws are reproduced in the 1-graph sub-suite
-    xi = np.random.RandomState(0xC0FFE + j).standard_normal(
-        len(suite.thetas[j]))
-    sg = subm.jitter[0]
-    mults = np.exp(sg * xi - 0.5 * sg * sg)
-    out = _run_graph(jax.random.PRNGKey(seed), sub, subm, shots, mults)
-    return evaluate_suite(sub, dists=out["quasi_dists"], norm=1)[0]
-
-
-def _run_graph(key, sub, model, shots, mults):
-    """run_physical_suite body for a 1-graph suite with explicit
-    per-rep multipliers (bypasses rep_multipliers' graph-index seed)."""
-    import jax
-
-    from qcmrf_tpu.sim import sampler
-
-    quasi, meta = [], []
-    C = sub.graphs[0]
-    for r, theta in enumerate(sub.thetas[0]):
-        mrf = MRF.create(C, theta=theta)
-        width = mrf.n + mrf.num_cliques + 1
-        bits = measured_bits(mrf)
-        probs = gate_noisy_probs(mrf, model.lam[0] * mults[r])
-        probs = _apply_errors(probs, true_errors(mrf, model, 0, mults[r]),
-                              bits, width)
-        key, subk = jax.random.split(key)
-        counts = sampler.sample_counts(subk, probs, shots, width)
-        q, m = mitigate_counts(counts, assumed_errors(mrf, model, 0,
-                                                      mults[r]),
-                               width, measured_bits=bits)
-        quasi.append(q)
-        meta.append(m)
-    return build_result_file(quasi, meta)
+    mults = rep_multipliers(model, j, len(suite.thetas[j]))
+    quasi, _, _ = _emulate_graph(jax.random.PRNGKey(seed), suite.graphs[j],
+                                 suite.thetas[j], model, j, mults, shots,
+                                 gate_probs=gate_probs)
+    return evaluate_suite(sub, dists=quasi, norm=1)[0]
 
 
 def polish_physical(
@@ -529,11 +515,33 @@ def polish_physical(
                                   model.readout_sym, tuple(lam),
                                   tuple(var_d), tuple(anc_d), tuple(sig))
 
+    probs_cache: dict = {}
+
+    def graph_probs(j):
+        """Per-rep pre-readout dists — they depend only on (lam_j,
+        sigma_j), so the var_drift/anc_drift bisects reuse them instead
+        of re-running the density engine every iteration."""
+        key = (j, lam[j], sig[j])
+        if key not in probs_cache:
+            m = build()
+            mults = rep_multipliers(m, j, len(suite.thetas[j]))
+            probs_cache.clear()  # only the current point is ever needed
+            probs_cache[key] = [
+                gate_noisy_probs(MRF.create(suite.graphs[j], theta=t),
+                                 lam[j] * mults[r])
+                for r, t in enumerate(suite.thetas[j])
+            ]
+        return probs_cache[key]
+
+    def measured(j):
+        return _measured_graph_stats(suite, build(), j, shots,
+                                     gate_probs=graph_probs(j))
+
     for j in range(G):
         tgt_f, tgt_sf = min(targets[j].mean_f, 1.0), targets[j].std_f
         tgt_d = targets[j].mean_delta
         for it in range(rounds):
-            got = _measured_graph_stats(suite, build(), j, shots)
+            got = measured(j)
             err_f = abs(got.mean_f - tgt_f)
             err_sf = abs(got.std_f - tgt_sf)
             err_d = abs(got.mean_delta - tgt_d)
@@ -548,23 +556,20 @@ def polish_physical(
                 break
             if not ok_sf:
                 def sf_at(sg, j=j):
-                    sig[j] = sg
-                    return _measured_graph_stats(
-                        suite, build(), j, shots).std_f - tgt_sf
+                    sig[j] = sg  # invalidates graph_probs' cache key
+                    return measured(j).std_f - tgt_sf
                 # measured std INCREASES with sigma -> negate for _bisect
                 sig[j] = _bisect(lambda sg: -sf_at(sg), 0.0, 1.0, iters=6)
             if not ok_f or not ok_sf:
                 def f_at(v, j=j):
-                    var_d[j] = v
-                    return _measured_graph_stats(
-                        suite, build(), j, shots).mean_f - tgt_f
+                    var_d[j] = v  # readout knob: density cache reused
+                    return measured(j).mean_f - tgt_f
                 var_d[j] = _bisect(f_at, 0.0, 0.75, iters=7)
-            got2 = _measured_graph_stats(suite, build(), j, shots)
+            got2 = measured(j)
             if abs(got2.mean_delta - tgt_d) > d_tol:
                 def d_at(d, j=j):
-                    anc_d[j] = d
-                    return -(_measured_graph_stats(
-                        suite, build(), j, shots).mean_delta - tgt_d)
+                    anc_d[j] = d  # readout knob: density cache reused
+                    return -(measured(j).mean_delta - tgt_d)
                 # wide range: _E01_CAP bounds the per-rep rate, and reps
                 # with sub-1 jitter multipliers need drift headroom
                 anc_d[j] = _bisect(d_at, -2.0, 2.0, iters=9)

@@ -638,9 +638,12 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     """Outcome distribution over classical-register values, sharded.
 
     Identity measurement wiring (every measured qubit wired to clbit ==
-    qubit — the QCMRF convention, where the one unmeasured workspace
-    qubit provably returns to |0>) stays the fast path: |psi|^2 IS the
-    key distribution and the result stays sharded over the mesh.
+    qubit and num_clbits == num_qubits — the QCMRF convention) stays the
+    fast path: |psi|^2 IS the key distribution and the result stays
+    sharded over the mesh. Unmeasured qubits under identity wiring (the
+    QCMRF workspace) are VERIFIED to carry no |1> mass with one masked
+    psum before the fast path is trusted; circuits that fail the check
+    fall through to the exact marginalizing path.
 
     Any other wiring — permuted qubit->clbit maps, measured subsets —
     is marginalized SHARD-SIDE: each device scatter-adds its local
@@ -654,7 +657,11 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     semantics of sim.dense.outcome_probs)."""
     re, im = run_statevector_sharded(circuit, mesh)
     axis = mesh.axis_names[0]
-    identity = all(q == c for q, c in circuit.measured_pairs)
+    nq = circuit.num_qubits
+    pairs = circuit.measured_pairs
+    measured = {q for q, _ in pairs}
+    identity = (all(q == c for q, c in pairs)
+                and circuit.num_clbits == nq)
 
     if identity:
         @functools.partial(
@@ -664,10 +671,45 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
         def probs(r, i_):
             return r * r + i_ * i_
 
-        return probs(re, im)
+        p2 = probs(re, im)
+        unmeasured = sorted(set(range(nq)) - measured)
+        if not unmeasured:
+            return p2
+        # identity wiring with unmeasured qubits (the QCMRF workspace):
+        # |psi|^2 IS the key distribution iff those qubits carry no |1>
+        # mass (unwritten clbits read 0). Verify that cheaply instead of
+        # assuming it — one masked reduction + psum — and only fall back
+        # to the (replicated, 2^num_clbits) keyed path when it fails.
+        local = re.shape[0] // mesh.devices.size
+        lbits = local.bit_length() - 1
 
-    pairs = circuit.measured_pairs
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(),
+        )
+        def stray_mass(p):
+            dev = jax.lax.axis_index(axis)
+            idx = jnp.arange(local, dtype=jnp.int32)
+            mask = jnp.zeros((local,), jnp.bool_)
+            for q in unmeasured:
+                b = ((idx >> q) & 1) if q < lbits else (
+                    (dev >> (q - lbits)) & 1) * jnp.ones_like(idx)
+                mask = mask | (b == 1)
+            return jax.lax.psum(
+                jnp.where(mask, p.reshape(-1), 0.0).sum(), axis)
+
+        if float(stray_mass(p2)) <= 1e-6:
+            return p2
+        # fall through to the exact marginalizing path below
+
+    if circuit.num_clbits > 26:
+        raise ValueError(
+            "non-identity measurement wiring needs the replicated "
+            f"2**num_clbits key buffer; num_clbits={circuit.num_clbits} "
+            "is too large — use identity wiring (clbit == qubit) for "
+            "at-scale runs"
+        )
     local = re.shape[0] // mesh.devices.size
+    lbits = local.bit_length() - 1
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
@@ -675,14 +717,18 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     )
     def keyed(r, i_):
         dev = jax.lax.axis_index(axis)
-        gidx = dev.astype(jnp.uint32) * jnp.uint32(local) + jnp.arange(
-            local, dtype=jnp.uint32)
-        keys = jnp.zeros((local,), jnp.uint32)
+        idx = jnp.arange(local, dtype=jnp.int32)
+        keys = jnp.zeros((local,), jnp.int32)
+        # global-index bit q: low bits come from the local index, high
+        # bits from the device coordinate — no wide arithmetic, so no
+        # uint32 wrap at 33+ qubits
         for q, c in pairs:
-            keys = keys | (((gidx >> q) & 1) << c)
+            b = ((idx >> q) & 1) if q < lbits else (
+                (dev >> (q - lbits)) & 1) * jnp.ones_like(idx)
+            keys = keys | (b << c)
         p2 = (r * r + i_ * i_).reshape(-1)
         out = jnp.zeros((1 << circuit.num_clbits,), p2.dtype)
-        out = out.at[keys.astype(jnp.int32)].add(p2)
+        out = out.at[keys].add(p2)
         return jax.lax.psum(out, axis)
 
     return keyed(re, im)

@@ -64,7 +64,15 @@ def run_suite(
         from qcmrf_tpu.noise import physical as nphysical
 
         backend = engine.split(":", 1)[1] if ":" in engine else "torino"
+        # the stored calibrations were fitted to the DEFAULT reference
+        # tables; a custom --res-root points at different target data,
+        # so it must trigger a fresh fit rather than silently using a
+        # calibration for the wrong tables
+        custom_root = os.path.realpath(res_root) != os.path.realpath(
+            "/root/reference")
         try:
+            if custom_root:
+                raise FileNotFoundError(res_root)
             model = nphysical.load_physical(backend, suite.scale)
         except FileNotFoundError:
             from qcmrf_tpu.evaluation.harness import load_result_dists

@@ -231,3 +231,29 @@ def test_sharded_outcome_probs_measured_subset(mesh4):
     want = np.asarray(dense.outcome_probs(c, dense.run_statevector(c)))
     assert got.shape == (8,)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_outcome_probs_identity_subset_marginalizes(mesh4):
+    """Identity-wired measured SUBSET with a superposed unmeasured qubit:
+    the |psi|^2 fast path would be silently wrong (it was, pre-review) —
+    the stray-mass check must route this to the marginalizing path."""
+    n = 5
+    c = Circuit(n, num_clbits=n)
+    for q in range(n):
+        c.h(q)
+    c.cx(4, 0)
+    for q in range(n - 1):   # qubit 4 stays unmeasured AND superposed
+        c.measure(q, q)
+    got = np.asarray(sharded.sharded_outcome_probs(c, mesh4))
+    want = np.asarray(dense.outcome_probs(c, dense.run_statevector(c)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_outcome_probs_workspace_fast_path(mesh4):
+    """QCMRF-style circuit (workspace unmeasured but provably |0>) still
+    takes the sharded fast path and stays exact."""
+    mrf = rand_mrf([[0, 1], [1, 2]], seed=11)
+    circ = compile_qcmrf(mrf)
+    probs = np.asarray(sharded.sharded_outcome_probs(circ, mesh4))
+    want = np.asarray(analytic.joint_outcome_probs(mrf))
+    np.testing.assert_allclose(probs, want, atol=1e-5)
