@@ -71,11 +71,15 @@ def gate_apply_gbps(n: int, timer: Callable) -> tuple:
 
 
 def copy_kernel_gbps(n: int, timer: Callable) -> float:
-    """Pure-copy Pallas kernel over the same (2**n/128, 128) plane shape
-    the gate kernels use — a same-run bandwidth reference that normalizes
-    out the axon tunnel's 40-60% day-scale throughput drift (report gate
-    GB/s alongside this and their RATIO is stable; VERDICT round-2
-    item 8)."""
+    """Pure-copy Pallas kernel moving the SAME bytes per pass as a gate
+    apply — both statevector planes in and out (2+2 f32 planes, like
+    ``kernels.apply_1q``) — a same-run bandwidth reference that
+    normalizes out the axon tunnel's 40-60% day-scale throughput drift
+    (report gate GB/s alongside this; the RATIO is a genuine
+    compute-overhead measure because the byte traffic per pass is
+    identical; VERDICT round-2 item 8). At n=20 both are per-pass-
+    overhead-bound, so matching bytes/pass is what makes the ratio
+    meaningful."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -85,28 +89,32 @@ def copy_kernel_gbps(n: int, timer: Callable) -> float:
     rows = (1 << n) // 128
     block = min(rows, 2048)
 
-    def kernel(x_ref, o_ref):
-        o_ref[...] = x_ref[...]
+    def kernel(r_ref, i_ref, or_ref, oi_ref):
+        or_ref[...] = r_ref[...]
+        oi_ref[...] = i_ref[...]
 
+    spec = pl.BlockSpec((block, 128), lambda i: (i, 0))
+    plane = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     call = pl.pallas_call(
         kernel,
         grid=(rows // block,),
-        in_specs=[pl.BlockSpec((block, 128), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[plane, plane],
         interpret=_interpret(),
     )
-    x = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
+    re = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
+    im = jnp.zeros_like(re)
     chain_len = 16
 
     @jax.jit
     def chained(s):
-        r = x + 0.0 * s
+        r, i_ = re + 0.0 * s, im
         for _ in range(chain_len):
-            r = call(r)
+            r, i_ = call(r, i_)
         return r
 
-    moved = 2 * (1 << n) * 4  # 1 in + 1 out f32 plane per copy
+    moved = 4 * (1 << n) * 4  # 2 in + 2 out f32 planes per copy pass
     return moved * chain_len / timer(chained) / 1e9
 
 
