@@ -180,9 +180,9 @@ def main():
         extra["qcmrf20_gates"] = len(circ.gates)
 
         # gate-level beyond 2^20 amplitudes (VERDICT round-2 item 2):
-        # full QCMRF chain circuits at 2^24 and 2^26 amplitudes on-chip
-        # (widths n + K + 1 = 24 and 26)
-        for nn in (12, 13):
+        # full QCMRF chain circuits at 2^24, 2^26 and 2^28 amplitudes
+        # on-chip (widths n + K + 1 = 24/26/28; 2^28 planes = 2 GB)
+        for nn in (12, 13, 14):
             w = 2 * nn
             try:
                 chain = MRF.create(

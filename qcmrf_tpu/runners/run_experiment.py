@@ -197,8 +197,12 @@ def main(argv: Optional[List[str]] = None) -> str:
         args, os.path.join(args.outdir, f"config_run_{args.scale}.json")
     )
 
-    counts = run_suite(suite, shots=args.shots, engine=args.engine,
-                       seed=args.sample_seed, res_root=args.res_root)
+    from qcmrf_tpu.utils import profiling
+
+    ctr = profiling.Counter()
+    with profiling.stopwatch(ctr, sync=jax):
+        counts = run_suite(suite, shots=args.shots, engine=args.engine,
+                           seed=args.sample_seed, res_root=args.res_root)
     tag = args.engine.replace(":", "_")
     out_path = os.path.join(
         args.outdir, f"result_{tag}_{args.scale}.json"
@@ -207,7 +211,10 @@ def main(argv: Optional[List[str]] = None) -> str:
         f.write(json.dumps(counts, indent=4))
     num = (len(counts["quasi_dists"])
            if isinstance(counts, dict) else len(counts))
-    print(f"wrote {out_path} ({num} circuits, {args.shots} shots)")
+    ctr.add(items=float(num) * args.shots)
+    print(f"wrote {out_path} ({num} circuits, {args.shots} shots; "
+          f"{ctr.seconds:.1f}s, {ctr.items_per_sec:,.0f} shots/sec "
+          "end-to-end)")
     return out_path
 
 
