@@ -660,8 +660,12 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     nq = circuit.num_qubits
     pairs = circuit.measured_pairs
     measured = {q for q, _ in pairs}
-    identity = (all(q == c for q, c in pairs)
-                and circuit.num_clbits == nq)
+    # no measurements at all -> the raw |psi|^2 distribution over the
+    # full register, exactly like sim.dense.outcome_probs' empty-pairs
+    # special case (the dryrun's oracle comparison relies on this)
+    identity = (not pairs
+                or (all(q == c for q, c in pairs)
+                    and circuit.num_clbits == nq))
 
     if identity:
         @functools.partial(
@@ -672,6 +676,8 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
             return r * r + i_ * i_
 
         p2 = probs(re, im)
+        if not pairs:
+            return p2
         unmeasured = sorted(set(range(nq)) - measured)
         if not unmeasured:
             return p2

@@ -257,3 +257,16 @@ def test_sharded_outcome_probs_workspace_fast_path(mesh4):
     probs = np.asarray(sharded.sharded_outcome_probs(circ, mesh4))
     want = np.asarray(analytic.joint_outcome_probs(mrf))
     np.testing.assert_allclose(probs, want, atol=1e-5)
+
+
+def test_sharded_outcome_probs_no_measurements(mesh4):
+    """No measure ops at all -> raw |psi|^2 over the full register, the
+    sim.dense.outcome_probs empty-pairs convention the driver dryrun's
+    oracle comparison relies on (regression: the stray-mass check must
+    not reroute this to the keyed path)."""
+    mrf = rand_mrf([[0, 1], [1, 2]], seed=3)
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    assert circ.measured_pairs == []
+    got = np.asarray(sharded.sharded_outcome_probs(circ, mesh4))
+    want = np.asarray(dense.simulate_probs(circ))
+    np.testing.assert_allclose(got, want, atol=1e-6)
