@@ -674,6 +674,149 @@ def apply_diagonal_profile(re, im, terms, angles, base: float = 0.0):
 
 
 # --------------------------------------------------------------------------
+# Fused H·D·H sandwich: a clique's whole real-part-extraction block in ONE
+# pass.
+#
+# The reference surrounds each clique's controlled-phase block with
+# H(anc) · cU · X(anc) · cU† · X(anc) · H(anc) (QCMRF.py:231-236). After
+# the X-deferral fusion, the middle is one diagonal profile
+# D = diag(e^{i·alpha(x)}, e^{i·beta(x)}) over the ancilla, and
+#
+#   H · D · H = e^{i·mu(x)} · [[cos nu, -i sin nu], [-i sin nu, cos nu]]
+#
+# with mu = (alpha+beta)/2, nu = (beta-alpha)/2 — a position-dependent
+# Rx on the ancilla. For QCMRF's matched ±2γ profiles mu ≡ 0 and
+# nu(x) = Σ_y 2γ_y·mask_y(x), so cos(nu)·a0 realizes the e^{βθ/2}
+# post-selected branch (SURVEY.md Appendix A item 5) directly. One pass
+# replaces three (H, diag, H): 4 planes of HBM traffic instead of 12.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def _build_hdh_kernel(mu_terms: tuple, nu_terms: tuple, anc: int,
+                      chunk_g: int, sblk: int, stride_rows: int,
+                      has_mu: bool):
+    """Sandwich kernel body. Blocks are (chunk_g, 2, sblk, LANE) with
+    axis 1 = the ancilla bit; angles arrive in SMEM as
+    [mu_base, nu_base, mu_a..., nu_a...] so one compiled kernel serves
+    every parameterization of the same term structure."""
+
+    num_mu = len(mu_terms)
+    positions = sorted(
+        {p for conds in (mu_terms + nu_terms) for p, _ in conds}
+    )
+    shape = (chunk_g, sblk, LANE)
+
+    def kernel(ang_ref, re_ref, im_ref, ore_ref, oim_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        li = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        # basis index of the anc=0 element (mu/nu never condition on anc)
+        x = (((i * chunk_g + gi) * 2 * stride_rows)
+             + (j * sblk + si)) * LANE + li
+        bit = {
+            p: ((x >> p) & 1).astype(jnp.float32) for p in positions
+        }
+
+        def profile(terms, base_idx, off):
+            ang = jnp.zeros(shape, jnp.float32) + ang_ref[base_idx]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = None
+                for pos, want in conds:
+                    b = bit[pos] if want else (1.0 - bit[pos])
+                    mask = b if mask is None else mask * b
+                ang = ang + ang_ref[off + t] * (
+                    mask if mask is not None else 1.0
+                )
+            return ang
+
+        nu = profile(nu_terms, 1, 2 + num_mu)
+        cn = jnp.cos(nu)
+        sn = jnp.sin(nu)
+        re0, re1 = re_ref[:, 0], re_ref[:, 1]
+        im0, im1 = im_ref[:, 0], im_ref[:, 1]
+        # e^{-i nu X}: new0 = cos(nu)·a0 - i sin(nu)·a1 (and symmetric)
+        t0r = cn * re0 + sn * im1
+        t0i = cn * im0 - sn * re1
+        t1r = sn * im0 + cn * re1
+        t1i = cn * im1 - sn * re0
+        if has_mu:  # static specialization: QCMRF profiles have mu == 0
+            mu = profile(mu_terms, 0, 2)
+            cm = jnp.cos(mu)
+            sm = jnp.sin(mu)
+            ore_ref[:, 0] = cm * t0r - sm * t0i
+            oim_ref[:, 0] = cm * t0i + sm * t0r
+            ore_ref[:, 1] = cm * t1r - sm * t1i
+            oim_ref[:, 1] = cm * t1i + sm * t1r
+        else:
+            ore_ref[:, 0] = t0r
+            oim_ref[:, 0] = t0i
+            ore_ref[:, 1] = t1r
+            oim_ref[:, 1] = t1i
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _hdh_call(mu_terms: tuple, nu_terms: tuple, anc: int, has_mu: bool,
+              ang, re, im):
+    rows = re.shape[0]
+    stride_rows = 1 << (anc - 7)
+    g = rows // (2 * stride_rows)
+    # same scoped-VMEM budget as _row_gate_call (1024-row blocks), minus
+    # headroom for the bit/angle temporaries the profile keeps live
+    sblk = min(stride_rows, 256)
+    chunk_g = max(1, min(g, 512 // (2 * sblk)))
+    re4 = re.reshape(g, 2, stride_rows, LANE)
+    im4 = im.reshape(g, 2, stride_rows, LANE)
+    kernel = _build_hdh_kernel(mu_terms, nu_terms, anc, chunk_g, sblk,
+                               stride_rows, has_mu)
+    bspec = pl.BlockSpec((chunk_g, 2, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(re4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re4.shape, jnp.float32),
+        ),
+        grid=(g // chunk_g, stride_rows // sblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
+        out_specs=(bspec, bspec),
+        interpret=_interpret(),
+    )(ang, re4, im4)
+    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
+
+
+def apply_hdh_sandwich(re, im, anc: int, nu_terms, nu_angles,
+                       nu_base: float = 0.0, mu_terms=(), mu_angles=(),
+                       mu_base: float = 0.0):
+    """Apply H(anc)·D·H(anc) in one pass on (rows, 128) planes.
+
+    ``D`` is described by its half-sum/half-difference phase profiles:
+    ``mu(x) = mu_base + Σ mu_angles[t]·[mu_terms[t] holds]`` (the common
+    phase) and ``nu(x)`` likewise (the anc=1 minus anc=0 half-difference).
+    Term conditions must not mention ``anc``; requires ``anc >= 7`` (row
+    qubit) and angles known at trace time via the SMEM vector.
+    """
+    nu_terms = tuple(
+        tuple((int(p), int(w)) for p, w in conds) for conds in nu_terms
+    )
+    mu_terms = tuple(
+        tuple((int(p), int(w)) for p, w in conds) for conds in mu_terms
+    )
+    ang = jnp.concatenate([
+        jnp.asarray([mu_base, nu_base], jnp.float32),
+        jnp.asarray(list(mu_angles) + list(nu_angles),
+                    jnp.float32).reshape(-1),
+    ])
+    has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    return _hdh_call(mu_terms, nu_terms, int(anc), has_mu, ang, re, im)
+
+
+# --------------------------------------------------------------------------
 # Fused QCMRF post-selected amplitude kernel: amp[x] = 2^{-n/2} e^{lp(x)/2}
 # --------------------------------------------------------------------------
 

@@ -74,6 +74,48 @@ def apply_gate(re, im, g: Gate, num_qubits: int):
 _MAX_DIAG_TERMS = 64  # cap per fused pass: bounds the unrolled kernel size
 
 
+def _try_sandwich(h1, dg, h2):
+    """Recognize [rowq H on a] [diag] [rowq H on a] and rewrite it as one
+    ('sandwich', a, nu_terms, nu_angles, nu_base, mu_terms, mu_angles,
+    mu_base) op — see kernels.apply_hdh_sandwich for the algebra. Returns
+    None when the triple does not match (non-H matrices, lane-qubit
+    ancilla a < 7, or a term conditioning on a twice)."""
+    if h1[0] != "rowq" or h2[0] != "rowq" or dg[0] != "diag":
+        return None
+    _, U1, q1 = h1
+    _, U2, q2 = h2
+    if q1 != q2 or q1 < 7:
+        return None
+    H = np.asarray(GATES_1Q["h"], np.complex64)
+    if not (np.allclose(U1, H, atol=1e-6)
+            and np.allclose(U2, H, atol=1e-6)):
+        return None
+    _, terms, angles, base = dg
+    mu = {}
+    nu = {}
+
+    def add(d, conds, val):
+        d[conds] = d.get(conds, 0.0) + val
+
+    for conds, t in zip(terms, angles):
+        want_a = [w for p, w in conds if p == q1]
+        if len(want_a) > 1:
+            return None  # inconsistent / duplicated anc condition
+        rest = tuple(sorted((p, w) for p, w in conds if p != q1))
+        if not want_a:
+            add(mu, rest, t)  # phases both anc branches equally
+        else:
+            add(mu, rest, t / 2.0)
+            add(nu, rest, t / 2.0 if want_a[0] else -t / 2.0)
+
+    mu_base = base + mu.pop((), 0.0)
+    nu_base = nu.pop((), 0.0)
+    mu = {k: v for k, v in mu.items() if abs(v) > 1e-12}
+    nu = {k: v for k, v in nu.items() if abs(v) > 1e-12}
+    return ("sandwich", q1, tuple(nu.keys()), tuple(nu.values()),
+            nu_base, tuple(mu.keys()), tuple(mu.values()), mu_base)
+
+
 def fuse_ops(circuit: Circuit) -> list:
     """Peephole fusion of the gate stream into HBM-pass-minimal ops.
 
@@ -159,7 +201,23 @@ def fuse_ops(circuit: Circuit) -> list:
                 else:
                     ops.append(("rowq", U, q))
 
-    # post-pass: merge 1q ops on ADJACENT row qubits into one 4x4 pass
+    # post-pass 1: collapse H(a)·[diag]·H(a) triples on a row qubit into
+    # ONE sandwich pass (kernels.apply_hdh_sandwich) — each clique's whole
+    # real-part-extraction block becomes a single HBM sweep (3 passes -> 1)
+    fused = []
+    i = 0
+    while i < len(ops):
+        s = (_try_sandwich(ops[i], ops[i + 1], ops[i + 2])
+             if i + 2 < len(ops) else None)
+        if s is not None:
+            fused.append(s)
+            i += 3
+        else:
+            fused.append(ops[i])
+            i += 1
+    ops = fused
+
+    # post-pass 2: merge 1q ops on ADJACENT row qubits into one 4x4 pass
     # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo)); the
     # row-pair kernel's 2-D grid keeps VMEM blocks bounded at any stride
     merged = []
@@ -192,6 +250,10 @@ def _apply_ops(re, im, ops, num_qubits: int):
         elif op[0] == "row2":
             _, U4, q_lo = op
             re, im = K.apply_2q_row_pair(re, im, U4, q_lo)
+        elif op[0] == "sandwich":
+            _, a, nt, na, nb, mt, ma, mb = op
+            re, im = K.apply_hdh_sandwich(re, im, a, nt, na, nb,
+                                          mt, ma, mb)
         else:
             _, U, q = op
             re, im = K.apply_1q(re, im, U, q, num_qubits)

@@ -67,3 +67,96 @@ def test_small_circuit_rejected():
     c.h(0)
     with pytest.raises(ValueError):
         stpu.run_statevector(c)
+
+
+# --------------------------------------------------------------------------
+# H·D·H sandwich fusion (one pass per clique block)
+# --------------------------------------------------------------------------
+
+
+def test_fuse_ops_emits_sandwiches():
+    """Row-qubit clique blocks collapse to ONE sandwich pass each; lane-
+    qubit ancillas (a < 7) keep the unfused 3-pass form."""
+    mrf = rand_mrf([[i, i + 1] for i in range(6)], seed=1)  # width 15
+    ops = stpu.fuse_ops(compile_qcmrf(mrf, with_measurements=False))
+    kinds = [o[0] for o in ops]
+    assert kinds.count("sandwich") == mrf.num_cliques
+    assert "diag" not in kinds  # every clique block fused
+
+    # width 10: ancillas sit at qubits 6..9 — the a=6 block must stay
+    # unfused (lane qubit), the a=7..9 blocks fuse
+    mrf10 = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4]], seed=2)
+    ops10 = stpu.fuse_ops(compile_qcmrf(mrf10, with_measurements=False))
+    kinds10 = [o[0] for o in ops10]
+    assert kinds10.count("sandwich") == 3
+    assert kinds10.count("diag") == 1
+
+
+def test_sandwich_kernel_general_profiles():
+    """apply_hdh_sandwich vs brute-force H·D·H, including mu != 0 (the
+    general unmatched-profile case fuse_ops never emits for QCMRF)."""
+    from qcmrf_tpu.ops import kernels as K
+
+    rng = np.random.RandomState(7)
+    nq = 9
+    size = 1 << nq
+    anc = 7
+    re = jnp.asarray(rng.randn(size // 128, 128).astype(np.float32))
+    im = jnp.asarray(rng.randn(size // 128, 128).astype(np.float32))
+
+    nu_terms = (((0, 1), (3, 0)), ((1, 1),))
+    nu_angles = (0.7, -0.4)
+    mu_terms = (((2, 1),),)
+    mu_angles = (0.3,)
+    nu_base, mu_base = 0.2, -0.1
+
+    got_re, got_im = K.apply_hdh_sandwich(
+        re, im, anc, nu_terms, nu_angles, nu_base,
+        mu_terms, mu_angles, mu_base,
+    )
+    got = to_complex(got_re, got_im)
+
+    # brute force: psi' = H_anc D H_anc psi with per-state phases
+    psi = np.asarray(re).reshape(-1) + 1j * np.asarray(im).reshape(-1)
+    x = np.arange(size)
+
+    def prof(terms, angles, base):
+        a = np.full(size, base)
+        for conds, t in zip(terms, angles):
+            m = np.ones(size)
+            for p, w in conds:
+                b = (x >> p) & 1
+                m = m * (b if w else 1 - b)
+            a = a + t * m
+        return a
+
+    mu = prof(mu_terms, mu_angles, mu_base)
+    nu = prof(nu_terms, nu_angles, nu_base)
+    alpha, beta = mu - nu, mu + nu
+    want = psi.copy()
+
+    def apply_h(v):  # Hadamard on the anc qubit
+        v = v.reshape(-1, 2 << anc)
+        lo, hi = v[:, : 1 << anc], v[:, 1 << anc:]
+        return np.concatenate(
+            [(lo + hi) / np.sqrt(2), (lo - hi) / np.sqrt(2)], axis=1
+        ).reshape(-1)
+
+    want = apply_h(want)
+    d = np.where((x >> anc) & 1, np.exp(1j * beta), np.exp(1j * alpha))
+    want = want * d
+    want = apply_h(want)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sandwich_matches_unfused_statevector():
+    """The fused engine (sandwiches on) equals a gate-by-gate unfused
+    application for a full QCMRF circuit with mixed clique sizes."""
+    mrf = rand_mrf([[0, 1, 2], [2, 3], [3, 4, 5, 6]], seed=4)
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    re, im = stpu.zero_planes(circ.num_qubits)
+    for g in circ.gates:
+        re, im = stpu.apply_gate(re, im, g, circ.num_qubits)
+    want = to_complex(re, im)
+    got = to_complex(*stpu.run_statevector(circ))
+    np.testing.assert_allclose(got, want, atol=1e-5)
