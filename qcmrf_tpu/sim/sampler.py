@@ -20,9 +20,21 @@ from qcmrf_tpu.utils.bits import key_string
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_from_probs(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
-    """Draw ``shots`` outcome indices from a probability vector."""
-    logits = jnp.log(jnp.maximum(probs, 1e-38))
-    return jax.random.categorical(key, logits, shape=(shots,)).astype(jnp.int32)
+    """Draw ``shots`` outcome indices from a probability vector.
+
+    Inverse-CDF multinomial: ``shots`` uniforms + a vectorized binary
+    search. ``jax.random.categorical`` would materialize a
+    ``(shots, num_states)`` Gumbel table — 4e8 threefry draws for 400k
+    shots over 1024 outcomes (~5 min on one CPU core, measured; this
+    formulation takes milliseconds and is cheaper on TPU too). Zero-
+    probability outcomes are never selected: their inclusive-cdf entry
+    equals their predecessor's, so no ``u`` lands strictly inside.
+    """
+    p = probs / jnp.sum(probs)
+    cdf = jnp.cumsum(p)
+    u = jax.random.uniform(key, (shots,), dtype=cdf.dtype)
+    idx = jnp.searchsorted(cdf, u, side="right")
+    return jnp.clip(idx, 0, probs.shape[0] - 1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
