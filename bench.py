@@ -137,9 +137,13 @@ def main():
             jax.block_until_ready(fn(0))
             return best_of(fn, reps=reps)[0]
 
-        # gate-apply bandwidth at n=20 planes (BASELINE.json metric;
-        # shared body with runners/bench — only the timer differs here)
-        lane_gbps, row_gbps = gate_apply_gbps(n, _t)
+        # gate-apply HBM bandwidth, measured at 2^24 amplitudes by the
+        # chain-length-difference method (single-dispatch sync calls;
+        # dispatch overhead cancels — see runners/bench.py). n=20 sweeps
+        # are pipeline-ramp-bound and measure overhead, not bandwidth.
+        bw_n = 24
+        extra["gate_bw_n"] = bw_n
+        lane_gbps, row_gbps = gate_apply_gbps(bw_n)
         extra["gate_lane_gbps"] = round(lane_gbps, 1)
         extra["gate_row_gbps"] = round(row_gbps, 1)
 
@@ -147,7 +151,7 @@ def main():
         # drift cancels in the gate/copy RATIOS (VERDICT round-2 item 8)
         from qcmrf_tpu.runners.bench import copy_kernel_gbps
 
-        copy_gbps = copy_kernel_gbps(n, _t)
+        copy_gbps = copy_kernel_gbps(bw_n)
         extra["copy_kernel_gbps"] = round(copy_gbps, 1)
         extra["gate_lane_copy_ratio"] = round(lane_gbps / copy_gbps, 3)
         extra["gate_row_copy_ratio"] = round(row_gbps / copy_gbps, 3)

@@ -39,10 +39,54 @@ def _time(fn: Callable, reps: int = 10) -> float:
 #    times them best-of-trials for the driver artifact) ---------------------
 
 
-def gate_apply_gbps(n: int, timer: Callable) -> tuple:
+#: chain lengths for the bandwidth difference measurement (see below)
+_BW_SHORT, _BW_LONG = 16, 64
+
+
+def _fetch_seconds(fn, reps: int = 5) -> float:
+    """min-of-reps per-call time with a FORCED DATA FETCH each call.
+
+    ``fn`` must return a scalar. On the tunneled remote runtime,
+    ``block_until_ready`` on an array output can return before the
+    computation actually finishes (measured: a 16-pass chain whose
+    device work alone is ~300 us "completing" in 52 us), so the only
+    trustworthy sync point is materializing a value — ``float()`` on a
+    scalar that data-depends on the whole computation."""
+    import time
+
+    float(fn(0.0))  # warm-up / compile
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(fn(float(i + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _chain_difference_gbps(make_chain: Callable, n: int) -> float:
+    """HBM bandwidth from the time difference of two single-dispatch
+    chains (``_BW_LONG`` vs ``_BW_SHORT`` passes): the ~30 ms fetch
+    round-trip and the in-graph plane init appear in both and cancel,
+    leaving pure per-pass streaming time. Each pass moves 4 f32 planes
+    (2 in + 2 out). ``make_chain(L)`` must return a jitted fn whose
+    scalar output data-depends on all L passes. Validated 2026-08-17:
+    a pure-copy chain at n=24 measures 821 GB/s — HBM speed-of-light
+    on this chip."""
+    dt = _fetch_seconds(make_chain(_BW_LONG)) - _fetch_seconds(
+        make_chain(_BW_SHORT)
+    )
+    moved = 4 * (1 << n) * 4 * (_BW_LONG - _BW_SHORT)
+    return moved / max(dt, 1e-9) / 1e9
+
+
+def gate_apply_gbps(n: int, timer: Callable = None) -> tuple:
     """(lane_gbps, row_gbps): chained Hadamard applies on the n-qubit
-    statevector planes; ``timer(fn) -> seconds/call`` with fn(dummy_int).
-    This is the BASELINE.json "gate-apply GB/s at n=20" metric body."""
+    statevector planes, measured by the chain-length difference method
+    (single-dispatch sync calls; see ``_chain_difference_gbps``). Use
+    n >= 24 so the per-pass device time sits well inside the
+    bandwidth-bound regime (at n=20 every pass is pipeline-ramp-bound
+    and the number reflects overhead, not HBM). ``timer`` is accepted
+    for signature compatibility and unused."""
     import jax
     import jax.numpy as jnp
 
@@ -50,36 +94,41 @@ def gate_apply_gbps(n: int, timer: Callable) -> tuple:
     from qcmrf_tpu.sim import dense
 
     rows = (1 << n) // 128
-    re = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
-    im = jnp.zeros_like(re)
     H = dense.GATES_1Q["h"]
-    chain_len = 16
-    moved = 4 * (1 << n) * 4  # 2 in + 2 out f32 planes per apply
 
-    def chained(q):
+    def chained(q, chain_len):
         @jax.jit
         def f(s):
-            r, i_ = re + 0.0 * s, im
+            # planes built in-graph: a closed-over device array becomes
+            # an embedded constant serialized into the remote-compile
+            # request (128 MB at n=24)
+            r = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(
+                1.0 + 0.0 * s)
+            i_ = jnp.zeros((rows, 128), jnp.float32)
             for _ in range(chain_len):
                 r, i_ = kernels.apply_1q(r, i_, H, q, n)
-            return r
+            return r[0, 0]  # scalar probe: the fetch is the sync point
         return f
 
-    lane = moved * chain_len / timer(chained(3))
-    row = moved * chain_len / timer(chained(n - 2))
-    return lane / 1e9, row / 1e9
+    lane = _chain_difference_gbps(
+        lambda L: chained(3, L), n
+    )
+    row = _chain_difference_gbps(
+        lambda L: chained(n - 2, L), n
+    )
+    return lane, row
 
 
-def copy_kernel_gbps(n: int, timer: Callable) -> float:
+def copy_kernel_gbps(n: int, timer: Callable = None) -> float:
     """Pure-copy Pallas kernel moving the SAME bytes per pass as a gate
     apply — both statevector planes in and out (2+2 f32 planes, like
     ``kernels.apply_1q``) — a same-run bandwidth reference that
-    normalizes out the axon tunnel's 40-60% day-scale throughput drift
-    (report gate GB/s alongside this; the RATIO is a genuine
-    compute-overhead measure because the byte traffic per pass is
-    identical; VERDICT round-2 item 8). At n=20 both are per-pass-
-    overhead-bound, so matching bytes/pass is what makes the ratio
-    meaningful."""
+    normalizes out the axon tunnel's day-scale throughput drift (report
+    gate GB/s alongside this; the RATIO is a genuine compute-overhead
+    measure because the byte traffic per pass is identical; VERDICT
+    round-2 item 8). Measured by the same chain-length difference method
+    as ``gate_apply_gbps``; ``timer`` is accepted for signature
+    compatibility and unused."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -103,19 +152,22 @@ def copy_kernel_gbps(n: int, timer: Callable) -> float:
         out_shape=[plane, plane],
         interpret=_interpret(),
     )
-    re = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(1.0)
-    im = jnp.zeros_like(re)
-    chain_len = 16
 
-    @jax.jit
-    def chained(s):
-        r, i_ = re + 0.0 * s, im
-        for _ in range(chain_len):
-            r, i_ = call(r, i_)
-        return r
+    def chained(chain_len):
+        @jax.jit
+        def f(s):
+            # planes built in-graph (closed-over constants would ship in
+            # the remote-compile payload — 128 MB at n=24, measured as a
+            # bogus 34 GB/s "copy bandwidth" that was constant upload)
+            r = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(
+                1.0 + 0.0 * s)
+            i_ = jnp.zeros((rows, 128), jnp.float32)
+            for _ in range(chain_len):
+                r, i_ = call(r, i_)
+            return r[0, 0]  # scalar probe: the fetch is the sync point
+        return f
 
-    moved = 4 * (1 << n) * 4  # 2 in + 2 out f32 planes per copy pass
-    return moved * chain_len / timer(chained) / 1e9
+    return _chain_difference_gbps(chained, n)
 
 
 def make_suite70_fused(scale: float = 0.1) -> Callable:
