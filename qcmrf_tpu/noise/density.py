@@ -123,7 +123,12 @@ def _apply_1q(rho: np.ndarray, U: np.ndarray, q: int, w: int) -> np.ndarray:
 def depolarize_qubits(rho: np.ndarray, qs: Sequence[int], p: float,
                       w: int) -> np.ndarray:
     """Joint depolarizing on qubits ``qs``:
-    rho -> (1-p) rho + p * (I/2^k (x) tr_qs rho)."""
+    rho -> (1-p) rho + p * (I/2^k (x) tr_qs rho).
+
+    IN-PLACE: mutates ``rho`` (via a reshaped view) and returns it —
+    the density-evolution loop owns its buffer and avoids a 4^w copy per
+    channel. External callers who need the input preserved must pass
+    ``rho.copy()``."""
     if p == 0.0:
         return rho
     k = len(qs)

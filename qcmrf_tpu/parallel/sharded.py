@@ -703,7 +703,24 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
             return jax.lax.psum(
                 jnp.where(mask, p.reshape(-1), 0.0).sum(), axis)
 
-        if float(stray_mass(p2)) <= 1e-6:
+        # scale-aware tolerance: each gate pass contributes O(eps) f32
+        # rounding to a genuinely-|0> workspace, so a fixed 1e-6 could
+        # reroute deep at-scale circuits into the replicated keyed path
+        # (which then *raises* past 26 clbits) — advisor round-3 finding
+        tol = max(1e-6, 1e-7 * len(circuit.gates))
+        stray = float(stray_mass(p2))
+        if stray <= tol:
+            return p2
+        if circuit.num_clbits > 26:
+            import warnings
+
+            warnings.warn(
+                f"unmeasured-qubit stray mass {stray:.3e} exceeds "
+                f"tolerance {tol:.1e}, but num_clbits="
+                f"{circuit.num_clbits} > 26 rules out the replicated "
+                "keyed fallback; returning the |psi|^2 fast path "
+                "(result error is bounded by the stray mass)"
+            )
             return p2
         # fall through to the exact marginalizing path below
 
