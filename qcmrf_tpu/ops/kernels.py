@@ -899,7 +899,12 @@ def apply_hdh_sandwich(re, im, anc: int, nu_terms, nu_angles,
         [jnp.cos(bases), jnp.sin(bases)], axis=-1
     ).reshape(-1)  # [cos mu_b, sin mu_b, cos nu_b, sin nu_b]
     ang = jnp.concatenate([base_cs, pairs, bases, terms_a])
-    has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    if isinstance(mu_base, (int, float)):
+        has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    else:
+        # traced base (the sharded engine's device-bit-conditioned
+        # angles): can't be proven zero at trace time -> keep mu active
+        has_mu = True
     return _hdh_call(mu_terms, nu_terms, int(anc), has_mu, ang, re, im)
 
 

@@ -116,25 +116,13 @@ def _try_sandwich(h1, dg, h2):
             nu_base, tuple(mu.keys()), tuple(mu.values()), mu_base)
 
 
-def fuse_ops(circuit: Circuit) -> list:
-    """Peephole fusion of the gate stream into HBM-pass-minimal ops.
-
-    * a RUN of consecutive diagonal gates (rz/cp/flags_phase, incl. the cp
-      inside the cx decomposition) -> ONE ``('diag', terms, angles, base)``
-      pass (kernels.apply_diagonal_profile) — this collapses a clique's
-      whole cU_C block sequence into a single sweep;
-    * X gates are DEFERRED (X·D·X is D with the bit condition flipped, so
-      a clique's whole H·cU·X·cU†·X·H sandwich collapses to H · [one
-      fused diagonal] · H — the X row passes vanish entirely);
-    * consecutive non-diagonal 1q gates on LANE qubits (q < 7) compose
-      into one 128x128 matrix -> ONE MXU pass (e.g. the 7 lane-qubit H's
-      of the superposition wall);
-    * consecutive 1q gates on the SAME row qubit compose their 2x2s, and
-      consecutive 1q gates on ADJACENT row qubits merge into one 4x4
-      two-qubit pass (halves the superposition wall's row traffic).
-    """
-    from qcmrf_tpu.ops.kernels import _lane_gate_matrix
-
+def circuit_primitives(circuit: Circuit) -> list:
+    """Lower the gate stream to ('1q', U, q) / ('diag', conds, base, angle)
+    primitives with X gates DEFERRED (X·D·X is D with the bit condition
+    flipped, so a clique's whole H·cU·X·cU†·X·H sandwich collapses to
+    H · [one fused diagonal] · H — the X row passes vanish entirely); cx
+    decomposes as H_t · cp(pi) · H_t so the sandwich post-pass of
+    :func:`fuse_primitives` later collapses it to one pass too."""
     X = np.asarray(GATES_1Q["x"], np.complex64)
     flips = {}  # qubit -> pending deferred X (0/1)
 
@@ -175,6 +163,29 @@ def fuse_ops(circuit: Circuit) -> list:
         if flips[q]:
             flips[q] = 0
             prim.append(("1q", X, q))
+    return prim
+
+
+def fuse_primitives(prim: list) -> list:
+    """Peephole fusion of a primitive stream into HBM-pass-minimal ops.
+
+    * a RUN of consecutive diagonal primitives (rz/cp/flags_phase, incl.
+      the cp inside the cx decomposition) -> ONE ``('diag', terms, angles,
+      base)`` pass (kernels.apply_diagonal_profile) — this collapses a
+      clique's whole cU_C block sequence into a single sweep;
+    * consecutive non-diagonal 1q gates on LANE qubits (q < 7) compose
+      into one 128x128 matrix -> ONE MXU pass (e.g. the 7 lane-qubit H's
+      of the superposition wall);
+    * consecutive 1q gates on the SAME row qubit compose their 2x2s, and
+      consecutive 1q gates on ADJACENT row qubits merge into one 4x4
+      two-qubit pass (halves the superposition wall's row traffic);
+    * H(a)·[diag]·H(a) triples collapse into ONE sandwich pass.
+
+    Angles are handled generically (only +, unary -, /, and abs are used),
+    so the ICI-sharded engine can pass symbolic angles whose device-bit
+    conditions evaluate per-device at trace time (parallel.sharded).
+    """
+    from qcmrf_tpu.ops.kernels import _lane_gate_matrix
 
     ops = []
     for p in prim:
@@ -233,6 +244,13 @@ def fuse_ops(circuit: Circuit) -> list:
         else:
             merged.append(op)
     return merged
+
+
+def fuse_ops(circuit: Circuit) -> list:
+    """Fused op stream of a circuit: :func:`circuit_primitives` (X-deferred
+    lowering) composed with :func:`fuse_primitives` (peephole fusion into
+    diag/lane/rowq/row2/sandwich passes)."""
+    return fuse_primitives(circuit_primitives(circuit))
 
 
 def _apply_ops(re, im, ops, num_qubits: int):

@@ -75,6 +75,43 @@ def test_sharded_matches_dense_random(seed):
     np.testing.assert_allclose(got, st, atol=5e-5)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_fused_matches_dense_random(seed):
+    """n=12 on a 4-device mesh: local_n=10 engages the FUSED shard-local
+    path (plane kernels + symbolic device-bit angles + exchange planning)
+    on arbitrary gate streams, including device-bit diagonal conditions,
+    device-bit sandwich ancillas, and non-trivial final permutations."""
+    rng = np.random.RandomState(300 + seed)
+    c = random_circuit(rng, n=12, depth=40)
+    st = np.asarray(dense.run_statevector(c))
+    mesh = sharded.make_mesh(4)
+    re, im = sharded.run_statevector_sharded(c, mesh)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, st, atol=5e-5)
+
+
+def test_sharded_fused_qcmrf_matches_analytic():
+    """QCMRF circuit wide enough for the fused sharded path (n=14 qubits,
+    local_n=11 on mesh4): outcome probabilities == the closed-form law,
+    exercising sandwich fusion across device-bit ancillas end to end."""
+    from qcmrf_tpu.circuits.compiler import compile_qcmrf
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.sim import analytic
+
+    rng = np.random.RandomState(42)
+    probe = MRF.create([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 6]])
+    mrf = MRF.create(
+        probe.cliques,
+        theta=-np.abs(rng.randn(probe.dimension)) * 0.35,
+    )
+    circ = compile_qcmrf(mrf)
+    assert circ.num_qubits == 14
+    mesh = sharded.make_mesh(4)
+    got = np.asarray(sharded.sharded_outcome_probs(circ, mesh))
+    want = np.asarray(analytic.joint_outcome_probs(mrf))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_norm_preserved_deep_circuit():
     rng = np.random.RandomState(7)
     c = random_circuit(rng, n=7, depth=120)
