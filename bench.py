@@ -212,6 +212,32 @@ def main():
             except Exception as e:  # isolate: w=26 must not kill the rest
                 extra[f"qcmrf{w}_error"] = f"{type(e).__name__}: {e}"
 
+        # SHARDED gate-level engine on a mesh(1): the same QCMRF circuits
+        # through parallel.sharded's fused plan (VERDICT round-3 item 1
+        # done-criterion: within ~1.2x of the single-chip engine — the
+        # shard-local work now runs the same fused passes + Pallas
+        # kernels, so mesh(1) isolates the sharding layer's overhead)
+        try:
+            from qcmrf_tpu.parallel import sharded as shd
+
+            mesh1s = shd.make_mesh(1)
+            for nn in (12, 14):
+                w = 2 * nn
+                chain = MRF.create(
+                    [[i, i + 1] for i in range(nn - 1)],
+                    theta=-np.abs(np.random.RandomState(0)
+                                  .randn(4 * (nn - 1))) * 0.3,
+                )
+                circ_s = compile_qcmrf(chain, with_measurements=False)
+
+                def run_s(s, circ_s=circ_s):
+                    return shd.run_statevector_sharded(circ_s, mesh1s)
+
+                extra[f"qcmrf{w}_sharded_gate_level_ms"] = round(
+                    _t(run_s, reps=5) * 1e3, 2)
+        except Exception as e:
+            extra["sharded_gate_level_error"] = f"{type(e).__name__}: {e}"
+
         # fused whole-circuit kernel over the 70-circuit reference suite
         # (one dispatch for all 7 graph launches; shared body)
         extra["suite70_gate_level_ms"] = round(

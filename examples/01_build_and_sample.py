@@ -12,7 +12,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# QCMRF_EXAMPLE_SMOKE: the test tier's reduced-size run (fewer shots,
+# CPU pinned pre-backend-init so the suite never touches the TPU)
+SMOKE = bool(os.environ.get("QCMRF_EXAMPLE_SMOKE"))
+
 import jax
+
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from qcmrf_tpu import MRF, compile_qcmrf, fidelity
@@ -36,7 +44,9 @@ print(f"delta = {float(delta):.4f}  (Z/2^n = "
       f"{float(mrf.success_rate()):.4f})")
 
 # shot sampling + the reference's extract_probs post-selection
-keys = analytic.sample_outcomes(jax.random.PRNGKey(0), mrf, 10_000)
+keys = analytic.sample_outcomes(
+    jax.random.PRNGKey(0), mrf, 2_000 if SMOKE else 10_000
+)
 counts = sampler.counts_from_samples(np.asarray(keys), circ.num_qubits)
 q, delta_hat = extract_probs(counts, mrf.n, mrf.num_cliques + 1)
 print(f"fidelity(exact, sampled) = {fidelity(p_exact, q):.4f}, "

@@ -14,11 +14,20 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# QCMRF_EXAMPLE_SMOKE: the test tier's reduced-size run (fewer shots,
+# CPU pinned pre-backend-init so the suite never touches the TPU)
+SMOKE = bool(os.environ.get("QCMRF_EXAMPLE_SMOKE"))
+if SMOKE:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from qcmrf_tpu.evaluation.harness import evaluate_suite, results_table
 from qcmrf_tpu.models.suite import load_suite, reference_models_path
 from qcmrf_tpu.runners.run_experiment import run_suite
 
+SHOTS = 1_000 if SMOKE else 10_000
 suite = load_suite(reference_models_path(0.1), 0.1)
-counts = run_suite(suite, shots=10_000, engine="analytic", seed=0)
-results = evaluate_suite(suite, dists=counts, norm=10_000)
+counts = run_suite(suite, shots=SHOTS, engine="analytic", seed=0)
+results = evaluate_suite(suite, dists=counts, norm=SHOTS)
 print(results_table(results))

@@ -38,8 +38,23 @@ hw_dists, hw_norm = load_result_dists(
     reference_results_path(0.1, "torino", "/root/reference"))
 model = load_physical("torino", 0.1)
 
+# QCMRF_EXAMPLE_SMOKE: the test tier's reduced-size run — 2 graphs x 3
+# reps at 4k shots (the sliced means are too noisy for the full-suite
+# tolerance assertions below, so those only run at full size)
+SMOKE = bool(os.environ.get("QCMRF_EXAMPLE_SMOKE"))
+if SMOKE:
+    import dataclasses
+
+    reps = 3
+    suite = dataclasses.replace(
+        suite,
+        graphs=suite.graphs[:2],
+        thetas={j: suite.thetas[j][:reps] for j in (0, 1)},
+    )
+    hw_dists = [hw_dists[j * 10 + i] for j in (0, 1) for i in range(reps)]
+
 result = run_physical_suite(jax.random.PRNGKey(0), suite, model,
-                            shots=10_000)
+                            shots=4_000 if SMOKE else 10_000)
 emu = evaluate_suite(suite, dists=result["quasi_dists"], norm=1)
 hw = evaluate_suite(suite, dists=hw_dists, norm=hw_norm)
 
@@ -49,11 +64,12 @@ for e, h in zip(emu, hw):
     print(f"{str(h.graph):>34}  {h.mean_f:6.3f} "
           f"{e.mean_f:6.3f}  {h.mean_delta:6.3f} "
           f"{e.mean_delta:6.3f}  {h.mean_kl:7.4f} {e.mean_kl:7.4f}")
-    assert abs(e.mean_f - h.mean_f) <= 0.02
-    assert abs(e.mean_delta - h.mean_delta) <= 0.05
-    # KL is never fitted anywhere — it emerges from the gate-level
-    # channel structure
-    assert abs(e.mean_kl - h.mean_kl) <= max(0.35 * h.mean_kl, 0.012)
+    if not SMOKE:  # sliced-suite means are shot/rep-noise-dominated
+        assert abs(e.mean_f - h.mean_f) <= 0.02
+        assert abs(e.mean_delta - h.mean_delta) <= 0.05
+        # KL is never fitted anywhere — it emerges from the gate-level
+        # channel structure
+        assert abs(e.mean_kl - h.mean_kl) <= max(0.35 * h.mean_kl, 0.012)
 
 # the reference's success_{backend}.pdf from the stored tables
 from qcmrf_tpu.viz import whisker

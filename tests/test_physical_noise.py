@@ -244,6 +244,58 @@ def test_physical_reproduces_stored_tables(reference_root, scale, backend):
         assert any(v < 0 for d in out["quasi_dists"] for v in d.values())
 
 
+_SUBSET = (1, 4)  # edge + triangle: cheap (4/5 qubits) but sensitive to
+#                   the per-graph lam/drift/jitter knobs and readout_sym
+
+
+@pytest.mark.parametrize("scale,backend", [
+    (0.1, "torino"),
+    (0.1, "sherbrooke"),
+    (0.1, "ehningen"),
+    (0.25, "torino"),
+    (0.5, "torino"),
+])
+def test_physical_subset_pin_all_combos(reference_root, scale, backend):
+    """Fast-tier 2-graph pin for EVERY stored calibration: a dev-tier run
+    fails if any backend/scale calibration (or the channel code under it)
+    regresses — the full 7-graph pins above stay slow-marked for 4 of 5
+    combos (VERDICT round-3 item 8). The suite AND the model are sliced
+    with the same graph indices (run_physical_suite indexes per-graph
+    knobs positionally)."""
+    import dataclasses
+
+    suite = load_suite(reference_models_path(scale, reference_root), scale)
+    dists, norm = load_result_dists(
+        reference_results_path(scale, backend, reference_root)
+    )
+    model = physical.load_physical(backend, scale)
+    reps = len(suite.thetas[0])
+    sub_suite = dataclasses.replace(
+        suite,
+        graphs=[suite.graphs[j] for j in _SUBSET],
+        thetas={k: suite.thetas[j] for k, j in enumerate(_SUBSET)},
+    )
+    sub_model = dataclasses.replace(
+        model,
+        lam=tuple(model.lam[j] for j in _SUBSET),
+        var_drift=tuple(model.var_drift[j] for j in _SUBSET),
+        anc_drift=tuple(model.anc_drift[j] for j in _SUBSET),
+        jitter=tuple(model.jitter[j] for j in _SUBSET),
+    )
+    sub_dists = [dists[j * reps + i] for j in _SUBSET for i in range(reps)]
+    targets = evaluate_suite(sub_suite, dists=sub_dists, norm=norm)
+    out = physical.run_physical_suite(
+        jax.random.PRNGKey(17), sub_suite, sub_model, shots=10_000
+    )
+    got = evaluate_suite(sub_suite, dists=out["quasi_dists"], norm=1)
+    for t, g in zip(targets, got):
+        assert abs(t.mean_f - g.mean_f) <= 0.012, (t, g)
+        assert abs(t.mean_delta - g.mean_delta) <= 0.03, (t, g)
+        assert abs(t.mean_kl - g.mean_kl) <= max(0.35 * t.mean_kl,
+                                                 0.012), (t, g)
+        assert abs(t.std_f - g.std_f) <= max(0.6 * t.std_f, 0.008), (t, g)
+
+
 @pytest.mark.slow
 def test_calibrated_engine_uses_physical_model(reference_root, tmp_path):
     """run_experiment --engine calibrated:torino consumes the stored
