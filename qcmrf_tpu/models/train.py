@@ -202,6 +202,7 @@ def make_shots_train_step(
     shots: int,
     data_marg: jax.Array,
     nonpositive: bool = True,
+    mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Shot-gradient training step: (raw, opt_state, key) ->
     (raw, opt_state, delta_hat).
@@ -212,6 +213,11 @@ def make_shots_train_step(
     an unbiased estimate because accepted samples are exact Gibbs draws.
     Stochastic-gradient noise ~ 1/sqrt(delta * shots), so scale ``shots``
     with ``2**n / Z``.
+
+    With ``mesh`` (a 1-D mesh of any size dividing ``shots``), the shot
+    draw and moment accumulation shard over the devices with one (d,)
+    psum per step (parallel.sharded.sharded_shot_moments) — mesh-parallel
+    quantum-in-the-loop training.
     """
     import numpy as np
 
@@ -230,6 +236,14 @@ def make_shots_train_step(
 
     def step(raw, opt_state, key):
         m = template.with_theta(_to_theta(raw, nonpositive))
+        if mesh is not None:
+            from qcmrf_tpu.parallel import sharded
+
+            model_marg, delta = sharded.sharded_shot_moments(
+                key, m, mesh, shots
+            )
+            raw, opt_state = apply(raw, opt_state, model_marg)
+            return raw, opt_state, delta
         x, acc = analytic.sample_postselected(key, m, shots)
         x, acc = np.asarray(x), np.asarray(acc)
         model_marg = jnp.asarray(

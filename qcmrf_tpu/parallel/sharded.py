@@ -313,6 +313,68 @@ def sharded_estimate_delta(
     return fn(seed, mrf.theta, mrf.beta)
 
 
+@functools.lru_cache(maxsize=128)
+def _build_shot_moments_fn(cliques: tuple, n: int, mesh: Mesh,
+                           per_dev: int):
+    from qcmrf_tpu.sim import analytic
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    template = MRF.create([list(C) for C in cliques])
+    use_kernel = jax.default_backend() == "tpu" and per_dev % 128 == 0
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    def moments(seed, theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        d = jax.lax.axis_index(axis)
+        if use_kernel:
+            from qcmrf_tpu.ops import sampler_kernel
+
+            x, acc = sampler_kernel.sample_postselected(
+                seed[0] + d * jnp.int32(1_000_003), mrf, per_dev
+            )
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed[0]), d)
+            x, acc = analytic.sample_postselected(key, mrf, per_dev)
+        accf = acc.astype(jnp.float32)
+        # accepted-weighted scatter of the active clique states: the
+        # empirical E_model[phi] partial of this device's shots
+        idx = mrf.suff_stat_flat_indices(x)  # (per_dev, K)
+        marg = jnp.zeros((template.dimension,), jnp.float32)
+        marg = marg.at[idx].add(accf[:, None])
+        marg = jax.lax.psum(marg, axis)
+        cnt = jax.lax.psum(jnp.sum(accf), axis)
+        return marg / jnp.maximum(cnt, 1.0), (cnt / (per_dev * D))[None]
+
+    return moments
+
+
+def sharded_shot_moments(
+    key: jax.Array, mrf: MRF, mesh: Mesh, shots: int
+) -> Tuple[jax.Array, float]:
+    """Clique-marginal estimate ``E_model[phi]`` from post-selected
+    circuit shots sharded over the mesh (pure shot parallelism — any mesh
+    size dividing ``shots``). Each device draws its slice with the fused
+    sampler (hardware-PRNG kernel on TPU when per-device shots % 128 ==
+    0), scatter-adds its accepted sufficient statistics locally, and one
+    psum combines the (d,)-sized partials — shots never leave their
+    device. Returns ``(marginals, delta_hat)``; powers mesh-parallel
+    quantum-in-the-loop training (models.train.make_shots_train_step)."""
+    D = mesh.devices.size
+    if shots % D:
+        raise ValueError(
+            f"shots ({shots}) must be divisible by the mesh size ({D})"
+        )
+    fn = _build_shot_moments_fn(mrf.cliques, mrf.n, mesh, shots // D)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    marg, delta = fn(seed, mrf.theta, mrf.beta)
+    return marg, float(delta[0])
+
+
 def sharded_sample_postselected(
     key: jax.Array, mrf: MRF, mesh: Mesh, shots: int
 ) -> Tuple[jax.Array, jax.Array]:

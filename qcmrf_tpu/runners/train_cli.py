@@ -79,7 +79,8 @@ def main(argv: Optional[List[str]] = None) -> str:
                         help="shots per step for --grad shots")
     parser.add_argument("--mesh", type=str, default=None,
                         help="AxB: run the sharded train step on an "
-                             "(amp=A, data=B) device mesh")
+                             "(amp=A, data=B) device mesh; with --grad "
+                             "shots, shots shard over all A*B devices")
     parser.add_argument("--platform", type=str, default="default",
                         choices=["cpu", "tpu", "default"])
     args = parse_with_config(parser, argv)
@@ -201,8 +202,23 @@ def main(argv: Optional[List[str]] = None) -> str:
         opt_state = restored["opt_state"]
         print(f"resumed from step {start}")
 
+    mesh = None
     if args.mesh:
         mesh = _make_mesh(args.mesh)
+        # keep inputs UNCOMMITTED (host round-trip): pre-committing them
+        # to the mesh (device_put with NamedSharding) intermittently
+        # deadlocks XLA-CPU's subgroup all-reduce rendezvous (SIGABRT
+        # after its 40 s termination timeout, ~50% repro on the 8-device
+        # host platform), while uncommitted inputs — data/raw produced by
+        # samplers or checkpoint restore land committed to device 0
+        # otherwise — dispatch cleanly and the step shards them itself.
+        raw = jnp.asarray(np.asarray(raw))
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)), opt_state
+        )
+        data = jnp.asarray(np.asarray(data))
+
+    if args.mesh and args.grad != "shots":
         if template.num_states % mesh.shape["amp"]:
             raise SystemExit("amp axis must divide the state-table size")
         if data.shape[0] % mesh.shape["data"]:
@@ -220,21 +236,6 @@ def main(argv: Optional[List[str]] = None) -> str:
             dump_effective_config(
                 args, os.path.join(args.outdir, "train_config.json")
             )
-        # keep inputs UNCOMMITTED (host round-trip): pre-committing them
-        # to the mesh (device_put with NamedSharding) intermittently
-        # deadlocks XLA-CPU's subgroup all-reduce rendezvous (SIGABRT
-        # after its 40 s termination timeout, ~50% repro on the 8-device
-        # host platform), while uncommitted inputs — data/raw produced by
-        # samplers or checkpoint restore land committed to device 0
-        # otherwise — dispatch cleanly and the step shards them itself.
-        raw = jnp.asarray(np.asarray(raw))
-        opt_state = jax.tree.map(
-            lambda x: jnp.asarray(np.asarray(x)), opt_state
-        )
-        data = jnp.asarray(np.asarray(data))
-        if args.grad == "shots":
-            raise SystemExit("--grad shots is single-device (no --mesh); "
-                             "shot sampling is already one fused kernel")
         step_fn = mtrain.make_sharded_train_step(template, opt, mesh)
     elif big:
         mu_hat = mtrain.empirical_moments_from_bits(template, data)
@@ -244,10 +245,24 @@ def main(argv: Optional[List[str]] = None) -> str:
         from qcmrf_tpu.evaluation.estimators import (
             clique_marginals_from_samples)
 
+        shot_mesh = None
+        if mesh is not None:
+            # shot parallelism wants every mesh device, whatever the AxB
+            # split: flatten to a 1-D mesh (pure data parallelism — one
+            # (d,)-sized psum per step; parallel.sharded_shot_moments)
+            from jax.sharding import Mesh
+
+            n_dev = mesh.devices.size
+            if args.grad_shots % n_dev:
+                raise SystemExit(
+                    f"--grad-shots ({args.grad_shots}) must be divisible "
+                    f"by the mesh size ({n_dev})"
+                )
+            shot_mesh = Mesh(mesh.devices.reshape(-1), ("amp",))
         data_marg = clique_marginals_from_samples(template,
                                                   np.asarray(data))
         shots_step = mtrain.make_shots_train_step(
-            template, opt, args.grad_shots, data_marg)
+            template, opt, args.grad_shots, data_marg, mesh=shot_mesh)
 
         def step_fn(raw, opt_state, _data, _key=[jax.random.PRNGKey(
                 args.data_seed + 1)]):

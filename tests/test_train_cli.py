@@ -95,7 +95,7 @@ def test_config_file_does_not_override_cli_defaults(tmp_path):
 
 def test_shots_gradient_mode(tmp_path):
     """--grad shots trains from circuit-sampled moments and improves the
-    NLL estimate; incompatible with --mesh."""
+    NLL estimate."""
     import pytest
 
     out = _run(tmp_path, "--steps", "60", "--checkpoint-every", "60",
@@ -105,9 +105,29 @@ def test_shots_gradient_mode(tmp_path):
     # a 5-chain at theta=-0.5 init starts around nll ~ n*ln2 = 3.47;
     # 60 shot-gradient steps must move it well below the init plateau
     assert fitted["final_nll"] < 3.2
+    # shots must split evenly over the mesh devices
     with pytest.raises(SystemExit):
         _run(tmp_path / "m", "--steps", "2", "--grad", "shots",
-             "--mesh", "2x1")
+             "--grad-shots", "4097", "--mesh", "2x1")
+
+
+def test_shots_gradient_sharded_mesh(tmp_path):
+    """--grad shots --mesh 4x2: the shot draw + moment accumulation shard
+    over all 8 devices (one (d,) psum per step) and converge to the same
+    fit as the single-device shot gradient within stochastic-gradient
+    tolerance (VERDICT round-3 item 6: the refusal is gone)."""
+    a = tmp_path / "single"
+    b = tmp_path / "mesh"
+    _run(a, "--steps", "60", "--checkpoint-every", "60",
+         "--grad", "shots", "--grad-shots", "8192")
+    _run(b, "--steps", "60", "--checkpoint-every", "60",
+         "--grad", "shots", "--grad-shots", "8192", "--mesh", "4x2")
+    fa = json.load(open(a / "fitted_model.json"))
+    fb = json.load(open(b / "fitted_model.json"))
+    # different PRNG streams -> different stochastic paths; both must
+    # leave the init plateau (~3.47) and land near the same optimum
+    assert fb["final_nll"] < 3.2
+    np.testing.assert_allclose(fb["theta"], fa["theta"], atol=0.35)
 
 
 def test_elimination_training_past_n30(tmp_path):
