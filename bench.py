@@ -156,6 +156,25 @@ def main():
         extra["gate_lane_copy_ratio"] = round(lane_gbps / copy_gbps, 3)
         extra["gate_row_copy_ratio"] = round(row_gbps / copy_gbps, 3)
 
+        # lane-pass MXU precision study (VERDICT round-3 item 5): rate at
+        # DEFAULT/HIGH/HIGHEST bf16 pass counts (1/3/6) + error vs
+        # HIGHEST; the engine runs LANE_PRECISION = HIGH, whose error is
+        # ~2^-16 norm-relative per pass (one composed lane pass per QCMRF
+        # circuit). Copy ratios alongside make the compute-floor
+        # arithmetic same-run-normalized.
+        try:
+            from qcmrf_tpu.runners.bench import lane_precision_study
+
+            study = lane_precision_study(bw_n)
+            extra.update(study)
+            for pname in ("default", "high", "highest"):
+                g = study.get(f"lane_{pname}_gbps")
+                if isinstance(g, float) and g == g:  # not NaN
+                    extra[f"lane_{pname}_copy_ratio"] = round(
+                        g / copy_gbps, 3)
+        except Exception as e:
+            extra["lane_study_error"] = f"{type(e).__name__}: {e}"
+
         # fused-ops plane engine: full 20-qubit QCMRF circuit (gate-level)
         from qcmrf_tpu.circuits.compiler import compile_qcmrf
         from qcmrf_tpu.models.mrf import MRF
@@ -211,6 +230,50 @@ def main():
                 extra[f"qcmrf{w}_gates"] = len(circ_w.gates)
             except Exception as e:  # isolate: w=26 must not kill the rest
                 extra[f"qcmrf{w}_error"] = f"{type(e).__name__}: {e}"
+
+        # per-op-class attribution of the n=28 gate-level time (VERDICT
+        # round-3 item 4): each fused-op CLASS of the same n=28 circuit
+        # timed as its own fetch-forced chain (chain-difference method, so
+        # dispatch and plane init cancel); the classes' sum vs the
+        # measured end-to-end time localizes any remaining gap (per-pass
+        # work vs inter-pass overhead).
+        try:
+            from qcmrf_tpu.runners.bench import _fetch_seconds
+
+            w28 = 28
+            chain14 = MRF.create(
+                [[i, i + 1] for i in range(13)],
+                theta=-np.abs(np.random.RandomState(0).randn(52)) * 0.3,
+            )
+            ops28 = stpu.fuse_ops(
+                compile_qcmrf(chain14, with_measurements=False))
+            by_class = {}
+            for op in ops28:
+                by_class.setdefault(op[0], []).append(op)
+            S_REP, L_REP = 2, 6
+            class_ms = {}
+            for kind, klops in sorted(by_class.items()):
+                def rep_chain(R, klops=klops):
+                    @jax.jit
+                    def f(s):
+                        rows28 = (1 << w28) // 128
+                        r = jnp.zeros((rows28, 128), jnp.float32).at[
+                            0, 0].set(1.0 + 0.0 * s)
+                        i_ = jnp.zeros((rows28, 128), jnp.float32)
+                        for _ in range(R):
+                            r, i_ = stpu._apply_ops(r, i_, klops, w28)
+                        return r[0, 0]
+                    return f
+
+                dt_cls = _fetch_seconds(rep_chain(L_REP)) - _fetch_seconds(
+                    rep_chain(S_REP))
+                class_ms[f"{kind}_x{len(klops)}"] = round(
+                    dt_cls / (L_REP - S_REP) * 1e3, 2)
+            extra["qcmrf28_class_ms"] = class_ms
+            extra["qcmrf28_class_sum_ms"] = round(
+                sum(class_ms.values()), 2)
+        except Exception as e:
+            extra["qcmrf28_breakdown_error"] = f"{type(e).__name__}: {e}"
 
         # SHARDED gate-level engine on a mesh(1): the same QCMRF circuits
         # through parallel.sharded's fused plan (VERDICT round-3 item 1

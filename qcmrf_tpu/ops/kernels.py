@@ -349,31 +349,50 @@ def _lane_gate_matrix(U: np.ndarray, q: int) -> np.ndarray:
     ).astype(U.dtype)
 
 
-def _matmul_pair_kernel(re_ref, im_ref, mr_ref, mi_ref, ore_ref, oim_ref):
-    re = re_ref[:]
-    im = im_ref[:]
-    mr = mr_ref[:]
-    mi = mi_ref[:]
-    # (rows,128) @ (128,128): out = state @ M^T, complex via plane algebra.
-    # HIGHEST: the MXU default is one-pass bf16, which costs ~1e-4 of
-    # statevector norm per 128x128 apply — fidelity checks see it.
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    ore_ref[:] = dot(re, mr.T) - dot(im, mi.T)
-    oim_ref[:] = dot(re, mi.T) + dot(im, mr.T)
+#: MXU precision of the lane-gate matmul. TPU f32 matmuls decompose into
+#: bf16 passes: DEFAULT = 1 pass (~2^-8 relative — fidelity checks see
+#: it), HIGH = 3 passes (operands split hi+lo; only the lo*lo cross term
+#: is dropped, ~2^-17 relative per apply since lane-gate rows have <= 2
+#: nonzeros... <= 128 for a fully composed lane wall, still ~2^-16), and
+#: HIGHEST = 6 passes (~f32-exact). A QCMRF circuit applies exactly ONE
+#: composed lane pass, so HIGH's ~1e-5 norm-relative error is invisible
+#: to every fidelity pin while halving the MXU work of the lane pass —
+#: measured on-chip as gate_lane_copy_ratio (VERDICT round-3 item 5).
+LANE_PRECISION = jax.lax.Precision.HIGH
 
 
-@jax.jit
-def _lane_matmul_call(re, im, mr, mi):
+@functools.lru_cache(maxsize=8)
+def _build_matmul_pair_kernel(precision):
+    def kernel(re_ref, im_ref, mr_ref, mi_ref, ore_ref, oim_ref):
+        re = re_ref[:]
+        im = im_ref[:]
+        mr = mr_ref[:]
+        mi = mi_ref[:]
+        # (rows,128) @ (128,128): out = state @ M^T, complex via plane
+        # algebra; precision trades bf16 MXU passes for accuracy (see
+        # LANE_PRECISION).
+        dot = functools.partial(
+            jnp.dot, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ore_ref[:] = dot(re, mr.T) - dot(im, mi.T)
+        oim_ref[:] = dot(re, mi.T) + dot(im, mr.T)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _lane_matmul_call(re, im, mr, mi,
+                      precision: jax.lax.Precision = None):
+    if precision is None:
+        precision = LANE_PRECISION
     rows = re.shape[0]
     # 1024: the HIGHEST-precision matmul's f32 passes need ~3x the bf16
     # scratch; 2048-row blocks overflow the 16 MB scoped VMEM
     block_rows = min(rows, 1024)
     grid = pl.cdiv(rows, block_rows)
     out = pl.pallas_call(
-        _matmul_pair_kernel,
+        _build_matmul_pair_kernel(precision),
         out_shape=(
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
@@ -906,6 +925,191 @@ def apply_hdh_sandwich(re, im, anc: int, nu_terms, nu_angles,
         # angles): can't be proven zero at trace time -> keep mu active
         has_mu = True
     return _hdh_call(mu_terms, nu_terms, int(anc), has_mu, ang, re, im)
+
+
+# --------------------------------------------------------------------------
+# Fused PAIR sandwich: TWO adjacent-ancilla H·D·H blocks in ONE pass.
+#
+# QCMRF emits one sandwich per clique on consecutive ancilla qubits, and
+# the mu/nu profiles of clique k never condition on clique k±1's ancilla,
+# so neighbouring sandwiches commute and compose as a position-dependent
+# (Rx ⊗ Rx) on the ancilla pair. One pass moves the 4 planes once instead
+# of twice: at n=28 the QCMRF chain drops 18 -> 12 passes. The block
+# layout is _row_pair_call's (chunk_g, 4, stride, LANE) with axis 1
+# spanning (bit a+1, bit a).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def _build_hdh_pair_kernel(mu_terms: tuple, nu1_terms: tuple,
+                           nu2_terms: tuple, chunk_g: int, sblk: int,
+                           stride_rows: int, has_mu: bool):
+    """Pair-sandwich kernel body: nu1 on the LOW ancilla (block axis-1
+    bit 0), nu2 on the HIGH ancilla (bit 1), one shared mu profile.
+    Angles arrive in SMEM as host-precomputed rotation pairs (see
+    _build_hdh_kernel's layout note): [cos/sin of mu_b, nu1_b, nu2_b;
+    (cos a-1, sin a) per mu, nu1, nu2 term; raw bases + angles tail]."""
+
+    n_mu, n1 = len(mu_terms), len(nu1_terms)
+    n2 = len(nu2_terms)
+    positions = sorted(
+        {p for conds in (mu_terms + nu1_terms + nu2_terms)
+         for p, _ in conds}
+    )
+    shape = (chunk_g, sblk, LANE)
+
+    def kernel(ang_ref, re_ref, im_ref, ore_ref, oim_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        li = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        # basis index of the (a_hi=0, a_lo=0) element (profiles never
+        # condition on either ancilla)
+        x = (((i * chunk_g + gi) * 4 * stride_rows)
+             + (j * sblk + si)) * LANE + li
+        bit = {p: ((x >> p) & 1).astype(jnp.float32) for p in positions}
+
+        def term_mask(conds):
+            mask = None
+            for pos, want in conds:
+                b = bit[pos] if want else (1.0 - bit[pos])
+                mask = b if mask is None else mask * b
+            return mask
+
+        raw = 6 + 2 * (n_mu + n1 + n2)
+
+        def rotor(terms, base_cs, pair_off):
+            c = jnp.full(shape, 1.0) * ang_ref[base_cs]
+            s = jnp.full(shape, 1.0) * ang_ref[base_cs + 1]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = term_mask(conds)
+                ca1 = ang_ref[pair_off + 2 * t]
+                sa = ang_ref[pair_off + 2 * t + 1]
+                u = c * ca1 - s * sa
+                v = s * ca1 + c * sa
+                if mask is None:
+                    c = c + u
+                    s = s + v
+                else:
+                    c = c + mask * u
+                    s = s + mask * v
+            return c, s
+
+        def profile(terms, base_idx, off):
+            ang = jnp.zeros(shape, jnp.float32) + ang_ref[base_idx]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = term_mask(conds)
+                ang = ang + ang_ref[off + t] * (
+                    mask if mask is not None else 1.0
+                )
+            return ang
+
+        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off):
+            if len(terms) <= _MAX_ROTOR_TERMS:
+                return rotor(terms, base_cs, pair_off)
+            ang = profile(terms, raw_base, raw_off)
+            return jnp.cos(ang), jnp.sin(ang)
+
+        c1, s1 = cos_sin(nu1_terms, 2, 6 + 2 * n_mu,
+                         raw + 1, raw + 3 + n_mu)
+        c2, s2 = cos_sin(nu2_terms, 4, 6 + 2 * (n_mu + n1),
+                         raw + 2, raw + 3 + n_mu + n1)
+        # (e^{-i nu2 X_hi} ⊗ e^{-i nu1 X_lo}) on axis-1 index
+        # jj = bit_hi*2 + bit_lo; coefficient classes: real u = c1 c2 and
+        # -w = -s1 s2, imaginary -i p = -i c2 s1 and -i q = -i c1 s2
+        u = c1 * c2
+        w = s1 * s2
+        p = c2 * s1
+        q = c1 * s2
+        vr = [re_ref[:, k] for k in range(4)]
+        vi = [im_ref[:, k] for k in range(4)]
+        if has_mu:
+            cm, sm = cos_sin(mu_terms, 0, 6, raw, raw + 3)
+        # out_k = +u (real) on the same index, -w (real) on the double
+        # flip, -i p on the lo flip, -i q on the hi flip; a real coef r
+        # maps (vr, vi) -> (r vr, r vi), a -i m coef -> (m vi, -m vr).
+        # Tuples are (u_idx, w_idx, p_idx, q_idx) per output row.
+        outs = ((0, 3, 1, 2), (1, 2, 0, 3), (2, 1, 3, 0), (3, 0, 2, 1))
+        for k in range(4):
+            ui, wi, pi, qi = outs[k]
+            orr = u * vr[ui] - w * vr[wi] + p * vi[pi] + q * vi[qi]
+            oii = u * vi[ui] - w * vi[wi] - p * vr[pi] - q * vr[qi]
+            if has_mu:
+                ore_ref[:, k] = cm * orr - sm * oii
+                oim_ref[:, k] = cm * oii + sm * orr
+            else:
+                ore_ref[:, k] = orr
+                oim_ref[:, k] = oii
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _hdh_pair_call(mu_terms: tuple, nu1_terms: tuple, nu2_terms: tuple,
+                   anc_lo: int, has_mu: bool, ang, re, im):
+    rows = re.shape[0]
+    stride_rows = 1 << (anc_lo - 7)
+    g = rows // (4 * stride_rows)
+    sblk = min(stride_rows, 256)
+    # four in/out sub-planes live per block plus the rotor temporaries:
+    # half _row_pair_call's budget (same headroom reasoning as _hdh_call)
+    chunk_g = max(1, min(g, 512 // (4 * sblk)))
+    re4 = re.reshape(g, 4, stride_rows, LANE)
+    im4 = im.reshape(g, 4, stride_rows, LANE)
+    kernel = _build_hdh_pair_kernel(mu_terms, nu1_terms, nu2_terms,
+                                    chunk_g, sblk, stride_rows, has_mu)
+    bspec = pl.BlockSpec((chunk_g, 4, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(re4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re4.shape, jnp.float32),
+        ),
+        grid=(g // chunk_g, stride_rows // sblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
+        out_specs=(bspec, bspec),
+        interpret=_interpret(),
+    )(ang, re4, im4)
+    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
+
+
+def apply_hdh_sandwich_pair(re, im, anc_lo: int,
+                            nu1_terms, nu1_angles, nu1_base,
+                            nu2_terms, nu2_angles, nu2_base,
+                            mu_terms=(), mu_angles=(), mu_base=0.0):
+    """Apply H(a)·D1·H(a) and H(a+1)·D2·H(a+1) in ONE pass, a = anc_lo.
+
+    ``nu1`` is the low ancilla's half-difference profile, ``nu2`` the
+    high one's; ``mu`` is the COMBINED common-phase profile of both
+    sandwiches. No term may condition on either ancilla; requires
+    ``anc_lo >= 7`` and ``anc_lo + 1`` as the partner (row qubits).
+    """
+    canon = lambda ts: tuple(
+        tuple((int(p), int(w)) for p, w in conds) for conds in ts
+    )
+    mu_terms = canon(mu_terms)
+    nu1_terms = canon(nu1_terms)
+    nu2_terms = canon(nu2_terms)
+    bases = jnp.asarray([mu_base, nu1_base, nu2_base], jnp.float32)
+    terms_a = jnp.asarray(
+        list(mu_angles) + list(nu1_angles) + list(nu2_angles), jnp.float32
+    ).reshape(-1)
+    pairs = jnp.stack(
+        [jnp.cos(terms_a) - 1.0, jnp.sin(terms_a)], axis=-1
+    ).reshape(-1) if terms_a.size else terms_a
+    base_cs = jnp.stack(
+        [jnp.cos(bases), jnp.sin(bases)], axis=-1
+    ).reshape(-1)  # [cos/sin mu_b, cos/sin nu1_b, cos/sin nu2_b]
+    ang = jnp.concatenate([base_cs, pairs, bases, terms_a])
+    if isinstance(mu_base, (int, float)):
+        has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    else:
+        has_mu = True  # traced base (sharded device-bit angles)
+    return _hdh_pair_call(mu_terms, nu1_terms, nu2_terms, int(anc_lo),
+                          has_mu, ang, re, im)
 
 
 # --------------------------------------------------------------------------

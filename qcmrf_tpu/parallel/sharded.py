@@ -708,6 +708,14 @@ def _apply_fused_local(re, im, ops, local_n: int, devbit):
                 re, im, a, nt, [ev(x) for x in na], ev(nb),
                 mt, [ev(x) for x in ma], ev(mb),
             )
+        elif kind == "sandwich2":
+            _, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb = op
+            re, im = K.apply_hdh_sandwich_pair(
+                re, im, a,
+                nt1, [ev(x) for x in na1], ev(nb1),
+                nt2, [ev(x) for x in na2], ev(nb2),
+                mt, [ev(x) for x in ma], ev(mb),
+            )
         else:  # rowq
             _, U, q = op
             re, im = K.apply_1q(re, im, U, q, local_n)

@@ -125,6 +125,73 @@ def gate_apply_gbps(n: int, timer: Callable = None) -> tuple:
     return lane, row
 
 
+def lane_precision_study(n: int) -> dict:
+    """Lane-pass rate at each MXU precision + error vs HIGHEST.
+
+    TPU f32 matmuls decompose into bf16 MXU passes: DEFAULT = 1,
+    HIGH = 3 (operands split hi+lo, lo*lo dropped), HIGHEST = 6. The
+    lane gate pass is 4 such (rows,128)@(128,128) matmuls, i.e.
+    FLOPs/pass = 4 * 2*2^n*128 vs bytes/pass = 4*2^n*4 — arithmetic
+    intensity 64 FLOP/B, so whether the pass is compute- or memory-bound
+    is purely the bf16 pass count vs the chip's MXU:HBM ratio. This
+    study measures the chained-pass GB/s at each precision (same
+    chain-difference method as ``gate_apply_gbps``) and the norm-relative
+    statevector error vs HIGHEST on a random normalized state, using the
+    fully composed 7-H lane wall (dense 128x128 — the worst case for
+    both rate and error). Emitted in the driver artifact as the
+    compute-floor evidence behind LANE_PRECISION = HIGH (VERDICT round-3
+    item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qcmrf_tpu.ops import kernels
+    from qcmrf_tpu.sim import dense
+
+    M = np.eye(128, dtype=np.complex64)
+    H = np.asarray(dense.GATES_1Q["h"], np.complex64)
+    for q in range(7):
+        M = kernels._lane_gate_matrix(H, q) @ M
+    mr = jnp.asarray(M.real.astype(np.float32))
+    mi = jnp.asarray(M.imag.astype(np.float32))
+    rows = (1 << n) // 128
+
+    out = {}
+    for pname in ("DEFAULT", "HIGH", "HIGHEST"):
+        prec = getattr(jax.lax.Precision, pname)
+
+        def chained(L, prec=prec):
+            @jax.jit
+            def f(s):
+                r = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(
+                    1.0 + 0.0 * s)
+                i_ = jnp.zeros((rows, 128), jnp.float32)
+                for _ in range(L):
+                    r, i_ = kernels._lane_matmul_call(r, i_, mr, mi, prec)
+                return r[0, 0]
+            return f
+
+        out[f"lane_{pname.lower()}_gbps"] = round(
+            _chain_difference_gbps(chained, n), 1)
+
+    # norm-relative error vs HIGHEST on a random normalized state (small
+    # planes: the error is per-element relative, independent of rows)
+    rng = np.random.RandomState(0)
+    er = rng.randn(64, 128).astype(np.float32)
+    ei = rng.randn(64, 128).astype(np.float32)
+    nrm = np.sqrt((er ** 2 + ei ** 2).sum())
+    er_j, ei_j = jnp.asarray(er / nrm), jnp.asarray(ei / nrm)
+    ref = kernels._lane_matmul_call(er_j, ei_j, mr, mi,
+                                    jax.lax.Precision.HIGHEST)
+    ref_r, ref_i = np.asarray(ref[0]), np.asarray(ref[1])
+    for pname in ("DEFAULT", "HIGH"):
+        pr, pi_ = kernels._lane_matmul_call(
+            er_j, ei_j, mr, mi, getattr(jax.lax.Precision, pname))
+        err = np.sqrt(((np.asarray(pr) - ref_r) ** 2
+                       + (np.asarray(pi_) - ref_i) ** 2).sum())
+        out[f"lane_{pname.lower()}_err"] = float(f"{err:.3e}")
+    return out
+
+
 def copy_kernel_gbps(n: int, timer: Callable = None) -> float:
     """Pure-copy Pallas kernel moving the SAME bytes per pass as a gate
     apply — both statevector planes in and out (2+2 f32 planes, like

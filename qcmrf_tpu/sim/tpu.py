@@ -228,6 +228,30 @@ def fuse_primitives(prim: list) -> list:
             i += 1
     ops = fused
 
+    # post-pass 1b: merge consecutive sandwiches on ADJACENT row ancillas
+    # into ONE pair pass (kernels.apply_hdh_sandwich_pair). QCMRF emits
+    # one sandwich per clique on consecutive ancilla qubits and no
+    # clique's profile mentions another clique's ancilla, so neighbours
+    # commute and compose as a position-dependent Rx ⊗ Rx — the 4 planes
+    # move once instead of twice (n=28 chain: 18 -> 12 passes).
+    paired = []
+    for op in ops:
+        prev = paired[-1] if paired else None
+        if (op[0] == "sandwich" and prev is not None
+                and prev[0] == "sandwich"
+                and abs(op[1] - prev[1]) == 1
+                and _sandwich_independent(prev, op)):
+            _, a1, nt1, na1, nb1, mt1, ma1, mb1 = prev
+            _, a2, nt2, na2, nb2, mt2, ma2, mb2 = op
+            if a1 > a2:  # order as (low, high); they commute
+                a1, nt1, na1, nb1, a2, nt2, na2, nb2 = (
+                    a2, nt2, na2, nb2, a1, nt1, na1, nb1)
+            paired[-1] = ("sandwich2", a1, nt1, na1, nb1, nt2, na2, nb2,
+                          mt1 + mt2, ma1 + ma2, mb1 + mb2)
+        else:
+            paired.append(op)
+    ops = paired
+
     # post-pass 2: merge 1q ops on ADJACENT row qubits into one 4x4 pass
     # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo)); the
     # row-pair kernel's 2-D grid keeps VMEM blocks bounded at any stride
@@ -244,6 +268,17 @@ def fuse_primitives(prim: list) -> list:
         else:
             merged.append(op)
     return merged
+
+
+def _sandwich_independent(s1, s2) -> bool:
+    """True when neither sandwich's profile conditions on the other's
+    ancilla (the commutation requirement for pair fusion)."""
+    for a, other in ((s1[1], s2), (s2[1], s1)):
+        for terms in (other[2], other[5]):  # nu terms, mu terms
+            for conds in terms:
+                if any(p == a for p, _ in conds):
+                    return False
+    return True
 
 
 def fuse_ops(circuit: Circuit) -> list:
@@ -272,6 +307,11 @@ def _apply_ops(re, im, ops, num_qubits: int):
             _, a, nt, na, nb, mt, ma, mb = op
             re, im = K.apply_hdh_sandwich(re, im, a, nt, na, nb,
                                           mt, ma, mb)
+        elif op[0] == "sandwich2":
+            _, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb = op
+            re, im = K.apply_hdh_sandwich_pair(
+                re, im, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb
+            )
         else:
             _, U, q = op
             re, im = K.apply_1q(re, im, U, q, num_qubits)

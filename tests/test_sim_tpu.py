@@ -69,26 +69,59 @@ def test_small_circuit_rejected():
         stpu.run_statevector(c)
 
 
+@pytest.mark.parametrize("precision", ["DEFAULT", "HIGH", "HIGHEST"])
+def test_lane_matmul_precision_plumbing(precision):
+    """The lane-gate matmul accepts an MXU precision (LANE_PRECISION =
+    HIGH by default: 3 bf16 passes, ~2^-16 relative per apply — half
+    HIGHEST's MXU work; VERDICT round-3 item 5). CPU f32 matmuls are
+    exact at every precision, so here each level must agree with the
+    brute-force embedding exactly; the on-chip error/rate trade is
+    measured by bench.py (lane_err_* / gate_lane_*_gbps)."""
+    import jax
+    from qcmrf_tpu.ops import kernels as K
+
+    rng = np.random.RandomState(11)
+    nq = 8
+    re = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+    im = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+    H = dense.GATES_1Q["h"]
+    M = K._lane_gate_matrix(np.asarray(H, np.complex64), 3)
+    r, i = K._lane_matmul_call(
+        re, im,
+        jnp.asarray(M.real.astype(np.float32)),
+        jnp.asarray(M.imag.astype(np.float32)),
+        getattr(jax.lax.Precision, precision),
+    )
+    want = (to_complex(re, im).reshape(2, 128)) @ M.T
+    np.testing.assert_allclose(
+        to_complex(r, i), want.reshape(-1), atol=1e-5
+    )
+
+
 # --------------------------------------------------------------------------
 # H·D·H sandwich fusion (one pass per clique block)
 # --------------------------------------------------------------------------
 
 
 def test_fuse_ops_emits_sandwiches():
-    """Row-qubit clique blocks collapse to ONE sandwich pass each; lane-
-    qubit ancillas (a < 7) keep the unfused 3-pass form."""
+    """Row-qubit clique blocks collapse to ONE sandwich pass each, and
+    ADJACENT-ancilla sandwiches pair into one sandwich2 pass; lane-qubit
+    ancillas (a < 7) keep the unfused 3-pass form."""
     mrf = rand_mrf([[i, i + 1] for i in range(6)], seed=1)  # width 15
     ops = stpu.fuse_ops(compile_qcmrf(mrf, with_measurements=False))
     kinds = [o[0] for o in ops]
-    assert kinds.count("sandwich") == mrf.num_cliques
+    # 6 cliques on consecutive ancillas 8..13 -> 3 pair passes
+    assert kinds.count("sandwich2") == 3
+    assert kinds.count("sandwich") == 0
     assert "diag" not in kinds  # every clique block fused
 
     # width 10: ancillas sit at qubits 6..9 — the a=6 block must stay
-    # unfused (lane qubit), the a=7..9 blocks fuse
+    # unfused (lane qubit), a=(7,8) pair, a=9 is a lone sandwich
     mrf10 = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4]], seed=2)
     ops10 = stpu.fuse_ops(compile_qcmrf(mrf10, with_measurements=False))
     kinds10 = [o[0] for o in ops10]
-    assert kinds10.count("sandwich") == 3
+    assert kinds10.count("sandwich2") == 1
+    assert kinds10.count("sandwich") == 1
     assert kinds10.count("diag") == 1
 
 
@@ -147,6 +180,58 @@ def test_sandwich_kernel_general_profiles():
     want = want * d
     want = apply_h(want)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sandwich_pair_kernel_matches_sequential():
+    """apply_hdh_sandwich_pair == two sequential apply_hdh_sandwich
+    passes (each already pinned against brute force above), including a
+    combined mu != 0 profile split arbitrarily between the two."""
+    from qcmrf_tpu.ops import kernels as K
+
+    rng = np.random.RandomState(8)
+    nq = 10
+    size = 1 << nq
+    a_lo = 7
+    re = jnp.asarray(rng.randn(size // 128, 128).astype(np.float32))
+    im = jnp.asarray(rng.randn(size // 128, 128).astype(np.float32))
+
+    nu1_terms, nu1_angles, nu1_base = (((0, 1),), ((2, 0), (4, 1))), \
+        (0.7, -0.3), 0.15
+    nu2_terms, nu2_angles, nu2_base = (((1, 1), (3, 1)),), (-0.9,), 0.0
+    mu1_terms, mu1_angles, mu1_base = (((5, 1),),), (0.4,), -0.2
+    mu2_terms, mu2_angles, mu2_base = (((0, 0),),), (-0.6,), 0.1
+
+    r1, i1 = K.apply_hdh_sandwich(
+        re, im, a_lo, nu1_terms, nu1_angles, nu1_base,
+        mu1_terms, mu1_angles, mu1_base,
+    )
+    r1, i1 = K.apply_hdh_sandwich(
+        r1, i1, a_lo + 1, nu2_terms, nu2_angles, nu2_base,
+        mu2_terms, mu2_angles, mu2_base,
+    )
+    want = to_complex(r1, i1)
+
+    r2, i2 = K.apply_hdh_sandwich_pair(
+        re, im, a_lo,
+        nu1_terms, nu1_angles, nu1_base,
+        nu2_terms, nu2_angles, nu2_base,
+        mu1_terms + mu2_terms, mu1_angles + mu2_angles,
+        mu1_base + mu2_base,
+    )
+    got = to_complex(r2, i2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # no-mu specialization (the QCMRF case)
+    r3, i3 = K.apply_hdh_sandwich(re, im, a_lo, nu1_terms, nu1_angles,
+                                  nu1_base)
+    r3, i3 = K.apply_hdh_sandwich(r3, i3, a_lo + 1, nu2_terms, nu2_angles,
+                                  nu2_base)
+    r4, i4 = K.apply_hdh_sandwich_pair(
+        re, im, a_lo, nu1_terms, nu1_angles, nu1_base,
+        nu2_terms, nu2_angles, nu2_base,
+    )
+    np.testing.assert_allclose(to_complex(r4, i4), to_complex(r3, i3),
+                               atol=1e-5)
 
 
 def test_sandwich_matches_unfused_statevector():
