@@ -88,15 +88,19 @@ def _apply_h(re, im, q: int, rows: int, hmats_ref=None):
     return mix(re), mix(im)
 
 
-def _masked_rotation(re, im, x, conds, angle):
-    """Phase e^{i*angle} where all (bit, want) conds hold; angle traced."""
+def _masked_rotation_tr(re, im, x, conds, ca1, sa, sgn=None):
+    """Phase rotation where all (bit, want) conds hold, from HOST-side
+    trig pairs: ``ca1 = cos(angle) - 1``, ``sa = sin(angle)`` (in-kernel
+    transcendentals are VPU-expensive and scalar cos/sin explodes Mosaic
+    compile time — same rotor trick as ops.kernels' diagonal kernels).
+    ``sgn`` (optional, ±1 per element) flips the rotation direction per
+    element: cos is even so only ``sa`` needs the factor."""
     mask = jnp.ones(x.shape, jnp.float32)
     for pos, want in conds:
         b = ((x >> pos) & 1).astype(jnp.float32)
         mask = mask * (b if want else (1.0 - b))
-    ang = angle * mask
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
+    c = 1.0 + ca1 * mask
+    s = sa * mask if sgn is None else sa * mask * sgn
     return re * c - im * s, re * s + im * c
 
 
@@ -122,9 +126,10 @@ def _build_circuit_kernel(cliques: tuple, n: int):
             gi += 1
         sandwich.append((anc, blocks))
 
-    def kernel(gamma_ref, hmats_ref, out_ref):
-        # gamma arrives unblocked in SMEM (full (B, d): tiny); this
-        # program's row is selected by grid position
+    def kernel(trig_ref, hmats_ref, hwall_ref, out_ref):
+        # trig arrives unblocked in SMEM: (B, 2d) host-precomputed
+        # (cos(2*gamma)-1, sin(2*gamma)) pairs; this program's row is
+        # selected by grid position
         b = pl.program_id(0)
         riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
@@ -132,22 +137,29 @@ def _build_circuit_kernel(cliques: tuple, n: int):
         re = jnp.where(x == 0, 1.0, 0.0).astype(jnp.float32)
         im = jnp.zeros((rows, LANE), jnp.float32)
 
-        for q in range(n):  # Hadamard wall (QCMRF.py:204-205)
+        # Hadamard wall (QCMRF.py:204-205): all lane-qubit H's composed
+        # into ONE symmetric 128x128 matmul host-side; row qubits mix as
+        # strided pairs. im is still exactly 0 here — skip its matmul.
+        if min(n, 7) > 0:
+            re = jnp.dot(re, hwall_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        for q in range(7, n):
             re, im = _apply_h(re, im, q, rows, hmats_ref)
 
         for anc, blocks in sandwich:
-            # H(anc) · cU_C · X(anc) · cU_C^-1 · X(anc) · H(anc)
+            # H(anc) · cU_C · X(anc) · cU_C^-1 · X(anc) · H(anc).
+            # cU_C applies e^{+2i*gamma} on the anc=1 branch and the
+            # X-conjugated inverse e^{-2i*gamma} on anc=0 — ONE fused
+            # rotation per (clique, y) with a per-element sign from the
+            # ancilla bit (cos is even, so only sin flips).
             re, im = _apply_h(re, im, anc, rows, hmats_ref)
-            for conds, gidx in blocks:  # cU_C: phase on anc=1 branch
-                ang = 2.0 * gamma_ref[b, gidx]
-                re, im = _masked_rotation(
-                    re, im, x, conds + ((anc, 1),), ang
-                )
-            # X·cU^-1·X == inverse phase on the anc=0 branch
+            sgn = 2.0 * ((x >> anc) & 1).astype(jnp.float32) - 1.0
             for conds, gidx in blocks:
-                ang = -2.0 * gamma_ref[b, gidx]
-                re, im = _masked_rotation(
-                    re, im, x, conds + ((anc, 0),), ang
+                re, im = _masked_rotation_tr(
+                    re, im, x, conds,
+                    trig_ref[b, 2 * gidx], trig_ref[b, 2 * gidx + 1],
+                    sgn,
                 )
             re, im = _apply_h(re, im, anc, rows, hmats_ref)
 
@@ -161,11 +173,29 @@ def _lane_h_stack() -> np.ndarray:
     return np.stack([_lane_matrix_h(q) for q in range(7)])
 
 
+@functools.lru_cache(maxsize=64)
+def _lane_wall_matrix(n: int) -> np.ndarray:
+    """All lane-qubit H's of the Hadamard wall composed into one matrix
+    (they commute — disjoint bits — and each factor is symmetric, so the
+    product is symmetric: no transpose needed in the kernel)."""
+    M = np.eye(LANE, dtype=np.float64)
+    for q in range(min(n, 7)):
+        M = _lane_matrix_h(q).astype(np.float64) @ M
+    return M.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _circuit_call(cliques: tuple, n: int, gammas):
     B = gammas.shape[0]
     kernel, rows, pad_width = _build_circuit_kernel(cliques, n)
     hmats = jnp.asarray(_lane_h_stack())
+    hwall = jnp.asarray(_lane_wall_matrix(n))
+    # host-side rotor pairs (cos(2g)-1, sin(2g)) interleaved per gamma:
+    # the kernel applies phases by composition instead of in-kernel
+    # transcendentals (VPU cost + Mosaic scalar-cos compile blowup)
+    two_g = 2.0 * gammas
+    trig = jnp.stack([jnp.cos(two_g) - 1.0, jnp.sin(two_g)],
+                     axis=-1).reshape(B, -1)
 
     def launch(g):
         return pl.pallas_call(
@@ -174,20 +204,22 @@ def _circuit_call(cliques: tuple, n: int, gammas):
                 (g.shape[0], rows, LANE), jnp.float32),
             grid=(g.shape[0],),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # gamma, unblocked
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # trig, unblocked
                 pl.BlockSpec((7, LANE, LANE), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, rows, LANE), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=_interpret(),
-        )(g, hmats)
+        )(g, hmats, hwall)
 
     # chunk the batch so no single launch exceeds _MAX_BATCH_GRID grid
     # steps of this large-body kernel (compile-time guard); chunks reuse
     # the same program when their shapes match
     chunks = [
-        launch(gammas[s: s + _MAX_BATCH_GRID])
+        launch(trig[s: s + _MAX_BATCH_GRID])
         for s in range(0, B, _MAX_BATCH_GRID)
     ]
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
