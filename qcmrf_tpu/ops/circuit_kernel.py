@@ -126,7 +126,7 @@ def _build_circuit_kernel(cliques: tuple, n: int):
             gi += 1
         sandwich.append((anc, blocks))
 
-    def kernel(trig_ref, hmats_ref, hwall_ref, out_ref):
+    def kernel(trig_ref, hmats_ref, out_ref):
         # trig arrives unblocked in SMEM: (B, 2d) host-precomputed
         # (cos(2*gamma)-1, sin(2*gamma)) pairs; this program's row is
         # selected by grid position
@@ -134,18 +134,14 @@ def _build_circuit_kernel(cliques: tuple, n: int):
         riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
         x = riota * LANE + ciota
-        re = jnp.where(x == 0, 1.0, 0.0).astype(jnp.float32)
-        im = jnp.zeros((rows, LANE), jnp.float32)
 
-        # Hadamard wall (QCMRF.py:204-205): all lane-qubit H's composed
-        # into ONE symmetric 128x128 matmul host-side; row qubits mix as
-        # strided pairs. im is still exactly 0 here — skip its matmul.
-        if min(n, 7) > 0:
-            re = jnp.dot(re, hwall_ref[...],
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        for q in range(7, n):
-            re, im = _apply_h(re, im, q, rows, hmats_ref)
+        # state after the Hadamard wall (QCMRF.py:204-205), closed form:
+        # H^{(n)}|0> = uniform 2^{-n/2} over the n variable bits with
+        # ancilla/workspace/padding bits 0 — no wall gates executed
+        nonvar = ((1 << pad_width) - 1) ^ ((1 << n) - 1)
+        re = jnp.where((x & nonvar) == 0,
+                       np.float32(2.0 ** (-0.5 * n)), np.float32(0.0))
+        im = jnp.zeros((rows, LANE), jnp.float32)
 
         for anc, blocks in sandwich:
             # H(anc) · cU_C · X(anc) · cU_C^-1 · X(anc) · H(anc).
@@ -173,23 +169,11 @@ def _lane_h_stack() -> np.ndarray:
     return np.stack([_lane_matrix_h(q) for q in range(7)])
 
 
-@functools.lru_cache(maxsize=64)
-def _lane_wall_matrix(n: int) -> np.ndarray:
-    """All lane-qubit H's of the Hadamard wall composed into one matrix
-    (they commute — disjoint bits — and each factor is symmetric, so the
-    product is symmetric: no transpose needed in the kernel)."""
-    M = np.eye(LANE, dtype=np.float64)
-    for q in range(min(n, 7)):
-        M = _lane_matrix_h(q).astype(np.float64) @ M
-    return M.astype(np.float32)
-
-
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _circuit_call(cliques: tuple, n: int, gammas):
     B = gammas.shape[0]
     kernel, rows, pad_width = _build_circuit_kernel(cliques, n)
     hmats = jnp.asarray(_lane_h_stack())
-    hwall = jnp.asarray(_lane_wall_matrix(n))
     # host-side rotor pairs (cos(2g)-1, sin(2g)) interleaved per gamma:
     # the kernel applies phases by composition instead of in-kernel
     # transcendentals (VPU cost + Mosaic scalar-cos compile blowup)
@@ -207,13 +191,11 @@ def _circuit_call(cliques: tuple, n: int, gammas):
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # trig, unblocked
                 pl.BlockSpec((7, LANE, LANE), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, rows, LANE), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=_interpret(),
-        )(g, hmats, hwall)
+        )(g, hmats)
 
     # chunk the batch so no single launch exceeds _MAX_BATCH_GRID grid
     # steps of this large-body kernel (compile-time guard); chunks reuse

@@ -606,6 +606,21 @@ def _plan_fused(circuit: Circuit, local_n: int, dlog: int):
     prim = stpu.circuit_primitives(circuit)
     layout = _Layout(n, local_n)
 
+    plan = []
+    # H-wall prefix -> closed-form uniform init (one write-only pass per
+    # shard; see sim.tpu.fold_uniform_prefix). Layout is identity here,
+    # so folded qubit q sits at position q: local when q < local_n,
+    # device bit q - local_n otherwise. Devices whose UNTOUCHED device
+    # bits are nonzero hold all-zero shards (the (1 - devbit) product).
+    folded, prim = stpu.fold_uniform_prefix(prim)
+    if folded:
+        s_local = tuple(q for q in folded if q < local_n)
+        comp_dev = tuple(j for j in range(dlog)
+                         if (local_n + j) not in folded)
+        plan.append(("ops", [
+            ("init_uniform", s_local, comp_dev, len(folded))
+        ]))
+
     uses = {q: [] for q in range(n)}
     for pi, p in enumerate(prim):
         if p[0] == "1q":
@@ -616,7 +631,6 @@ def _plan_fused(circuit: Circuit, local_n: int, dlog: int):
         k = bisect.bisect_right(lst, pi)
         return lst[k] if k < len(lst) else 1 << 30
 
-    plan = []
     seg = []
 
     def flush():
@@ -687,7 +701,18 @@ def _apply_fused_local(re, im, ops, local_n: int, devbit):
 
     for op in ops:
         kind = op[0]
-        if kind == "diag":
+        if kind == "init_uniform":
+            from qcmrf_tpu.sim import tpu as stpu
+
+            _, s_local, comp_dev, total = op
+            # per-device amplitude: uniform 2^{-total/2} with every
+            # untouched DEVICE bit forced to 0 (all-zero shard elsewhere);
+            # uniform_planes contributes 2^{-|s_local|/2} via its mask
+            dv = jnp.float32(2.0 ** (-0.5 * (total - len(s_local))))
+            for j in comp_dev:
+                dv = dv * (1.0 - devbit(j).astype(jnp.float32))
+            re, im = stpu.uniform_planes(local_n, s_local, carrier=dv)
+        elif kind == "diag":
             _, terms, angles, base = op
             re, im = K.apply_diagonal_profile(
                 re, im, terms, [ev(a) for a in angles], ev(base)

@@ -281,16 +281,85 @@ def _sandwich_independent(s1, s2) -> bool:
     return True
 
 
+def fold_uniform_prefix(prim: list):
+    """Detect the H-wall prefix and fold it into a closed-form init.
+
+    Every leading ``('1q', H, q)`` on a distinct qubit acts on |0...0>, so
+    the state after the prefix is the uniform real superposition over the
+    folded qubits tensored with |0> elsewhere — a masked CONSTANT that one
+    write-only pass produces, instead of one HBM read+write pass per
+    fused wall op (lane matmul + row passes). A qubit is folded only if
+    it has NO LATER 1q primitive: ancilla H's must stay in the stream so
+    the H·D·H sandwich fusion still sees its triples.
+
+    Returns ``(folded_qubits, rest)``; ``folded_qubits`` is () when
+    nothing folds (no leading H's, e.g. lowered basis-gate streams).
+    """
+    H = np.asarray(GATES_1Q["h"], np.complex64)
+    last_1q = {}
+    for k, p in enumerate(prim):
+        if p[0] == "1q":
+            last_1q[p[2]] = k
+    folded = []
+    k = 0
+    while k < len(prim):
+        p = prim[k]
+        if p[0] != "1q":
+            break
+        _, U, q = p
+        if (q in folded or last_1q[q] != k
+                or not np.allclose(U, H, atol=1e-9)):
+            break
+        folded.append(q)
+        k += 1
+    if len(folded) < 2:  # a lone H saves nothing over its own pass
+        return (), prim
+    return tuple(sorted(folded)), prim[k:]
+
+
 def fuse_ops(circuit: Circuit) -> list:
     """Fused op stream of a circuit: :func:`circuit_primitives` (X-deferred
     lowering) composed with :func:`fuse_primitives` (peephole fusion into
-    diag/lane/rowq/row2/sandwich passes)."""
-    return fuse_primitives(circuit_primitives(circuit))
+    diag/lane/rowq/row2/sandwich passes). The H-wall prefix folds into a
+    closed-form ``('init_uniform', qubits)`` first op (write-only; see
+    :func:`fold_uniform_prefix`)."""
+    prim = circuit_primitives(circuit)
+    folded, rest = fold_uniform_prefix(prim)
+    if folded:
+        return [("init_uniform", folded)] + fuse_primitives(rest)
+    return fuse_primitives(prim)
+
+
+def uniform_planes(num_qubits: int, folded,
+                   carrier=None) -> Tuple[jax.Array, jax.Array]:
+    """Planes of the state H^{folded}|0...0>: amplitude 2^{-|S|/2} where
+    every bit OUTSIDE ``folded`` is 0, else 0. Built with row/lane iotas
+    (no 2**n int32 overflow up to the streaming-lnZ widths). ``carrier``
+    (optional traced scalar that must equal 1.0 at runtime) keeps the
+    output data-dependent on the caller's input planes — benchmark
+    chains vary a dummy argument to defeat jit constant folding, and an
+    init that ignored its input would sever that dependence."""
+    rows = (1 << num_qubits) // 128
+    comp = ((1 << num_qubits) - 1) ^ sum(1 << q for q in folded)
+    comp_row, comp_lane = comp >> 7, comp & 127
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    ok = jnp.logical_and((ri & comp_row) == 0, (ci & comp_lane) == 0)
+    amp = np.float32(2.0 ** (-0.5 * len(folded)))
+    if carrier is not None:
+        amp = amp * carrier
+    re = jnp.where(ok, amp, np.float32(0.0))
+    return re, jnp.zeros_like(re)
 
 
 def _apply_ops(re, im, ops, num_qubits: int):
     for op in ops:
-        if op[0] == "diag":
+        if op[0] == "init_uniform":
+            # overwrites the planes (always the first op when present);
+            # re[0, 0] == 1.0 for the |0> planes every caller supplies,
+            # and carrying it keeps benchmark dummy-arg dependences alive
+            re, im = uniform_planes(num_qubits, op[1], carrier=re[0, 0])
+        elif op[0] == "diag":
             _, terms, angles, base = op
             re, im = K.apply_diagonal_profile(re, im, terms, angles, base)
         elif op[0] == "lane":

@@ -104,22 +104,29 @@ def test_lane_matmul_precision_plumbing(precision):
 
 
 def test_fuse_ops_emits_sandwiches():
-    """Row-qubit clique blocks collapse to ONE sandwich pass each, and
-    ADJACENT-ancilla sandwiches pair into one sandwich2 pass; lane-qubit
-    ancillas (a < 7) keep the unfused 3-pass form."""
+    """The H wall folds into one closed-form init, row-qubit clique
+    blocks collapse to ONE sandwich pass each, and ADJACENT-ancilla
+    sandwiches pair into one sandwich2 pass; lane-qubit ancillas (a < 7)
+    keep the unfused 3-pass form."""
     mrf = rand_mrf([[i, i + 1] for i in range(6)], seed=1)  # width 15
     ops = stpu.fuse_ops(compile_qcmrf(mrf, with_measurements=False))
     kinds = [o[0] for o in ops]
+    # variable H wall (qubits 0..6) -> closed-form uniform init, no
+    # gate pass at all
+    assert kinds[0] == "init_uniform" and ops[0][1] == tuple(range(7))
+    assert not {"lane", "rowq", "row2"} & set(kinds)
     # 6 cliques on consecutive ancillas 8..13 -> 3 pair passes
     assert kinds.count("sandwich2") == 3
     assert kinds.count("sandwich") == 0
     assert "diag" not in kinds  # every clique block fused
+    assert len(ops) == 4  # init + 3 pairs: the whole circuit
 
     # width 10: ancillas sit at qubits 6..9 — the a=6 block must stay
     # unfused (lane qubit), a=(7,8) pair, a=9 is a lone sandwich
     mrf10 = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4]], seed=2)
     ops10 = stpu.fuse_ops(compile_qcmrf(mrf10, with_measurements=False))
     kinds10 = [o[0] for o in ops10]
+    assert kinds10[0] == "init_uniform"
     assert kinds10.count("sandwich2") == 1
     assert kinds10.count("sandwich") == 1
     assert kinds10.count("diag") == 1
