@@ -233,6 +233,22 @@ def test_sharded_outcome_probs_measured_subset(mesh4):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_sharded_outcome_probs_register_smaller_than_mesh(mesh4):
+    """A classical register SMALLER than the device count (2 keys on a
+    4-device mesh) takes the replicated-scatter branch — the ring
+    reduce-scatter needs at least one key chunk per device."""
+    n = 5
+    c = Circuit(n, num_clbits=1)
+    for q in range(n):
+        c.h(q)
+    c.cx(4, 2).rz(0.7, 3)
+    c.measure(3, 0)
+    got = np.asarray(sharded.sharded_outcome_probs(c, mesh4))
+    want = np.asarray(dense.outcome_probs(c, dense.run_statevector(c)))
+    assert got.shape == (2,)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_sharded_outcome_probs_identity_subset_marginalizes(mesh4):
     """Identity-wired measured SUBSET with a superposed unmeasured qubit:
     the |psi|^2 fast path would be silently wrong (it was, pre-review) —
