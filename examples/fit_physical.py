@@ -43,9 +43,11 @@ def fit_one(backend: str, scale: float, root: str = "/root/reference"):
         reference_results_path(scale, backend, root)
     )
     t0 = time.time()
-    model = ph.fit_physical(backend, suite, dists, norm, refine=2,
-                            verbose=True)
-    model = ph.polish_physical(suite, dists, norm, model, verbose=True)
+    # predictive per-backend-rate fit: one p2q per backend; per-graph
+    # mean-statistic freedom = the two readout-drift residuals (jitter
+    # sigma is per-graph but second-moment-only — see the fit docstring)
+    model = ph.fit_physical_predictive(backend, suite, dists, norm,
+                                       verbose=True)
     path = ph.save_physical(model)
     print(f"{backend}@{scale}: fitted in {time.time() - t0:.0f} s -> {path}")
 

@@ -20,30 +20,38 @@ backends (/root/reference/run_experiment.py:65-68, resilience_level=1):
    than the truly applied one is what pushes small-graph delta-hat ABOVE
    its noiseless value in the stored tables (SURVEY.md §6).
 
-Per-backend parameters (physical rates):
+Per-backend parameters (physical rates; the PREDICTIVE parameterization
+of ``fit_physical_predictive`` — the stored calibrations):
   * ``readout_sym`` — true=assumed symmetric readout rate (cancels in
     expectation; contributes the finite-shot negative-quasi-probability
     signature of the stored files).
-  * per-graph depolarizing budget ``lam`` — total expected error count
-    over the circuit; the per-cx rate is ``lam/ncx``. Per-graph (not one
-    global rate) because real devices route each circuit onto different
-    qubit subsets with different CX fidelities, and because the
-    reference's unknown qiskit-transpiled gate counts differ from this
-    package's lowering by a per-circuit factor the budget absorbs.
-  * per-graph readout-calibration drift: ``var_drift`` (true extra e01
-    on variable bits the mitigation doesn't know about — residual bias
-    on the post-selected conditional) and ``anc_drift`` (signed
-    assumed-minus-true e01 gap on ancilla bits — acceptance scaling in
-    either direction).
+  * ``p2q`` — ONE per-cx depolarizing rate per backend; every graph's
+    budget is DERIVED as ``lam_g = clip(p2q * ncx_g)``, so the falloff
+    with circuit size is a prediction of the gate channel, not a
+    per-graph description.
+  * per-graph MEAN-statistic residuals (2 knobs): readout-calibration
+    drift ``var_drift`` (true extra e01 on variable bits the mitigation
+    doesn't know about — residual bias on the post-selected conditional)
+    and ``anc_drift`` (signed assumed-minus-true e01 gap on ancilla bits
+    — acceptance scaling in either direction). Real devices route each
+    circuit onto different qubit subsets with different calibration
+    errors, which justifies *some* per-graph freedom; tests assert these
+    residuals stay small (median |anc_drift| <= 0.1), so the model
+    predicts rather than describes.
+  * per-graph temporal-jitter sigma (``jitter``): mean-one lognormal
+    noise-strength fluctuation from one execution to the next. Mean-one
+    means sigma shapes ONLY the ±std column — it cannot absorb
+    mean-statistic (F/δ/KL) misfit, so the predictive claim above is
+    carried entirely by p2q + the two drift residuals. Honesty note:
+    sigma is bisected directly on each graph's measured rep-to-rep
+    fidelity std, so the ±std pin certifies this calibration loop along
+    with the physics (temporal drift is the real mechanism; its
+    magnitude is fitted).
 
-Fitting (``fit_physical``) pushes as much of the observed degradation as
-possible through the GATE channel: the budget is raised until it either
-explains the measured acceptance rate or hits the measured fidelity
-(whichever binds first); readout drift only mops up the residuals. A
-per-graph temporal-jitter sigma (``jitter``) supplies the rep-to-rep
-noise-strength fluctuation behind the stored ±std columns. KL is NOT
-fitted anywhere — it emerges from the channel structure alone and is
-pinned by tests/test_physical_noise.py.
+KL is NOT fitted anywhere — it emerges from the channel structure alone
+and is pinned by tests/test_physical_noise.py. The legacy unconstrained
+fit (``fit_physical``: per-graph lam + per-graph sigma) is kept for
+comparison studies.
 """
 
 from __future__ import annotations
@@ -84,6 +92,10 @@ class PhysicalNoiseModel:
     # stored tables' rep-to-rep +-std comes from (shot noise alone is far
     # too small to explain it)
     jitter: Tuple[float, ...] = ()
+    # provenance of the PREDICTIVE fit (fit_physical_predictive): the ONE
+    # per-backend per-cx depolarizing rate from which every graph's budget
+    # derives as lam_g = clip(p2q * ncx_g); None for legacy per-graph fits
+    p2q: Optional[float] = None
 
     def __post_init__(self):
         if not self.jitter:
@@ -94,6 +106,7 @@ class PhysicalNoiseModel:
 
     @classmethod
     def from_json(cls, d: dict) -> "PhysicalNoiseModel":
+        p2q = d.get("p2q")
         return cls(
             name=d["name"], scale=float(d["scale"]),
             readout_sym=float(d["readout_sym"]),
@@ -101,6 +114,7 @@ class PhysicalNoiseModel:
             var_drift=tuple(float(x) for x in d["var_drift"]),
             anc_drift=tuple(float(x) for x in d["anc_drift"]),
             jitter=tuple(float(x) for x in d.get("jitter", ())),
+            p2q=None if p2q is None else float(p2q),
         )
 
 
@@ -462,6 +476,131 @@ def fit_physical(
     return model
 
 
+def fit_physical_predictive(
+    name: str, suite, dists, norm: float = 1.0,
+    readout_sym: float = 0.01, shots: int = 10_000,
+    polish_rounds: int = 3, verbose: bool = False,
+) -> PhysicalNoiseModel:
+    """PER-BACKEND-RATE fit: the model predicts rather than describes.
+
+    The round-3 fit carried 4 free knobs per graph (28 statistics, ~29
+    parameters). This fit reduces the per-backend parameterization to
+
+      * ONE per-cx depolarizing rate ``p2q`` — every graph's budget is
+        DERIVED as ``lam_g = clip(p2q * ncx_g)`` (the falloff with
+        circuit size is then a prediction of the gate channel, anchored
+        at /root/reference/run_experiment.py:65-68's per-backend runs);
+      * per graph, the TWO readout-calibration-drift residuals
+        (``var_drift``, ``anc_drift``) that touch MEAN statistics —
+        physically justified per-register calibration error, reported so
+        their smallness can be asserted (tests pin median
+        |anc_drift| <= 0.1);
+      * per graph, a temporal-jitter sigma for the +-std column ONLY.
+        The multipliers are mean-one lognormal (``rep_multipliers``), so
+        sigma shapes the SECOND moment and cannot absorb mean-statistic
+        (F/delta/KL) misfit — the predictive claim lives in the mean
+        columns. Sigma stays per-graph because the stored tables' 10-rep
+        std estimates genuinely disperse beyond any single-sigma model
+        (sherbrooke@0.1: std 0.0071 on g3 vs 0.0459 on g5 — a global
+        sigma seeded from the aggregate is refined per graph). As the
+        round-3 verdict asked stated honestly: the +-std pin certifies
+        this calibration loop along with the physics.
+
+    Stages: (1) probe each graph's unconstrained acceptance/fidelity-
+    bound budget and take the median per-cx rate over graphs whose probe
+    is interior (not capped, ncx > 0); (2) derive budgets; (3) fit the
+    drift residuals on the expected pipeline; (4) bisect ONE seed sigma
+    on the aggregate MEASURED rep-to-rep fidelity std; (5) polish drift
+    residuals AND per-graph sigma against measured harness statistics
+    with lam FIXED (polish_physical(fit_jitter=True)).
+    """
+    from qcmrf_tpu.evaluation.harness import evaluate_suite
+
+    targets = evaluate_suite(suite, dists=dists, norm=norm)
+    goal_f = [min(t.mean_f, 1.0) for t in targets]
+    goal_d = [t.mean_delta for t in targets]
+    G = len(suite.graphs)
+    surrs = [
+        _GraphSurrogate([MRF.create(C, theta=t) for t in suite.thetas[j]])
+        for j, C in enumerate(suite.graphs)
+    ]
+    ncx = []
+    for j, C in enumerate(suite.graphs):
+        lc = lowered_for_noise(MRF.create(C, theta=suite.thetas[j][0]))
+        ncx.append(sum(1 for g in lc.gates if g.name == "cx"))
+
+    # --- stage 1: unconstrained budget probe -> robust per-cx rate ------
+    base = PhysicalNoiseModel(name, suite.scale, readout_sym,
+                              (0.0,) * G, (0.0,) * G, (0.0,) * G,
+                              (0.0,) * G)
+    rates = []
+    for j in range(G):
+        if ncx[j] == 0:
+            continue
+        lam_d = _bisect(lambda L: _expected_stats(surrs[j], base, j, L)[1]
+                        - goal_d[j], 0.0, ANCHORS[-1])
+        lam_f = _bisect(lambda L: _expected_stats(surrs[j], base, j, L)[0]
+                        - goal_f[j], 0.0, ANCHORS[-1])
+        lam_star = min(lam_d, lam_f)
+        if 1e-6 < lam_star < ANCHORS[-1] - 1e-6:  # interior probes only
+            rates.append(lam_star / ncx[j])
+        if verbose:
+            print(f"  probe g{j}: ncx={ncx[j]} lam*={lam_star:.3f}")
+    if not rates:
+        raise ValueError("no interior budget probe; cannot identify p2q")
+    p2q = float(np.median(rates))
+    lam = tuple(float(np.clip(p2q * c, 0.0, ANCHORS[-1])) for c in ncx)
+    if verbose:
+        print(f"  p2q={p2q:.5f}  lam={[round(v, 3) for v in lam]}")
+
+    # --- stage 3: drift residuals on the expected pipeline --------------
+    var_d, anc_d = [0.0] * G, [0.0] * G
+    sigma = [0.0] * G
+
+    def build():
+        return PhysicalNoiseModel(name, suite.scale, readout_sym, lam,
+                                  tuple(var_d), tuple(anc_d),
+                                  tuple(sigma), p2q=p2q)
+
+    for j in range(G):
+        def f_at(v, j=j):
+            var_d[j] = v
+            return _expected_stats(surrs[j], build(), j, lam[j])[0] \
+                - goal_f[j]
+        var_d[j] = _bisect(f_at, 0.0, 0.75)
+
+        def d_at(d, j=j):
+            anc_d[j] = d
+            return -(_expected_stats(surrs[j], build(), j, lam[j])[1]
+                     - goal_d[j])
+        anc_d[j] = _bisect(d_at, -0.6, 0.6)
+
+    # --- stage 4: ONE temporal-jitter sigma on aggregate measured std ---
+    tgt_std = float(np.mean([t.std_f for t in targets]))
+
+    def agg_std(sg):
+        sigma[:] = [sg] * G
+        m = build()
+        stds = [
+            _measured_graph_stats(suite, m, j, shots).std_f
+            for j in range(G)
+        ]
+        return float(np.mean(stds))
+
+    sigma_g = _bisect(lambda sg: -(agg_std(sg) - tgt_std), 0.0, 1.0,
+                      iters=6)
+    sigma[:] = [sigma_g] * G
+    if verbose:
+        print(f"  seed jitter sigma={sigma_g:.3f}")
+
+    # --- stage 5: measured-statistic polish: drift residuals + per-graph
+    # sigma (second-moment-only; see the docstring's honesty note) -------
+    model = polish_physical(suite, dists, norm, build(), targets=targets,
+                            shots=shots, rounds=polish_rounds,
+                            verbose=verbose, fit_jitter=True)
+    return model
+
+
 def _measured_graph_stats(suite, model: PhysicalNoiseModel, j: int,
                           shots: int = 10_000, seed: int = 0,
                           gate_probs=None):
@@ -489,7 +628,7 @@ def _measured_graph_stats(suite, model: PhysicalNoiseModel, j: int,
 def polish_physical(
     suite, dists, norm, model: PhysicalNoiseModel, targets=None,
     shots: int = 10_000, rounds: int = 3, f_tol: float = 0.008,
-    d_tol: float = 0.02, verbose: bool = False,
+    d_tol: float = 0.02, verbose: bool = False, fit_jitter: bool = True,
 ) -> PhysicalNoiseModel:
     """Per-graph knob refinement against MEASURED harness statistics.
 
@@ -513,7 +652,8 @@ def polish_physical(
     def build():
         return PhysicalNoiseModel(model.name, model.scale,
                                   model.readout_sym, tuple(lam),
-                                  tuple(var_d), tuple(anc_d), tuple(sig))
+                                  tuple(var_d), tuple(anc_d), tuple(sig),
+                                  p2q=model.p2q)
 
     probs_cache: dict = {}
 
@@ -550,11 +690,17 @@ def polish_physical(
                       f" stdF {got.std_f:.4f}/{tgt_sf:.4f}"
                       f" d {got.mean_delta:.3f}/{tgt_d:.3f}")
             ok_f = err_f <= f_tol
-            ok_sf = err_sf <= max(0.5 * tgt_sf, 0.004)
+            # with fit_jitter=False (a global-sigma constraint) std is
+            # not a per-graph knob: don't loop on it. The 0.3 band must
+            # sit well inside the stored-table pin's 0.6 relative
+            # tolerance — fit-seed vs held-out-seed wiggle on a 10-rep
+            # std estimate eats the difference (ehningen@0.1 g3 failed
+            # the held-out pin when this band was 0.5).
+            ok_sf = (not fit_jitter) or err_sf <= max(0.3 * tgt_sf, 0.004)
             ok_d = err_d <= d_tol
             if ok_f and ok_sf and ok_d:
                 break
-            if not ok_sf:
+            if fit_jitter and not ok_sf:
                 def sf_at(sg, j=j):
                     sig[j] = sg  # invalidates graph_probs' cache key
                     return measured(j).std_f - tgt_sf
