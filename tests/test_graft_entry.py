@@ -6,6 +6,7 @@ exactly how the driver invokes it."""
 import os
 import subprocess
 import sys
+import json
 
 import numpy as np
 import pytest
@@ -106,3 +107,25 @@ def test_dryrun_survives_hung_tunnel():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun ok" in r.stdout
+
+
+def test_bench_survives_hung_tunnel():
+    """bench.py is the driver's OTHER unbounded device touch: with the
+    tunnel down, its first ``block_until_ready`` would hang forever. The
+    bounded probe must instead emit the one-JSON-line contract with an
+    error field and exit 0. Simulated with a sleeping probe child."""
+    env = dict(os.environ)
+    env.update(
+        QCMRF_BENCH_PROBE_CODE="import time; time.sleep(600)",
+        QCMRF_BENCH_PROBE_TIMEOUT="2",
+        QCMRF_BENCH_PROBE_ATTEMPTS="1",
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env, cwd="/root/repo", capture_output=True, text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "qcmrf_sample_shots_per_sec"
+    assert "tpu_unreachable" in line["error"]
