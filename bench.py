@@ -247,9 +247,12 @@ def main():
         extra["qcmrf20_gates"] = len(circ.gates)
 
         # gate-level beyond 2^20 amplitudes (VERDICT round-2 item 2):
-        # full QCMRF chain circuits at 2^24, 2^26 and 2^28 amplitudes
-        # on-chip (widths n + K + 1 = 24/26/28; 2^28 planes = 2 GB)
-        for nn in (12, 13, 14):
+        # full QCMRF chain circuits at 2^24..2^30 amplitudes on-chip
+        # (widths n + K + 1 = 24/26/28/30). 2^30 planes are 4 GB each —
+        # only reachable because the plane kernels donate their inputs
+        # (input_output_aliases), holding the chain's live set at ~2
+        # planes instead of 4 (8 GB vs 16 GB = the whole HBM).
+        for nn in (12, 13, 14, 15):
             w = 2 * nn
             try:
                 chain = MRF.create(
