@@ -1125,6 +1125,201 @@ def apply_hdh_sandwich_pair(re, im, anc_lo: int,
 
 
 # --------------------------------------------------------------------------
+# Fused QUAD sandwich: FOUR adjacent-ancilla H·D·H blocks in ONE pass.
+#
+# Same commutation argument as the pair kernel (no clique's profile
+# mentions another clique's ancilla), applied twice more: four
+# consecutive-ancilla sandwiches compose as Rx ⊗ Rx ⊗ Rx ⊗ Rx with
+# position-dependent angles. Rather than expanding the 16x16 coefficient
+# products (256 terms), the kernel applies the four rotations
+# SEQUENTIALLY in-register over the 16-way ancilla axis — compute grows
+# linearly in the fused count while the planes move ONCE. At n=28 the
+# QCMRF chain drops 8 -> 5 passes (init + 3 quads + 1 single); the four
+# nu rotors also amortize over 16 sub-planes instead of the pair's 4.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
+                           chunk_g: int, sblk: int, stride_rows: int,
+                           has_mu: bool):
+    """Quad-sandwich kernel body: ``nu_terms4[k]`` is the profile of
+    ancilla ``anc_lo + k`` (block axis-1 bit k), one shared mu profile.
+    Angles arrive in SMEM as host-precomputed rotation pairs:
+    [cos/sin of mu_b, nu1_b..nu4_b (10 floats); (cos a-1, sin a) per mu
+    then per nu1..nu4 term; raw bases (5) + raw angles tail]."""
+
+    n_mu = len(mu_terms)
+    n_nu = [len(t) for t in nu_terms4]
+    positions = sorted(
+        {p for conds in (mu_terms + sum(nu_terms4, ()))
+         for p, _ in conds}
+    )
+    shape = (chunk_g, sblk, LANE)
+
+    def kernel(ang_ref, re_ref, im_ref, ore_ref, oim_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        li = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        # basis index of the all-ancillas-0 element (profiles never
+        # condition on any of the four ancillas)
+        x = (((i * chunk_g + gi) * 16 * stride_rows)
+             + (j * sblk + si)) * LANE + li
+        bit = {p: ((x >> p) & 1).astype(jnp.float32) for p in positions}
+
+        def term_mask(conds):
+            mask = None
+            for pos, want in conds:
+                b = bit[pos] if want else (1.0 - bit[pos])
+                mask = b if mask is None else mask * b
+            return mask
+
+        raw = 10 + 2 * (n_mu + sum(n_nu))
+
+        def rotor(terms, base_cs, pair_off):
+            c = jnp.full(shape, 1.0) * ang_ref[base_cs]
+            s = jnp.full(shape, 1.0) * ang_ref[base_cs + 1]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = term_mask(conds)
+                ca1 = ang_ref[pair_off + 2 * t]
+                sa = ang_ref[pair_off + 2 * t + 1]
+                u = c * ca1 - s * sa
+                v = s * ca1 + c * sa
+                if mask is None:
+                    c = c + u
+                    s = s + v
+                else:
+                    c = c + mask * u
+                    s = s + mask * v
+            return c, s
+
+        def profile(terms, base_idx, off):
+            ang = jnp.zeros(shape, jnp.float32) + ang_ref[base_idx]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = term_mask(conds)
+                ang = ang + ang_ref[off + t] * (
+                    mask if mask is not None else 1.0
+                )
+            return ang
+
+        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off):
+            if len(terms) <= _MAX_ROTOR_TERMS:
+                return rotor(terms, base_cs, pair_off)
+            ang = profile(terms, raw_base, raw_off)
+            return jnp.cos(ang), jnp.sin(ang)
+
+        cs = []
+        pair_off = 10 + 2 * n_mu
+        raw_off = raw + 5 + n_mu
+        for k in range(4):
+            cs.append(cos_sin(nu_terms4[k], 2 + 2 * k, pair_off,
+                              raw + 1 + k, raw_off))
+            pair_off += 2 * n_nu[k]
+            raw_off += n_nu[k]
+
+        vr = [re_ref[:, k] for k in range(16)]
+        vi = [im_ref[:, k] for k in range(16)]
+        # sequential e^{-i nu_k X} on each ancilla bit of the 16-axis
+        # (same per-pair algebra as the single sandwich; the four
+        # rotations act on disjoint bits and commute)
+        for b in range(4):
+            c, s = cs[b]
+            for jj in range(16):
+                if jj & (1 << b):
+                    continue
+                p0, p1 = jj, jj | (1 << b)
+                r0, i0 = vr[p0], vi[p0]
+                r1, i1 = vr[p1], vi[p1]
+                vr[p0] = c * r0 + s * i1
+                vi[p0] = c * i0 - s * r1
+                vr[p1] = s * i0 + c * r1
+                vi[p1] = c * i1 - s * r0
+        if has_mu:  # static specialization: QCMRF profiles have mu == 0
+            cm, sm = cos_sin(mu_terms, 0, 10, raw, raw + 5)
+            for k in range(16):
+                ore_ref[:, k] = cm * vr[k] - sm * vi[k]
+                oim_ref[:, k] = cm * vi[k] + sm * vr[k]
+        else:
+            for k in range(16):
+                ore_ref[:, k] = vr[k]
+                oim_ref[:, k] = vi[k]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _hdh_quad_call(mu_terms: tuple, nu_terms4: tuple, anc_lo: int,
+                   has_mu: bool, ang, re, im):
+    rows = re.shape[0]
+    stride_rows = 1 << (anc_lo - 7)
+    g = rows // (16 * stride_rows)
+    sblk = min(stride_rows, 128)
+    # 16 in/out sub-planes live per block plus the rotor temporaries and
+    # the in-register butterfly working set: half the pair kernel's
+    # per-sub-plane budget again (same headroom reasoning as _hdh_call)
+    chunk_g = max(1, min(g, 1024 // (16 * sblk)))
+    re16 = re.reshape(g, 16, stride_rows, LANE)
+    im16 = im.reshape(g, 16, stride_rows, LANE)
+    kernel = _build_hdh_quad_kernel(mu_terms, nu_terms4, chunk_g, sblk,
+                                    stride_rows, has_mu)
+    bspec = pl.BlockSpec((chunk_g, 16, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(re16.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re16.shape, jnp.float32),
+        ),
+        grid=(g // chunk_g, stride_rows // sblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
+        out_specs=(bspec, bspec),
+        input_output_aliases={1: 0, 2: 1},  # in-place planes
+        interpret=_interpret(),
+    )(ang, re16, im16)
+    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
+
+
+def apply_hdh_sandwich_quad(re, im, anc_lo: int, nu_terms4, nu_angles4,
+                            nu_bases4, mu_terms=(), mu_angles=(),
+                            mu_base=0.0):
+    """Apply four H(a+k)·Dk·H(a+k) blocks (k = 0..3, a = anc_lo) in ONE
+    pass.
+
+    ``nu_terms4[k]`` / ``nu_angles4[k]`` / ``nu_bases4[k]`` describe
+    ancilla ``anc_lo + k``'s half-difference profile; ``mu`` is the
+    COMBINED common-phase profile of all four sandwiches. No term may
+    condition on any of the four ancillas; requires ``anc_lo >= 7``
+    (row qubits throughout).
+    """
+    canon = lambda ts: tuple(
+        tuple((int(p), int(w)) for p, w in conds) for conds in ts
+    )
+    mu_terms = canon(mu_terms)
+    nu_terms4 = tuple(canon(ts) for ts in nu_terms4)
+    bases = jnp.asarray([mu_base] + list(nu_bases4), jnp.float32)
+    terms_a = jnp.asarray(
+        list(mu_angles) + [a for al in nu_angles4 for a in al],
+        jnp.float32,
+    ).reshape(-1)
+    pairs = jnp.stack(
+        [jnp.cos(terms_a) - 1.0, jnp.sin(terms_a)], axis=-1
+    ).reshape(-1) if terms_a.size else terms_a
+    base_cs = jnp.stack(
+        [jnp.cos(bases), jnp.sin(bases)], axis=-1
+    ).reshape(-1)  # [cos/sin mu_b, cos/sin nu1_b, ..., cos/sin nu4_b]
+    ang = jnp.concatenate([base_cs, pairs, bases, terms_a])
+    if isinstance(mu_base, (int, float)):
+        has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    else:
+        has_mu = True  # traced base (sharded device-bit angles)
+    return _hdh_quad_call(mu_terms, nu_terms4, int(anc_lo), has_mu,
+                          ang, re, im)
+
+
+# --------------------------------------------------------------------------
 # Fused QCMRF post-selected amplitude kernel: amp[x] = 2^{-n/2} e^{lp(x)/2}
 # --------------------------------------------------------------------------
 

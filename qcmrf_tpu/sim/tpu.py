@@ -252,6 +252,27 @@ def fuse_primitives(prim: list) -> list:
             paired.append(op)
     ops = paired
 
+    # post-pass 1c: merge consecutive sandwich2 passes on consecutive
+    # ancilla QUADS into ONE quad pass (kernels.apply_hdh_sandwich_quad).
+    # Same commutation argument as 1b applied twice more: at n=28 the
+    # QCMRF chain drops 8 -> 5 passes (init + 3 quads + 1 single).
+    quads = []
+    for op in ops:
+        prev = quads[-1] if quads else None
+        if (op[0] == "sandwich2" and prev is not None
+                and prev[0] == "sandwich2"
+                and abs(op[1] - prev[1]) == 2
+                and _sandwich2_independent(prev, op)):
+            lo, hi = (prev, op) if prev[1] < op[1] else (op, prev)
+            quads[-1] = ("sandwich4", lo[1],
+                         (lo[2], lo[5], hi[2], hi[5]),
+                         (lo[3], lo[6], hi[3], hi[6]),
+                         (lo[4], lo[7], hi[4], hi[7]),
+                         lo[8] + hi[8], lo[9] + hi[9], lo[10] + hi[10])
+        else:
+            quads.append(op)
+    ops = quads
+
     # post-pass 2: merge 1q ops on ADJACENT row qubits into one 4x4 pass
     # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo)); the
     # row-pair kernel's 2-D grid keeps VMEM blocks bounded at any stride
@@ -277,6 +298,20 @@ def _sandwich_independent(s1, s2) -> bool:
         for terms in (other[2], other[5]):  # nu terms, mu terms
             for conds in terms:
                 if any(p == a for p, _ in conds):
+                    return False
+    return True
+
+
+def _sandwich2_independent(s1, s2) -> bool:
+    """True when neither sandwich2's profiles condition on the other's
+    ancilla pair (the commutation requirement for quad fusion).
+    sandwich2 layout: (kind, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb)
+    with ancillas {a, a+1}."""
+    for this, other in ((s1, s2), (s2, s1)):
+        ancs = {this[1], this[1] + 1}
+        for terms in (other[2], other[5], other[8]):  # nu1, nu2, mu
+            for conds in terms:
+                if any(p in ancs for p, _ in conds):
                     return False
     return True
 
@@ -380,6 +415,11 @@ def _apply_ops(re, im, ops, num_qubits: int):
             _, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb = op
             re, im = K.apply_hdh_sandwich_pair(
                 re, im, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb
+            )
+        elif op[0] == "sandwich4":
+            _, a, nts, nas, nbs, mt, ma, mb = op
+            re, im = K.apply_hdh_sandwich_quad(
+                re, im, a, nts, nas, nbs, mt, ma, mb
             )
         else:
             _, U, q = op

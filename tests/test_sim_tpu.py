@@ -105,8 +105,9 @@ def test_lane_matmul_precision_plumbing(precision):
 
 def test_fuse_ops_emits_sandwiches():
     """The H wall folds into one closed-form init, row-qubit clique
-    blocks collapse to ONE sandwich pass each, and ADJACENT-ancilla
-    sandwiches pair into one sandwich2 pass; lane-qubit ancillas (a < 7)
+    blocks collapse to ONE sandwich pass each, ADJACENT-ancilla
+    sandwiches pair into one sandwich2 pass, and adjacent PAIRS merge
+    again into one sandwich4 quad pass; lane-qubit ancillas (a < 7)
     keep the unfused 3-pass form."""
     mrf = rand_mrf([[i, i + 1] for i in range(6)], seed=1)  # width 15
     ops = stpu.fuse_ops(compile_qcmrf(mrf, with_measurements=False))
@@ -115,11 +116,13 @@ def test_fuse_ops_emits_sandwiches():
     # gate pass at all
     assert kinds[0] == "init_uniform" and ops[0][1] == tuple(range(7))
     assert not {"lane", "rowq", "row2"} & set(kinds)
-    # 6 cliques on consecutive ancillas 8..13 -> 3 pair passes
-    assert kinds.count("sandwich2") == 3
+    # 6 cliques on consecutive ancillas 8..13 -> 3 pair passes, the
+    # first two of which merge into one quad pass
+    assert kinds.count("sandwich4") == 1
+    assert kinds.count("sandwich2") == 1
     assert kinds.count("sandwich") == 0
     assert "diag" not in kinds  # every clique block fused
-    assert len(ops) == 4  # init + 3 pairs: the whole circuit
+    assert len(ops) == 3  # init + quad + pair: the whole circuit
 
     # width 10: ancillas sit at qubits 6..9 — the a=6 block must stay
     # unfused (lane qubit), a=(7,8) pair, a=9 is a lone sandwich
@@ -236,6 +239,60 @@ def test_sandwich_pair_kernel_matches_sequential():
     r4, i4 = K.apply_hdh_sandwich_pair(
         re, im, a_lo, nu1_terms, nu1_angles, nu1_base,
         nu2_terms, nu2_angles, nu2_base,
+    )
+    np.testing.assert_allclose(to_complex(r4, i4), to_complex(r3, i3),
+                               atol=1e-5)
+
+
+def test_sandwich_quad_kernel_matches_sequential():
+    """apply_hdh_sandwich_quad == four sequential apply_hdh_sandwich
+    passes (each already pinned against brute force above), including a
+    combined mu != 0 profile."""
+    from qcmrf_tpu.ops import kernels as K
+
+    rng = np.random.RandomState(9)
+    nq = 12
+    size = 1 << nq
+    a_lo = 7  # quad spans row qubits 7..10
+    re = jnp.asarray(rng.randn(size // 128, 128).astype(np.float32))
+    im = jnp.asarray(rng.randn(size // 128, 128).astype(np.float32))
+
+    nu_terms4 = (
+        (((0, 1),), ((2, 0), (4, 1))),
+        (((1, 1), (3, 1)),),
+        (((5, 0),), ((6, 1),)),
+        (((11, 1), (0, 0)),),
+    )
+    nu_angles4 = ((0.7, -0.3), (-0.9,), (0.25, 1.1), (0.6,))
+    nu_bases4 = (0.15, 0.0, -0.4, 0.05)
+    mu_terms, mu_angles, mu_base = (((5, 1),), ((2, 1),)), (0.4, -0.7), -0.2
+
+    r1, i1 = re, im
+    for k in range(4):
+        r1, i1 = K.apply_hdh_sandwich(
+            r1, i1, a_lo + k, nu_terms4[k], nu_angles4[k], nu_bases4[k]
+        )
+    # the shared mu phase commutes with every Rx: apply it once via a
+    # zero-nu sandwich on an untouched ancilla
+    r1, i1 = K.apply_hdh_sandwich(
+        r1, i1, a_lo, (), (), 0.0, mu_terms, mu_angles, mu_base
+    )
+    want = to_complex(r1, i1)
+
+    r2, i2 = K.apply_hdh_sandwich_quad(
+        re, im, a_lo, nu_terms4, nu_angles4, nu_bases4,
+        mu_terms, mu_angles, mu_base,
+    )
+    np.testing.assert_allclose(to_complex(r2, i2), want, atol=1e-5)
+
+    # no-mu specialization (the QCMRF case)
+    r3, i3 = re, im
+    for k in range(4):
+        r3, i3 = K.apply_hdh_sandwich(
+            r3, i3, a_lo + k, nu_terms4[k], nu_angles4[k], nu_bases4[k]
+        )
+    r4, i4 = K.apply_hdh_sandwich_quad(
+        re, im, a_lo, nu_terms4, nu_angles4, nu_bases4
     )
     np.testing.assert_allclose(to_complex(r4, i4), to_complex(r3, i3),
                                atol=1e-5)
