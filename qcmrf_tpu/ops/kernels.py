@@ -362,7 +362,33 @@ LANE_PRECISION = jax.lax.Precision.HIGH
 
 
 @functools.lru_cache(maxsize=8)
-def _build_matmul_pair_kernel(precision):
+def _build_matmul_pair_kernel(precision, emulate: bool):
+    def dot(a, bT):
+        # Mosaic lowers DEFAULT and HIGHEST dots natively but rejects
+        # HIGH ("Unsupported dot precision: HIGH"), so on real TPU the
+        # intermediate tiers are EMULATED as their defining bf16 MXU
+        # pass compositions: DEFAULT = 1 pass on bf16-rounded operands,
+        # HIGH = 3 passes (operands split hi+lo, the lo*lo cross term
+        # dropped). Interpret mode (the CPU unit suite) keeps the native
+        # f32-exact dot so precision-plumbing tests stay bit-clean; the
+        # on-chip error of each tier is what bench.py's
+        # lane_precision_study measures.
+        if not emulate or precision == jax.lax.Precision.HIGHEST:
+            return jnp.dot(a, bT, preferred_element_type=jnp.float32,
+                           precision=precision)
+        mm = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = bT.astype(jnp.bfloat16)
+        if precision == jax.lax.Precision.DEFAULT:
+            return mm(a_hi, b_hi)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_lo = (bT - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return mm(a_hi, b_hi) + mm(a_hi, b_lo) + mm(a_lo, b_hi)
+
     def kernel(re_ref, im_ref, mr_ref, mi_ref, ore_ref, oim_ref):
         re = re_ref[:]
         im = im_ref[:]
@@ -371,10 +397,6 @@ def _build_matmul_pair_kernel(precision):
         # (rows,128) @ (128,128): out = state @ M^T, complex via plane
         # algebra; precision trades bf16 MXU passes for accuracy (see
         # LANE_PRECISION).
-        dot = functools.partial(
-            jnp.dot, preferred_element_type=jnp.float32,
-            precision=precision,
-        )
         ore_ref[:] = dot(re, mr.T) - dot(im, mi.T)
         oim_ref[:] = dot(re, mi.T) + dot(im, mr.T)
 
@@ -392,7 +414,7 @@ def _lane_matmul_call(re, im, mr, mi,
     block_rows = min(rows, 1024)
     grid = pl.cdiv(rows, block_rows)
     out = pl.pallas_call(
-        _build_matmul_pair_kernel(precision),
+        _build_matmul_pair_kernel(precision, not _interpret()),
         out_shape=(
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
