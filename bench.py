@@ -78,6 +78,98 @@ def numpy_baseline(theta_tab, offsets, shifts_a, shifts_b, n, shots, reps):
     return shots / best, keys
 
 
+def _gate_level_subprocess(nn: int, timeout: float = 900.0) -> dict:
+    """Measure the width-2*nn QCMRF gate-level circuit in a CHILD interpreter.
+
+    The w=30 chain's two donated 4 GB planes are ~8.6 GB of the 16 GB
+    HBM, so only ONE copy of the state may ever be live: a rebinding
+    timing loop (``o = run_w(i)``) dispatches call i+1 asynchronously
+    while ``o`` still pins call i's planes — two copies, 17 GB, OOM
+    (measured: a single call succeeds, any rebind loop fails). The loop
+    below therefore donates the planes THROUGH the step function
+    (``donate_argnums``), keeping the whole timing chain at one in-place
+    copy. A TPU OOM also poisons the failing client's allocator for
+    every later allocation (observed live: one w=30 OOM cascaded into
+    every subsequent metric), so main() runs this in a child process,
+    which doubles as a failure boundary.
+    """
+    w = 2 * nn
+    code = (
+        "import functools, json, time\n"
+        "import numpy as np\n"
+        "import jax, jax.numpy as jnp\n"
+        "from qcmrf_tpu.utils.config import enable_compilation_cache\n"
+        "enable_compilation_cache()\n"
+        "from qcmrf_tpu.models.mrf import MRF\n"
+        "from qcmrf_tpu.circuits.compiler import compile_qcmrf\n"
+        "from qcmrf_tpu.sim import tpu as stpu\n"
+        f"nn = {nn}; w = {w}\n"
+        "chain = MRF.create([[i, i + 1] for i in range(nn - 1)],\n"
+        "    theta=-np.abs(np.random.RandomState(0).randn(4 * (nn - 1)))\n"
+        "    * 0.3)\n"
+        "circ = compile_qcmrf(chain, with_measurements=False)\n"
+        "ops = stpu.fuse_ops(circ)\n"
+        "rows = (1 << w) // 128\n"
+        "@jax.jit\n"
+        "def init(s):\n"
+        "    re = jnp.zeros((rows, 128), jnp.float32).at[0, 0].set(\n"
+        "        1.0 + 0.0 * s)\n"
+        "    return re, jnp.zeros((rows, 128), jnp.float32)\n"
+        "@functools.partial(jax.jit, donate_argnums=(0, 1))\n"
+        "def step(re, im):\n"
+        "    # ops[0] is the closed-form uniform init (write-only), so\n"
+        "    # every step re-runs the FULL circuit on in-place planes\n"
+        "    return stpu._apply_ops(re, im, ops, w)\n"
+        "re, im = init(0)\n"
+        "re, im = step(re, im)\n"
+        "jax.block_until_ready(re)\n"
+        "best = float('inf')\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    for _ in range(5):\n"
+        "        re, im = step(re, im)\n"
+        "    jax.block_until_ready(re)\n"
+        "    best = min(best, (time.perf_counter() - t0) / 5)\n"
+        "print(json.dumps({\n"
+        f"    'qcmrf{w}_gate_level_ms': round(best * 1e3, 2),\n"
+        f"    'qcmrf{w}_fused_passes': len(ops),\n"
+        f"    'qcmrf{w}_gates': len(circ.gates)}}))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=dict(os.environ),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=timeout,
+        )
+        if r.returncode != 0:
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            return {f"qcmrf{w}_error": f"child rc={r.returncode}: "
+                                       f"{' '.join(tail)[:200]}"}
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        return {f"qcmrf{w}_error": f"child timeout {timeout}s"}
+    except Exception as e:
+        return {f"qcmrf{w}_error": f"{type(e).__name__}: {e}"}
+
+
+def _recover_hbm():
+    """Best-effort allocator recovery after a TPU OOM inside one section.
+
+    Drops executable/constant caches and collects garbage so a failed
+    section's pinned buffers cannot starve every later section (the
+    compilation cache is persistent on disk, so later recompiles are warm).
+    """
+    import gc
+
+    import jax
+
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()
+
+
 def main():
     if not _device_reachable():
         # Emit the one-JSON-line contract even through a tunnel outage so
@@ -88,6 +180,12 @@ def main():
             "error": "tpu_unreachable: backend-init probe timed out",
         }))
         return
+
+    # w=30 gate-level (4 GB planes, ~8.6 GB live even with donation):
+    # measured in a CHILD interpreter BEFORE the parent touches the TPU,
+    # so the chip is empty (any other client's live GBs starve it) and a
+    # w=30 OOM cannot poison the parent's allocator for later sections.
+    w30 = _gate_level_subprocess(15)
 
     import jax
     import jax.numpy as jnp
@@ -170,6 +268,15 @@ def main():
     expected = float(mrf.success_rate())
     assert abs(acc - expected) < max(0.2 * expected, 1e-4), (acc, expected)
 
+    # Free the sampler's GB-scale outputs and executables before the
+    # gate-level sections: the w=28/30 circuits below need 4-8 GB of HBM
+    # for their planes, and buffers pinned here once pushed the w=30
+    # attempt into RESOURCE_EXHAUSTED.
+    del out, fn, fc, ff
+    import gc
+
+    gc.collect()
+
     # --- secondary metrics (round-1 VERDICT item 5: the driver artifact
     # carries the full set, not just the headline) -----------------------
     extra = {}
@@ -199,6 +306,16 @@ def main():
         extra["copy_kernel_gbps"] = round(copy_gbps, 1)
         extra["gate_lane_copy_ratio"] = round(lane_gbps / copy_gbps, 3)
         extra["gate_row_copy_ratio"] = round(row_gbps / copy_gbps, 3)
+
+        # donated (in-place) copy: the gate kernels donate their planes,
+        # so THIS is their like-for-like roofline — the non-donated copy
+        # chain ping-pongs over two buffer pairs and measures slower
+        # than donated gate passes despite identical byte counts.
+        inplace_gbps = copy_kernel_gbps(bw_n, donate=True)
+        extra["copy_inplace_gbps"] = round(inplace_gbps, 1)
+        extra["gate_lane_inplace_ratio"] = round(lane_gbps / inplace_gbps,
+                                                 3)
+        extra["gate_row_inplace_ratio"] = round(row_gbps / inplace_gbps, 3)
 
         # lane-pass MXU precision study (VERDICT round-3 item 5): rate at
         # DEFAULT/HIGH/HIGHEST bf16 pass counts (1/3/6) + error vs
@@ -252,7 +369,7 @@ def main():
         # only reachable because the plane kernels donate their inputs
         # (input_output_aliases), holding the chain's live set at ~2
         # planes instead of 4 (8 GB vs 16 GB = the whole HBM).
-        for nn in (12, 13, 14, 15):
+        for nn in (12, 13, 14):
             w = 2 * nn
             try:
                 chain = MRF.create(
@@ -277,6 +394,10 @@ def main():
                 extra[f"qcmrf{w}_gates"] = len(circ_w.gates)
             except Exception as e:  # isolate: w=26 must not kill the rest
                 extra[f"qcmrf{w}_error"] = f"{type(e).__name__}: {e}"
+                _recover_hbm()
+
+        # w=30: measured by the pre-headline child (see top of main)
+        extra.update(w30)
 
         # per-op-class attribution of the n=28 gate-level time (VERDICT
         # round-3 item 4): each fused-op CLASS of the same n=28 circuit
@@ -319,8 +440,17 @@ def main():
             extra["qcmrf28_class_ms"] = class_ms
             extra["qcmrf28_class_sum_ms"] = round(
                 sum(class_ms.values()), 2)
+            if "qcmrf28_gate_level_ms" in extra:
+                # the class chains cancel dispatch + fetch; the end-to-end
+                # number keeps them — the residual is per-dispatch tunnel
+                # overhead (~10 ms amortized over the _t rep loop), not
+                # kernel time
+                extra["qcmrf28_unattributed_ms"] = round(
+                    extra["qcmrf28_gate_level_ms"]
+                    - sum(class_ms.values()), 2)
         except Exception as e:
             extra["qcmrf28_breakdown_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
 
         # SHARDED gate-level engine on a mesh(1): the same QCMRF circuits
         # through parallel.sharded's fused plan (VERDICT round-3 item 1
@@ -347,40 +477,47 @@ def main():
                     _t(run_s, reps=5) * 1e3, 2)
         except Exception as e:
             extra["sharded_gate_level_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
 
-        # fused whole-circuit kernel over the 70-circuit reference suite
-        # (one dispatch for all 7 graph launches; shared body)
-        extra["suite70_gate_level_ms"] = round(
-            _t(make_suite70_fused(0.1), reps=5) * 1e3, 2)
-        from qcmrf_tpu.models.suite import generate_suite
+        try:
+            # fused whole-circuit kernel over the 70-circuit reference
+            # suite (one dispatch for all 7 graph launches; shared body)
+            extra["suite70_gate_level_ms"] = round(
+                _t(make_suite70_fused(0.1), reps=5) * 1e3, 2)
+            from qcmrf_tpu.models.suite import generate_suite
 
-        suite = generate_suite(0.1)
+            suite = generate_suite(0.1)
 
-        # BASELINE "max KL vs exact Gibbs": one rep per suite graph,
-        # 10k post-selected shots from the analytic sampler
-        from qcmrf_tpu.evaluation import metrics as emetrics
-        from qcmrf_tpu.sim import analytic
+            # BASELINE "max KL vs exact Gibbs": one rep per suite graph,
+            # 10k post-selected shots from the analytic sampler
+            from qcmrf_tpu.evaluation import metrics as emetrics
+            from qcmrf_tpu.sim import analytic
 
-        def suite_max_kl(shots):
-            kls = []
-            for j, C in enumerate(suite.graphs):
-                m = MRF.create(C, theta=suite.thetas[j][0])
-                xs, accepted = analytic.sample_postselected(
-                    jax.random.fold_in(jax.random.PRNGKey(5), j), m, shots
-                )
-                xs, accepted = np.asarray(xs), np.asarray(accepted)
-                q = np.bincount(xs[accepted],
-                                minlength=m.num_states).astype(np.float64)
-                q /= max(q.sum(), 1.0)
-                kls.append(float(emetrics.kl(
-                    np.asarray(m.gibbs_probs(), np.float64), q)))
-            return round(max(kls), 6)
+            def suite_max_kl(shots):
+                kls = []
+                for j, C in enumerate(suite.graphs):
+                    m = MRF.create(C, theta=suite.thetas[j][0])
+                    xs, accepted = analytic.sample_postselected(
+                        jax.random.fold_in(jax.random.PRNGKey(5), j), m,
+                        shots
+                    )
+                    xs, accepted = np.asarray(xs), np.asarray(accepted)
+                    q = np.bincount(
+                        xs[accepted], minlength=m.num_states
+                    ).astype(np.float64)
+                    q /= max(q.sum(), 1.0)
+                    kls.append(float(emetrics.kl(
+                        np.asarray(m.gibbs_probs(), np.float64), q)))
+                return round(max(kls), 6)
 
-        # at the reference's 10k shots KL is shot-noise-floored ~2e-3;
-        # the BASELINE.json "KL <= 1e-3" target is met by simply taking
-        # more shots (the sampler does 9 G/s) — both are recorded
-        extra["kl_suite_max_10k_shots"] = suite_max_kl(10_240)
-        extra["kl_suite_max_1m_shots"] = suite_max_kl(1 << 20)
+            # at the reference's 10k shots KL is shot-noise-floored ~2e-3;
+            # the BASELINE.json "KL <= 1e-3" target is met by simply taking
+            # more shots (the sampler does 9 G/s) — both are recorded
+            extra["kl_suite_max_10k_shots"] = suite_max_kl(10_240)
+            extra["kl_suite_max_1m_shots"] = suite_max_kl(1 << 20)
+        except Exception as e:
+            extra["suite_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
 
         # n=28 fused repeated-estimation throughput (one dispatch for all
         # rounds; the per-round-dispatch loop measured ~8 M shots/s).
@@ -406,15 +543,21 @@ def main():
             extra["est_n28_shots_per_sec"] = round(est_shots / dt28)
         except Exception as e:
             extra["est_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
 
-        # exact lnZ latency beyond the reference's 10-qubit ceiling
-        for rows_, cols_ in ((4, 6), (4, 7)):
-            g = grid_mrf(rows_, cols_)
-            gm = g.with_theta(jnp.asarray(
-                -np.abs(np.random.RandomState(1).randn(g.dimension))
-                .astype(np.float32) * 0.1))
-            lnz = jax.jit(lambda s, m=gm: kernels.log_partition(m) + 0 * s)
-            extra[f"lnZ_n{g.n}_ms"] = round(_t(lnz, reps=5) * 1e3, 2)
+        try:
+            # exact lnZ latency beyond the reference's 10-qubit ceiling
+            for rows_, cols_ in ((4, 6), (4, 7)):
+                g = grid_mrf(rows_, cols_)
+                gm = g.with_theta(jnp.asarray(
+                    -np.abs(np.random.RandomState(1).randn(g.dimension))
+                    .astype(np.float32) * 0.1))
+                lnz = jax.jit(
+                    lambda s, m=gm: kernels.log_partition(m) + 0 * s)
+                extra[f"lnZ_n{g.n}_ms"] = round(_t(lnz, reps=5) * 1e3, 2)
+        except Exception as e:
+            extra["lnz_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
     except Exception as e:  # the headline must survive odd backends
         extra["extra_error"] = f"{type(e).__name__}: {e}"
 
@@ -429,6 +572,7 @@ def main():
             100.0 * (1.0 - flags_rate / no_output_rate), 1),
         "sampler_headline_vs_ceiling_pct": round(
             100.0 * (1.0 - tpu_rate / no_output_rate), 1),
+        "device_kind": jax.devices()[0].device_kind,
         **extra,
     }))
 
