@@ -174,6 +174,93 @@ _MAX_GRID = 8  # beyond this, remote-compile latency explodes (see above)
 #: SMEM values makes the remote Mosaic compile ~100x slower (measured).
 _MAX_ROTOR_TERMS = 12
 
+#: support-size cap for the multilinear cos/sin select below. 2**k
+#: coefficients per trig function stay numerically tame (worst f32 error
+#: 6e-7 over randomized profiles at k <= 5) and the evaluation cost is
+#: ~3 VPU ops per subset, but coefficient magnitude grows ~2**k so keep
+#: the cap conservative.
+_MAX_MOEBIUS_BITS = 4
+
+
+def _cs_support(terms: tuple):
+    """Support positions when a phase profile qualifies for the
+    multilinear (Moebius) cos/sin select, else ``None``.
+
+    A profile ``ang(x) = base + sum_t a_t * mask_t(x)`` only depends on
+    its support bits S, so ``cos(ang)`` / ``sin(ang)`` are functions on
+    {0,1}^|S| and equal their multilinear extensions EXACTLY at binary
+    points. Host-side we tabulate the 2^|S| trig values and Moebius-
+    transform them; the kernel then evaluates two FMA chains over shared
+    bit monomials (~3 ops per subset) instead of composing one masked
+    rotation per term (~8-10 ops per term). QCMRF's nu profiles are
+    complete partitions (2^k terms over k clique-variable bits), where
+    this is a ~3-4x VPU-op reduction; sparse profiles (few terms over
+    many bits) keep the rotor path.
+    """
+    support = tuple(sorted({p for conds in terms for p, _ in conds}))
+    k = len(support)
+    if 0 < k <= _MAX_MOEBIUS_BITS and 3 * (1 << k) <= 8 * len(terms):
+        return support
+    return None
+
+
+def _moebius_layout(profile_terms: tuple, tail_off: int):
+    """Per-profile (support|None, SMEM offset) blocks appended after the
+    existing angle layout at ``tail_off``; wrapper and kernel builder
+    both derive offsets from this single convention."""
+    blocks = []
+    off = tail_off
+    for terms in profile_terms:
+        sup = _cs_support(terms)
+        blocks.append((sup, off))
+        if sup is not None:
+            off += 2 * (1 << len(sup))
+    return tuple(blocks), off
+
+
+def _cs_coeff_block(terms: tuple, angles, base):
+    """Host-side: multilinear coefficients of cos/sin over the profile's
+    support bits — ``2 * 2^k`` floats ``[c_coefs..., s_coefs...]``
+    (subset bit i of the coefficient index <-> support position i, the
+    :mod:`qcmrf_tpu.utils.moebius` convention). ``angles``/``base`` may
+    be traced (the sharded engine's device-bit-conditioned profiles)."""
+    support = _cs_support(terms)
+    k = len(support)
+    pos_idx = {p: i for i, p in enumerate(support)}
+    M = np.zeros((1 << k, max(len(terms), 1)), np.float32)
+    for y in range(1 << k):
+        for t, conds in enumerate(terms):
+            M[y, t] = float(all(((y >> pos_idx[p]) & 1) == w
+                                for p, w in conds))
+    terms_a = jnp.asarray(list(angles), jnp.float32).reshape(-1)
+    ang = (jnp.asarray(base, jnp.float32)
+           + (M[:, :terms_a.size] @ terms_a if terms_a.size
+              else jnp.zeros((1 << k,), jnp.float32)))
+    cvals = moebius.transform(jnp.cos(ang)[None, :], k)[0]
+    svals = moebius.transform(jnp.sin(ang)[None, :], k)[0]
+    return jnp.concatenate([cvals, svals])
+
+
+def _moebius_cs_eval(bit: dict, support: tuple, ang_ref, off: int,
+                     shape: tuple):
+    """In-kernel evaluation of the two multilinear FMA chains written by
+    :func:`_cs_coeff_block`, sharing the bit monomials between cos and
+    sin."""
+    k = len(support)
+    bl = [bit[p] for p in support]
+    c = jnp.full(shape, 1.0) * ang_ref[off]
+    s = jnp.full(shape, 1.0) * ang_ref[off + (1 << k)]
+    prods = {0: None}
+    for t in range(1, 1 << k):
+        low = t & (-t)
+        rest = t ^ low
+        b = bl[low.bit_length() - 1]
+        p = b if prods[rest] is None else prods[rest] * b
+        prods[t] = p
+        c = c + ang_ref[off + t] * p
+        s = s + ang_ref[off + (1 << k) + t] * p
+    return c, s
+
 
 def _pick_block_rows(cliques: tuple, rows: int) -> int:
     """Block size bounded by Mosaic's 16 MB scoped VMEM: the kernel keeps
@@ -683,8 +770,14 @@ def _build_diag_profile_kernel(terms: tuple, block_rows: int):
         # SMEM layout (host-precomputed — see _MAX_ROTOR_TERMS):
         #   [cos b, sin b, (cos a_t - 1, sin a_t) per term,
         #    b, angles...]   (raw tail for the high-term-count fallback)
+        #   [+ multilinear cos/sin coefficient block — see _cs_support]
         raw = 2 + 2 * len(terms)
-        if len(terms) <= _MAX_ROTOR_TERMS:
+        mblocks, _ = _moebius_layout((terms,), raw + 1 + len(terms))
+        sup, moff = mblocks[0]
+        if sup is not None:
+            c, s = _moebius_cs_eval(bit, sup, ang_ref, moff,
+                                    (block_rows, LANE))
+        elif len(terms) <= _MAX_ROTOR_TERMS:
             # masked rotation composition: R(a)R(b) = R(a+b), so each
             # term blends its precomputed (cos-1, sin) pair under its
             # 0/1 mask — no whole-block cos/sin (the transcendentals
@@ -760,9 +853,10 @@ def apply_diagonal_profile(re, im, terms, angles, base: float = 0.0):
     pairs = jnp.stack(
         [jnp.cos(terms_a) - 1.0, jnp.sin(terms_a)], axis=-1
     ).reshape(-1) if terms_a.size else terms_a
-    ang = jnp.concatenate([
-        jnp.cos(base_a), jnp.sin(base_a), pairs, base_a, terms_a,
-    ])
+    parts = [jnp.cos(base_a), jnp.sin(base_a), pairs, base_a, terms_a]
+    if _cs_support(terms) is not None:
+        parts.append(_cs_coeff_block(terms, angles, base))
+    ang = jnp.concatenate(parts)
     return _diag_profile_call(terms, ang, re, im)
 
 
@@ -827,6 +921,8 @@ def _build_hdh_kernel(mu_terms: tuple, nu_terms: tuple, anc: int,
         #    accumulated-angle fallback at high term counts)
         num_nu = len(nu_terms)
         raw = 4 + 2 * (num_mu + num_nu)
+        mblocks, _ = _moebius_layout((mu_terms, nu_terms),
+                                     raw + 2 + num_mu + num_nu)
 
         def rotor(terms, base_cs, pair_off):
             """(cos, sin) of ``base + sum_t a_t*mask_t`` WITHOUT plane
@@ -860,14 +956,17 @@ def _build_hdh_kernel(mu_terms: tuple, nu_terms: tuple, anc: int,
                 )
             return ang
 
-        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off):
+        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off, mblock):
+            sup, moff = mblock
+            if sup is not None:
+                return _moebius_cs_eval(bit, sup, ang_ref, moff, shape)
             if len(terms) <= _MAX_ROTOR_TERMS:
                 return rotor(terms, base_cs, pair_off)
             ang = profile(terms, raw_base, raw_off)
             return jnp.cos(ang), jnp.sin(ang)
 
         cn, sn = cos_sin(nu_terms, 2, 4 + 2 * num_mu,
-                         raw + 1, raw + 2 + num_mu)
+                         raw + 1, raw + 2 + num_mu, mblocks[1])
         re0, re1 = re_ref[:, 0], re_ref[:, 1]
         im0, im1 = im_ref[:, 0], im_ref[:, 1]
         # e^{-i nu X}: new0 = cos(nu)·a0 - i sin(nu)·a1 (and symmetric)
@@ -876,7 +975,7 @@ def _build_hdh_kernel(mu_terms: tuple, nu_terms: tuple, anc: int,
         t1r = sn * im0 + cn * re1
         t1i = cn * im1 - sn * re0
         if has_mu:  # static specialization: QCMRF profiles have mu == 0
-            cm, sm = cos_sin(mu_terms, 0, 4, raw, raw + 2)
+            cm, sm = cos_sin(mu_terms, 0, 4, raw, raw + 2, mblocks[0])
             ore_ref[:, 0] = cm * t0r - sm * t0i
             oim_ref[:, 0] = cm * t0i + sm * t0r
             ore_ref[:, 1] = cm * t1r - sm * t1i
@@ -950,7 +1049,12 @@ def apply_hdh_sandwich(re, im, anc: int, nu_terms, nu_angles,
     base_cs = jnp.stack(
         [jnp.cos(bases), jnp.sin(bases)], axis=-1
     ).reshape(-1)  # [cos mu_b, sin mu_b, cos nu_b, sin nu_b]
-    ang = jnp.concatenate([base_cs, pairs, bases, terms_a])
+    parts = [base_cs, pairs, bases, terms_a]
+    for p_terms, p_angles, p_base in ((mu_terms, mu_angles, mu_base),
+                                      (nu_terms, nu_angles, nu_base)):
+        if _cs_support(p_terms) is not None:
+            parts.append(_cs_coeff_block(p_terms, p_angles, p_base))
+    ang = jnp.concatenate(parts)
     if isinstance(mu_base, (int, float)):
         has_mu = bool(mu_terms) or float(mu_base) != 0.0
     else:
@@ -1011,6 +1115,9 @@ def _build_hdh_pair_kernel(mu_terms: tuple, nu1_terms: tuple,
             return mask
 
         raw = 6 + 2 * (n_mu + n1 + n2)
+        mblocks, _ = _moebius_layout(
+            (mu_terms, nu1_terms, nu2_terms),
+            raw + 3 + n_mu + n1 + n2)
 
         def rotor(terms, base_cs, pair_off):
             c = jnp.full(shape, 1.0) * ang_ref[base_cs]
@@ -1038,16 +1145,19 @@ def _build_hdh_pair_kernel(mu_terms: tuple, nu1_terms: tuple,
                 )
             return ang
 
-        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off):
+        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off, mblock):
+            sup, moff = mblock
+            if sup is not None:
+                return _moebius_cs_eval(bit, sup, ang_ref, moff, shape)
             if len(terms) <= _MAX_ROTOR_TERMS:
                 return rotor(terms, base_cs, pair_off)
             ang = profile(terms, raw_base, raw_off)
             return jnp.cos(ang), jnp.sin(ang)
 
         c1, s1 = cos_sin(nu1_terms, 2, 6 + 2 * n_mu,
-                         raw + 1, raw + 3 + n_mu)
+                         raw + 1, raw + 3 + n_mu, mblocks[1])
         c2, s2 = cos_sin(nu2_terms, 4, 6 + 2 * (n_mu + n1),
-                         raw + 2, raw + 3 + n_mu + n1)
+                         raw + 2, raw + 3 + n_mu + n1, mblocks[2])
         # (e^{-i nu2 X_hi} ⊗ e^{-i nu1 X_lo}) on axis-1 index
         # jj = bit_hi*2 + bit_lo; coefficient classes: real u = c1 c2 and
         # -w = -s1 s2, imaginary -i p = -i c2 s1 and -i q = -i c1 s2
@@ -1058,7 +1168,7 @@ def _build_hdh_pair_kernel(mu_terms: tuple, nu1_terms: tuple,
         vr = [re_ref[:, k] for k in range(4)]
         vi = [im_ref[:, k] for k in range(4)]
         if has_mu:
-            cm, sm = cos_sin(mu_terms, 0, 6, raw, raw + 3)
+            cm, sm = cos_sin(mu_terms, 0, 6, raw, raw + 3, mblocks[0])
         # out_k = +u (real) on the same index, -w (real) on the double
         # flip, -i p on the lo flip, -i q on the hi flip; a real coef r
         # maps (vr, vi) -> (r vr, r vi), a -i m coef -> (m vi, -m vr).
@@ -1137,7 +1247,14 @@ def apply_hdh_sandwich_pair(re, im, anc_lo: int,
     base_cs = jnp.stack(
         [jnp.cos(bases), jnp.sin(bases)], axis=-1
     ).reshape(-1)  # [cos/sin mu_b, cos/sin nu1_b, cos/sin nu2_b]
-    ang = jnp.concatenate([base_cs, pairs, bases, terms_a])
+    parts = [base_cs, pairs, bases, terms_a]
+    for p_terms, p_angles, p_base in (
+            (mu_terms, mu_angles, mu_base),
+            (nu1_terms, nu1_angles, nu1_base),
+            (nu2_terms, nu2_angles, nu2_base)):
+        if _cs_support(p_terms) is not None:
+            parts.append(_cs_coeff_block(p_terms, p_angles, p_base))
+    ang = jnp.concatenate(parts)
     if isinstance(mu_base, (int, float)):
         has_mu = bool(mu_terms) or float(mu_base) != 0.0
     else:
@@ -1199,6 +1316,8 @@ def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
             return mask
 
         raw = 10 + 2 * (n_mu + sum(n_nu))
+        mblocks, _ = _moebius_layout(
+            (mu_terms,) + nu_terms4, raw + 5 + n_mu + sum(n_nu))
 
         def rotor(terms, base_cs, pair_off):
             c = jnp.full(shape, 1.0) * ang_ref[base_cs]
@@ -1226,7 +1345,10 @@ def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
                 )
             return ang
 
-        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off):
+        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off, mblock):
+            sup, moff = mblock
+            if sup is not None:
+                return _moebius_cs_eval(bit, sup, ang_ref, moff, shape)
             if len(terms) <= _MAX_ROTOR_TERMS:
                 return rotor(terms, base_cs, pair_off)
             ang = profile(terms, raw_base, raw_off)
@@ -1237,7 +1359,7 @@ def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
         raw_off = raw + 5 + n_mu
         for k in range(4):
             cs.append(cos_sin(nu_terms4[k], 2 + 2 * k, pair_off,
-                              raw + 1 + k, raw_off))
+                              raw + 1 + k, raw_off, mblocks[1 + k]))
             pair_off += 2 * n_nu[k]
             raw_off += n_nu[k]
 
@@ -1259,7 +1381,7 @@ def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
                 vr[p1] = s * i0 + c * r1
                 vi[p1] = c * i1 - s * r0
         if has_mu:  # static specialization: QCMRF profiles have mu == 0
-            cm, sm = cos_sin(mu_terms, 0, 10, raw, raw + 5)
+            cm, sm = cos_sin(mu_terms, 0, 10, raw, raw + 5, mblocks[0])
             for k in range(16):
                 ore_ref[:, k] = cm * vr[k] - sm * vi[k]
                 oim_ref[:, k] = cm * vi[k] + sm * vr[k]
@@ -1332,7 +1454,14 @@ def apply_hdh_sandwich_quad(re, im, anc_lo: int, nu_terms4, nu_angles4,
     base_cs = jnp.stack(
         [jnp.cos(bases), jnp.sin(bases)], axis=-1
     ).reshape(-1)  # [cos/sin mu_b, cos/sin nu1_b, ..., cos/sin nu4_b]
-    ang = jnp.concatenate([base_cs, pairs, bases, terms_a])
+    parts = [base_cs, pairs, bases, terms_a]
+    profiles = [(mu_terms, mu_angles, mu_base)] + [
+        (nu_terms4[k], nu_angles4[k], nu_bases4[k]) for k in range(4)
+    ]
+    for p_terms, p_angles, p_base in profiles:
+        if _cs_support(p_terms) is not None:
+            parts.append(_cs_coeff_block(p_terms, p_angles, p_base))
+    ang = jnp.concatenate(parts)
     if isinstance(mu_base, (int, float)):
         has_mu = bool(mu_terms) or float(mu_base) != 0.0
     else:
