@@ -1471,6 +1471,214 @@ def apply_hdh_sandwich_quad(re, im, anc_lo: int, nu_terms4, nu_angles4,
 
 
 # --------------------------------------------------------------------------
+# Fused UNIFORM-INIT quad sandwich: the write-only H-wall fold and the
+# first quad pass in ONE output-only sweep.
+#
+# The uniform init writes amp*[x & comp == 0] and the first quad pass
+# immediately reads it back. But the uniform state's four quad-ancilla
+# bits are 0 (ancillas are never folded), so the quad's input lives
+# entirely in sub-plane jj=0 and its output has the closed form
+#
+#   out[jj] = amp(x) * (-i)^popcount(jj) * prod_b (s_b if jj_b else c_b)
+#
+# (column 0 of Rx ⊗ Rx ⊗ Rx ⊗ Rx). One write-only pass replaces a write
+# pass plus a read+write pass: at n=28 that is 4 of the circuit's 18
+# plane traversals.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def _build_hdh_quad_uniform_kernel(mu_terms: tuple, nu_terms4: tuple,
+                                   comp: int, chunk_g: int, sblk: int,
+                                   stride_rows: int, has_mu: bool):
+    """Write-only quad-from-uniform kernel body. Same SMEM layout as the
+    quad kernel plus ONE trailing element: the folded-qubit amplitude
+    ``carrier * 2^{-|folded|/2}``. ``comp`` is the complement bit mask of
+    the folded qubits (the uniform state is nonzero where
+    ``x & comp == 0``; the four quad ancillas may appear in it — the
+    jj=0 basis index has them 0 by construction)."""
+
+    n_mu = len(mu_terms)
+    n_nu = [len(t) for t in nu_terms4]
+    positions = sorted(
+        {p for conds in (mu_terms + sum(nu_terms4, ()))
+         for p, _ in conds}
+    )
+    shape = (chunk_g, sblk, LANE)
+    raw = 10 + 2 * (n_mu + sum(n_nu))
+    mtail = _moebius_layout((mu_terms,) + nu_terms4,
+                            raw + 5 + n_mu + sum(n_nu))
+    amp_idx = mtail[1]
+
+    def kernel(ang_ref, ore_ref, oim_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        li = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        # basis index of the all-ancillas-0 element
+        x = (((i * chunk_g + gi) * 16 * stride_rows)
+             + (j * sblk + si)) * LANE + li
+        bit = {p: ((x >> p) & 1).astype(jnp.float32) for p in positions}
+
+        def term_mask(conds):
+            mask = None
+            for pos, want in conds:
+                b = bit[pos] if want else (1.0 - bit[pos])
+                mask = b if mask is None else mask * b
+            return mask
+
+        mblocks = mtail[0]
+
+        def rotor(terms, base_cs, pair_off):
+            c = jnp.full(shape, 1.0) * ang_ref[base_cs]
+            s = jnp.full(shape, 1.0) * ang_ref[base_cs + 1]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = term_mask(conds)
+                ca1 = ang_ref[pair_off + 2 * t]
+                sa = ang_ref[pair_off + 2 * t + 1]
+                u = c * ca1 - s * sa
+                v = s * ca1 + c * sa
+                if mask is None:
+                    c = c + u
+                    s = s + v
+                else:
+                    c = c + mask * u
+                    s = s + mask * v
+            return c, s
+
+        def profile(terms, base_idx, off):
+            ang = jnp.zeros(shape, jnp.float32) + ang_ref[base_idx]
+            for t, conds in enumerate(terms):  # static unroll
+                mask = term_mask(conds)
+                ang = ang + ang_ref[off + t] * (
+                    mask if mask is not None else 1.0
+                )
+            return ang
+
+        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off, mblock):
+            sup, moff = mblock
+            if sup is not None:
+                return _moebius_cs_eval(bit, sup, ang_ref, moff, shape)
+            if len(terms) <= _MAX_ROTOR_TERMS:
+                return rotor(terms, base_cs, pair_off)
+            ang = profile(terms, raw_base, raw_off)
+            return jnp.cos(ang), jnp.sin(ang)
+
+        cs = []
+        pair_off = 10 + 2 * n_mu
+        raw_off = raw + 5 + n_mu
+        for k in range(4):
+            cs.append(cos_sin(nu_terms4[k], 2 + 2 * k, pair_off,
+                              raw + 1 + k, raw_off, mblocks[1 + k]))
+            pair_off += 2 * n_nu[k]
+            raw_off += n_nu[k]
+
+        # uniform amplitude on the jj=0 sub-plane (folded bits free, all
+        # other bits 0), scaled by the SMEM carrier*2^{-f/2}
+        amp = jnp.where((x & comp) == 0, 1.0, 0.0) * ang_ref[amp_idx]
+        # prods[jj] = amp * prod_b (s_b if bit b of jj else c_b), built
+        # level by level so each product is one multiply
+        prods = [amp]
+        for b in range(4):
+            cb, sb = cs[b]
+            prods = [p * cb for p in prods] + [p * sb for p in prods]
+        if has_mu:  # static specialization: QCMRF profiles have mu == 0
+            cm, sm = cos_sin(mu_terms, 0, 10, raw, raw + 5, mblocks[0])
+        zero = jnp.zeros(shape, jnp.float32)
+        for jj in range(16):
+            m = bin(jj).count("1") % 4  # (-i)^popcount phase class
+            pr = prods[jj]
+            rv = pr if m == 0 else (-pr if m == 2 else zero)
+            iv = -pr if m == 1 else (pr if m == 3 else zero)
+            if has_mu:
+                ore_ref[:, jj] = cm * rv - sm * iv
+                oim_ref[:, jj] = cm * iv + sm * rv
+            else:
+                ore_ref[:, jj] = rv
+                oim_ref[:, jj] = iv
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _hdh_quad_uniform_call(mu_terms: tuple, nu_terms4: tuple,
+                           anc_lo: int, has_mu: bool, comp: int,
+                           num_qubits: int, ang):
+    rows = (1 << num_qubits) // 128
+    stride_rows = 1 << (anc_lo - 7)
+    g = rows // (16 * stride_rows)
+    sblk = min(stride_rows, 128)
+    chunk_g = max(1, min(g, 1024 // (16 * sblk)))
+    kernel = _build_hdh_quad_uniform_kernel(
+        mu_terms, nu_terms4, comp, chunk_g, sblk, stride_rows, has_mu)
+    shape16 = (g, 16, stride_rows, LANE)
+    bspec = pl.BlockSpec((chunk_g, 16, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(shape16, jnp.float32),
+            jax.ShapeDtypeStruct(shape16, jnp.float32),
+        ),
+        grid=(g // chunk_g, stride_rows // sblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(bspec, bspec),
+        interpret=_interpret(),
+    )(ang)
+    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
+
+
+def apply_hdh_sandwich_quad_uniform(num_qubits: int, folded, anc_lo: int,
+                                    nu_terms4, nu_angles4, nu_bases4,
+                                    mu_terms=(), mu_angles=(),
+                                    mu_base=0.0, carrier=1.0):
+    """Write-only pass producing the first quad sandwich applied to the
+    uniform H-wall state (``sim.tpu.fold_uniform_prefix`` fold followed
+    by ``apply_hdh_sandwich_quad``), without ever materializing the
+    intermediate uniform planes. ``folded`` must NOT contain any of the
+    four quad ancillas (``fold_uniform_prefix`` never folds them);
+    ``carrier`` is an optional traced scalar equal to 1.0 at runtime
+    (benchmark-chain data dependence, see ``sim.tpu.uniform_planes``)."""
+    canon = lambda ts: tuple(
+        tuple((int(p), int(w)) for p, w in conds) for conds in ts
+    )
+    mu_terms = canon(mu_terms)
+    nu_terms4 = tuple(canon(ts) for ts in nu_terms4)
+    assert not any(anc_lo <= q < anc_lo + 4 for q in folded)
+    comp = ((1 << num_qubits) - 1) ^ sum(1 << q for q in folded)
+    bases = jnp.asarray([mu_base] + list(nu_bases4), jnp.float32)
+    terms_a = jnp.asarray(
+        list(mu_angles) + [a for al in nu_angles4 for a in al],
+        jnp.float32,
+    ).reshape(-1)
+    pairs = jnp.stack(
+        [jnp.cos(terms_a) - 1.0, jnp.sin(terms_a)], axis=-1
+    ).reshape(-1) if terms_a.size else terms_a
+    base_cs = jnp.stack(
+        [jnp.cos(bases), jnp.sin(bases)], axis=-1
+    ).reshape(-1)
+    parts = [base_cs, pairs, bases, terms_a]
+    profiles = [(mu_terms, mu_angles, mu_base)] + [
+        (nu_terms4[k], nu_angles4[k], nu_bases4[k]) for k in range(4)
+    ]
+    for p_terms, p_angles, p_base in profiles:
+        if _cs_support(p_terms) is not None:
+            parts.append(_cs_coeff_block(p_terms, p_angles, p_base))
+    amp = (jnp.asarray(carrier, jnp.float32)
+           * np.float32(2.0 ** (-0.5 * len(folded))))
+    parts.append(amp.reshape(1))
+    ang = jnp.concatenate(parts)
+    if isinstance(mu_base, (int, float)):
+        has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    else:
+        has_mu = True
+    return _hdh_quad_uniform_call(mu_terms, nu_terms4, int(anc_lo),
+                                  has_mu, comp, int(num_qubits), ang)
+
+
+# --------------------------------------------------------------------------
 # Fused QCMRF post-selected amplitude kernel: amp[x] = 2^{-n/2} e^{lp(x)/2}
 # --------------------------------------------------------------------------
 

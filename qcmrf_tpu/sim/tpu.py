@@ -360,9 +360,20 @@ def fuse_ops(circuit: Circuit) -> list:
     :func:`fold_uniform_prefix`)."""
     prim = circuit_primitives(circuit)
     folded, rest = fold_uniform_prefix(prim)
-    if folded:
-        return [("init_uniform", folded)] + fuse_primitives(rest)
-    return fuse_primitives(prim)
+    if not folded:
+        return fuse_primitives(prim)
+    ops = fuse_primitives(rest)
+    # post-pass: fold the write-only uniform init INTO the first quad
+    # sandwich (kernels.apply_hdh_sandwich_quad_uniform) — the uniform
+    # state's quad-ancilla bits are 0, so the quad's output on it has a
+    # closed form and one write-only pass replaces a write pass plus a
+    # read+write pass (ancillas are never folded, see fold_uniform_prefix)
+    if ops and ops[0][0] == "sandwich4":
+        _, a, nts, nas, nbs, mt, ma, mb = ops[0]
+        if not any(a <= q < a + 4 for q in folded):
+            return [("sandwich4u", folded, a, nts, nas, nbs, mt, ma, mb)
+                    ] + ops[1:]
+    return [("init_uniform", folded)] + ops
 
 
 def uniform_planes(num_qubits: int, folded,
@@ -420,6 +431,14 @@ def _apply_ops(re, im, ops, num_qubits: int):
             _, a, nts, nas, nbs, mt, ma, mb = op
             re, im = K.apply_hdh_sandwich_quad(
                 re, im, a, nts, nas, nbs, mt, ma, mb
+            )
+        elif op[0] == "sandwich4u":
+            # write-only (first op when present); the carrier keeps
+            # benchmark dummy-arg dependences alive, as for init_uniform
+            _, folded, a, nts, nas, nbs, mt, ma, mb = op
+            re, im = K.apply_hdh_sandwich_quad_uniform(
+                num_qubits, folded, a, nts, nas, nbs, mt, ma, mb,
+                carrier=re[0, 0]
             )
         else:
             _, U, q = op

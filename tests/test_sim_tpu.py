@@ -112,17 +112,16 @@ def test_fuse_ops_emits_sandwiches():
     mrf = rand_mrf([[i, i + 1] for i in range(6)], seed=1)  # width 15
     ops = stpu.fuse_ops(compile_qcmrf(mrf, with_measurements=False))
     kinds = [o[0] for o in ops]
-    # variable H wall (qubits 0..6) -> closed-form uniform init, no
-    # gate pass at all
-    assert kinds[0] == "init_uniform" and ops[0][1] == tuple(range(7))
+    # variable H wall (qubits 0..6) -> closed-form uniform init, folded
+    # INTO the first quad pass (write-only sandwich4u)
+    assert kinds[0] == "sandwich4u" and ops[0][1] == tuple(range(7))
     assert not {"lane", "rowq", "row2"} & set(kinds)
     # 6 cliques on consecutive ancillas 8..13 -> 3 pair passes, the
-    # first two of which merge into one quad pass
-    assert kinds.count("sandwich4") == 1
+    # first two of which merge into one quad pass (absorbing the init)
     assert kinds.count("sandwich2") == 1
     assert kinds.count("sandwich") == 0
     assert "diag" not in kinds  # every clique block fused
-    assert len(ops) == 3  # init + quad + pair: the whole circuit
+    assert len(ops) == 2  # uniform-quad + pair: the whole circuit
 
     # width 10: ancillas sit at qubits 6..9 — the a=6 block must stay
     # unfused (lane qubit), a=(7,8) pair, a=9 is a lone sandwich
@@ -296,6 +295,19 @@ def test_sandwich_quad_kernel_matches_sequential():
     )
     np.testing.assert_allclose(to_complex(r4, i4), to_complex(r3, i3),
                                atol=1e-5)
+
+
+def test_uniform_quad_fusion_matches_dense():
+    """The write-only uniform-init + first-quad fusion (sandwich4u)
+    produces the identical statevector to the dense complex engine, and
+    fuse_ops actually emits it for a >= 4-clique chain."""
+    mrf = rand_mrf([[i, i + 1] for i in range(5)], seed=7)  # width 13
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    ops = stpu.fuse_ops(circ)
+    assert ops[0][0] == "sandwich4u"
+    got = to_complex(*stpu.run_statevector(circ))
+    want = np.asarray(dense.run_statevector(circ))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_sandwich_matches_unfused_statevector():
