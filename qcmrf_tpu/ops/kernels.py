@@ -1264,47 +1264,77 @@ def apply_hdh_sandwich_pair(re, im, anc_lo: int,
 
 
 # --------------------------------------------------------------------------
-# Fused QUAD sandwich: FOUR adjacent-ancilla H·D·H blocks in ONE pass.
+# Fused MULTI sandwich: k adjacent-ancilla H·D·H blocks in ONE pass.
 #
 # Same commutation argument as the pair kernel (no clique's profile
-# mentions another clique's ancilla), applied twice more: four
-# consecutive-ancilla sandwiches compose as Rx ⊗ Rx ⊗ Rx ⊗ Rx with
-# position-dependent angles. Rather than expanding the 16x16 coefficient
-# products (256 terms), the kernel applies the four rotations
-# SEQUENTIALLY in-register over the 16-way ancilla axis — compute grows
-# linearly in the fused count while the planes move ONCE. At n=28 the
-# QCMRF chain drops 8 -> 5 passes (init + 3 quads + 1 single); the four
-# nu rotors also amortize over 16 sub-planes instead of the pair's 4.
+# mentions another clique's ancilla), applied k-1 more times: k
+# consecutive-ancilla sandwiches compose as Rx^{(x)k} with position-
+# dependent angles. Rather than expanding the 2^k x 2^k coefficient
+# products, the kernel applies the k rotations SEQUENTIALLY in-register
+# over the 2^k-way ancilla axis — compute grows LINEARLY in k while the
+# planes move ONCE. Measured on-chip the full pass is HBM-bound at any
+# k <= 6 (~530 GB/s effective at n=28; a pure copy through the same
+# geometry costs the same — probe 2026-08-18), so the pass count is the
+# whole cost model and k should be as large as VMEM allows:
+# _MAX_SANDWICH_K caps the 2^k sub-planes per block (block stays ~2048
+# rows = 1 MB/plane) and the unrolled butterfly body size (Mosaic
+# remote-compile grows with body x grid; k=6 => 1536 statements).
+#
+# The ``comp`` mode fuses the uniform H-wall init INTO the pass: the
+# uniform state's k ancilla bits are 0 (ancillas are never folded), so
+# the pass's input lives in sub-plane jj=0 and the output has the
+# closed form out[jj] = amp(x) * (-i)^popcount(jj) * prod_b (s_b if
+# jj_b else c_b) (column 0 of the Rx tensor power) — a WRITE-ONLY pass,
+# measured ~1.7x faster than a full pass.
 # --------------------------------------------------------------------------
+
+#: max ancillas fused per sandwich pass (2^k sub-planes per VMEM block;
+#: see the section comment). k=6 keeps blocks at 2048 rows with 32-row
+#: sub-slices and a ~1536-statement butterfly body.
+_MAX_SANDWICH_K = 6
 
 
 @functools.lru_cache(maxsize=1024)
-def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
-                           chunk_g: int, sblk: int, stride_rows: int,
-                           has_mu: bool):
-    """Quad-sandwich kernel body: ``nu_terms4[k]`` is the profile of
-    ancilla ``anc_lo + k`` (block axis-1 bit k), one shared mu profile.
-    Angles arrive in SMEM as host-precomputed rotation pairs:
-    [cos/sin of mu_b, nu1_b..nu4_b (10 floats); (cos a-1, sin a) per mu
-    then per nu1..nu4 term; raw bases (5) + raw angles tail]."""
+def _build_hdh_multi_kernel(mu_terms: tuple, nu_terms_k: tuple,
+                            chunk_g: int, sblk: int, stride_rows: int,
+                            has_mu: bool, comp):
+    """k-sandwich kernel body: ``nu_terms_k[t]`` is the profile of
+    ancilla ``anc_lo + t`` (block axis-1 bit t), one shared mu profile.
+    ``comp`` is None for the read-write form; an int complement bit mask
+    selects the write-only uniform-init form (the uniform state is
+    nonzero where ``x & comp == 0``). Angles arrive in SMEM as
+    host-precomputed rotation pairs: [cos/sin of mu_b, nu1_b..nuk_b
+    (2*(1+k) floats); (cos a-1, sin a) per mu then per nu term; raw
+    bases (1+k) + raw angles tail; multilinear cos/sin blocks (see
+    _cs_support); uniform amplitude (comp mode only)]."""
 
+    k = len(nu_terms_k)
+    nsub = 1 << k
     n_mu = len(mu_terms)
-    n_nu = [len(t) for t in nu_terms4]
+    n_nu = [len(t) for t in nu_terms_k]
     positions = sorted(
-        {p for conds in (mu_terms + sum(nu_terms4, ()))
+        {p for conds in (mu_terms + sum(nu_terms_k, ()))
          for p, _ in conds}
     )
     shape = (chunk_g, sblk, LANE)
+    nb = 1 + k
+    raw = 2 * nb + 2 * (n_mu + sum(n_nu))
+    mblocks, amp_idx = _moebius_layout(
+        (mu_terms,) + nu_terms_k, raw + nb + n_mu + sum(n_nu))
 
-    def kernel(ang_ref, re_ref, im_ref, ore_ref, oim_ref):
+    def kernel(ang_ref, *refs):
+        if comp is None:
+            re_ref, im_ref, ore_ref, oim_ref = refs
+        else:
+            ore_ref, oim_ref = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         si = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         li = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         # basis index of the all-ancillas-0 element (profiles never
-        # condition on any of the four ancillas)
-        x = (((i * chunk_g + gi) * 16 * stride_rows)
+        # condition on any of the k ancillas)
+        x = (((i * chunk_g + gi) * nsub * stride_rows)
              + (j * sblk + si)) * LANE + li
         bit = {p: ((x >> p) & 1).astype(jnp.float32) for p in positions}
 
@@ -1314,10 +1344,6 @@ def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
                 b = bit[pos] if want else (1.0 - bit[pos])
                 mask = b if mask is None else mask * b
             return mask
-
-        raw = 10 + 2 * (n_mu + sum(n_nu))
-        mblocks, _ = _moebius_layout(
-            (mu_terms,) + nu_terms4, raw + 5 + n_mu + sum(n_nu))
 
         def rotor(terms, base_cs, pair_off):
             c = jnp.full(shape, 1.0) * ang_ref[base_cs]
@@ -1355,272 +1381,127 @@ def _build_hdh_quad_kernel(mu_terms: tuple, nu_terms4: tuple,
             return jnp.cos(ang), jnp.sin(ang)
 
         cs = []
-        pair_off = 10 + 2 * n_mu
-        raw_off = raw + 5 + n_mu
-        for k in range(4):
-            cs.append(cos_sin(nu_terms4[k], 2 + 2 * k, pair_off,
-                              raw + 1 + k, raw_off, mblocks[1 + k]))
-            pair_off += 2 * n_nu[k]
-            raw_off += n_nu[k]
+        pair_off = 2 * nb + 2 * n_mu
+        raw_off = raw + nb + n_mu
+        for t in range(k):
+            cs.append(cos_sin(nu_terms_k[t], 2 + 2 * t, pair_off,
+                              raw + 1 + t, raw_off, mblocks[1 + t]))
+            pair_off += 2 * n_nu[t]
+            raw_off += n_nu[t]
 
-        vr = [re_ref[:, k] for k in range(16)]
-        vi = [im_ref[:, k] for k in range(16)]
-        # sequential e^{-i nu_k X} on each ancilla bit of the 16-axis
-        # (same per-pair algebra as the single sandwich; the four
-        # rotations act on disjoint bits and commute)
-        for b in range(4):
-            c, s = cs[b]
-            for jj in range(16):
-                if jj & (1 << b):
-                    continue
-                p0, p1 = jj, jj | (1 << b)
-                r0, i0 = vr[p0], vi[p0]
-                r1, i1 = vr[p1], vi[p1]
-                vr[p0] = c * r0 + s * i1
-                vi[p0] = c * i0 - s * r1
-                vr[p1] = s * i0 + c * r1
-                vi[p1] = c * i1 - s * r0
         if has_mu:  # static specialization: QCMRF profiles have mu == 0
-            cm, sm = cos_sin(mu_terms, 0, 10, raw, raw + 5, mblocks[0])
-            for k in range(16):
-                ore_ref[:, k] = cm * vr[k] - sm * vi[k]
-                oim_ref[:, k] = cm * vi[k] + sm * vr[k]
+            cm, sm = cos_sin(mu_terms, 0, 2 * nb, raw, raw + nb,
+                             mblocks[0])
+
+        if comp is None:
+            vr = [re_ref[:, jj] for jj in range(nsub)]
+            vi = [im_ref[:, jj] for jj in range(nsub)]
+            # sequential e^{-i nu_b X} on each ancilla bit of the
+            # 2^k-way axis (the rotations act on disjoint bits and
+            # commute)
+            for b in range(k):
+                c, s = cs[b]
+                for jj in range(nsub):
+                    if jj & (1 << b):
+                        continue
+                    p0, p1 = jj, jj | (1 << b)
+                    r0, i0 = vr[p0], vi[p0]
+                    r1, i1 = vr[p1], vi[p1]
+                    vr[p0] = c * r0 + s * i1
+                    vi[p0] = c * i0 - s * r1
+                    vr[p1] = s * i0 + c * r1
+                    vi[p1] = c * i1 - s * r0
+            vals = list(zip(vr, vi))
         else:
-            for k in range(16):
-                ore_ref[:, k] = vr[k]
-                oim_ref[:, k] = vi[k]
+            # write-only uniform-init form: input is the uniform state
+            # (sub-plane jj=0 only); prods[jj] = amp * prod_b (s_b if
+            # bit b of jj else c_b), built level by level so each
+            # product is one multiply
+            amp = (jnp.where((x & comp) == 0, 1.0, 0.0)
+                   * ang_ref[amp_idx])
+            prods = [amp]
+            for b in range(k):
+                cb, sb = cs[b]
+                prods = [p * cb for p in prods] + [p * sb for p in prods]
+            zero = jnp.zeros(shape, jnp.float32)
+            vals = []
+            for jj in range(nsub):
+                m = bin(jj).count("1") % 4  # (-i)^popcount phase class
+                pr = prods[jj]
+                rv = pr if m == 0 else (-pr if m == 2 else zero)
+                iv = -pr if m == 1 else (pr if m == 3 else zero)
+                vals.append((rv, iv))
 
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _hdh_quad_call(mu_terms: tuple, nu_terms4: tuple, anc_lo: int,
-                   has_mu: bool, ang, re, im):
-    rows = re.shape[0]
-    stride_rows = 1 << (anc_lo - 7)
-    g = rows // (16 * stride_rows)
-    sblk = min(stride_rows, 128)
-    # 16 in/out sub-planes live per block plus the rotor temporaries and
-    # the in-register butterfly working set: half the pair kernel's
-    # per-sub-plane budget again (same headroom reasoning as _hdh_call)
-    chunk_g = max(1, min(g, 1024 // (16 * sblk)))
-    re16 = re.reshape(g, 16, stride_rows, LANE)
-    im16 = im.reshape(g, 16, stride_rows, LANE)
-    kernel = _build_hdh_quad_kernel(mu_terms, nu_terms4, chunk_g, sblk,
-                                    stride_rows, has_mu)
-    bspec = pl.BlockSpec((chunk_g, 16, sblk, LANE),
-                         lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(re16.shape, jnp.float32),
-            jax.ShapeDtypeStruct(re16.shape, jnp.float32),
-        ),
-        grid=(g // chunk_g, stride_rows // sblk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
-        out_specs=(bspec, bspec),
-        input_output_aliases={1: 0, 2: 1},  # in-place planes
-        interpret=_interpret(),
-    )(ang, re16, im16)
-    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
-
-
-def apply_hdh_sandwich_quad(re, im, anc_lo: int, nu_terms4, nu_angles4,
-                            nu_bases4, mu_terms=(), mu_angles=(),
-                            mu_base=0.0):
-    """Apply four H(a+k)·Dk·H(a+k) blocks (k = 0..3, a = anc_lo) in ONE
-    pass.
-
-    ``nu_terms4[k]`` / ``nu_angles4[k]`` / ``nu_bases4[k]`` describe
-    ancilla ``anc_lo + k``'s half-difference profile; ``mu`` is the
-    COMBINED common-phase profile of all four sandwiches. No term may
-    condition on any of the four ancillas; requires ``anc_lo >= 7``
-    (row qubits throughout).
-    """
-    canon = lambda ts: tuple(
-        tuple((int(p), int(w)) for p, w in conds) for conds in ts
-    )
-    mu_terms = canon(mu_terms)
-    nu_terms4 = tuple(canon(ts) for ts in nu_terms4)
-    bases = jnp.asarray([mu_base] + list(nu_bases4), jnp.float32)
-    terms_a = jnp.asarray(
-        list(mu_angles) + [a for al in nu_angles4 for a in al],
-        jnp.float32,
-    ).reshape(-1)
-    pairs = jnp.stack(
-        [jnp.cos(terms_a) - 1.0, jnp.sin(terms_a)], axis=-1
-    ).reshape(-1) if terms_a.size else terms_a
-    base_cs = jnp.stack(
-        [jnp.cos(bases), jnp.sin(bases)], axis=-1
-    ).reshape(-1)  # [cos/sin mu_b, cos/sin nu1_b, ..., cos/sin nu4_b]
-    parts = [base_cs, pairs, bases, terms_a]
-    profiles = [(mu_terms, mu_angles, mu_base)] + [
-        (nu_terms4[k], nu_angles4[k], nu_bases4[k]) for k in range(4)
-    ]
-    for p_terms, p_angles, p_base in profiles:
-        if _cs_support(p_terms) is not None:
-            parts.append(_cs_coeff_block(p_terms, p_angles, p_base))
-    ang = jnp.concatenate(parts)
-    if isinstance(mu_base, (int, float)):
-        has_mu = bool(mu_terms) or float(mu_base) != 0.0
-    else:
-        has_mu = True  # traced base (sharded device-bit angles)
-    return _hdh_quad_call(mu_terms, nu_terms4, int(anc_lo), has_mu,
-                          ang, re, im)
-
-
-# --------------------------------------------------------------------------
-# Fused UNIFORM-INIT quad sandwich: the write-only H-wall fold and the
-# first quad pass in ONE output-only sweep.
-#
-# The uniform init writes amp*[x & comp == 0] and the first quad pass
-# immediately reads it back. But the uniform state's four quad-ancilla
-# bits are 0 (ancillas are never folded), so the quad's input lives
-# entirely in sub-plane jj=0 and its output has the closed form
-#
-#   out[jj] = amp(x) * (-i)^popcount(jj) * prod_b (s_b if jj_b else c_b)
-#
-# (column 0 of Rx ⊗ Rx ⊗ Rx ⊗ Rx). One write-only pass replaces a write
-# pass plus a read+write pass: at n=28 that is 4 of the circuit's 18
-# plane traversals.
-# --------------------------------------------------------------------------
-
-
-@functools.lru_cache(maxsize=1024)
-def _build_hdh_quad_uniform_kernel(mu_terms: tuple, nu_terms4: tuple,
-                                   comp: int, chunk_g: int, sblk: int,
-                                   stride_rows: int, has_mu: bool):
-    """Write-only quad-from-uniform kernel body. Same SMEM layout as the
-    quad kernel plus ONE trailing element: the folded-qubit amplitude
-    ``carrier * 2^{-|folded|/2}``. ``comp`` is the complement bit mask of
-    the folded qubits (the uniform state is nonzero where
-    ``x & comp == 0``; the four quad ancillas may appear in it — the
-    jj=0 basis index has them 0 by construction)."""
-
-    n_mu = len(mu_terms)
-    n_nu = [len(t) for t in nu_terms4]
-    positions = sorted(
-        {p for conds in (mu_terms + sum(nu_terms4, ()))
-         for p, _ in conds}
-    )
-    shape = (chunk_g, sblk, LANE)
-    raw = 10 + 2 * (n_mu + sum(n_nu))
-    mtail = _moebius_layout((mu_terms,) + nu_terms4,
-                            raw + 5 + n_mu + sum(n_nu))
-    amp_idx = mtail[1]
-
-    def kernel(ang_ref, ore_ref, oim_ref):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        si = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        li = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-        # basis index of the all-ancillas-0 element
-        x = (((i * chunk_g + gi) * 16 * stride_rows)
-             + (j * sblk + si)) * LANE + li
-        bit = {p: ((x >> p) & 1).astype(jnp.float32) for p in positions}
-
-        def term_mask(conds):
-            mask = None
-            for pos, want in conds:
-                b = bit[pos] if want else (1.0 - bit[pos])
-                mask = b if mask is None else mask * b
-            return mask
-
-        mblocks = mtail[0]
-
-        def rotor(terms, base_cs, pair_off):
-            c = jnp.full(shape, 1.0) * ang_ref[base_cs]
-            s = jnp.full(shape, 1.0) * ang_ref[base_cs + 1]
-            for t, conds in enumerate(terms):  # static unroll
-                mask = term_mask(conds)
-                ca1 = ang_ref[pair_off + 2 * t]
-                sa = ang_ref[pair_off + 2 * t + 1]
-                u = c * ca1 - s * sa
-                v = s * ca1 + c * sa
-                if mask is None:
-                    c = c + u
-                    s = s + v
-                else:
-                    c = c + mask * u
-                    s = s + mask * v
-            return c, s
-
-        def profile(terms, base_idx, off):
-            ang = jnp.zeros(shape, jnp.float32) + ang_ref[base_idx]
-            for t, conds in enumerate(terms):  # static unroll
-                mask = term_mask(conds)
-                ang = ang + ang_ref[off + t] * (
-                    mask if mask is not None else 1.0
-                )
-            return ang
-
-        def cos_sin(terms, base_cs, pair_off, raw_base, raw_off, mblock):
-            sup, moff = mblock
-            if sup is not None:
-                return _moebius_cs_eval(bit, sup, ang_ref, moff, shape)
-            if len(terms) <= _MAX_ROTOR_TERMS:
-                return rotor(terms, base_cs, pair_off)
-            ang = profile(terms, raw_base, raw_off)
-            return jnp.cos(ang), jnp.sin(ang)
-
-        cs = []
-        pair_off = 10 + 2 * n_mu
-        raw_off = raw + 5 + n_mu
-        for k in range(4):
-            cs.append(cos_sin(nu_terms4[k], 2 + 2 * k, pair_off,
-                              raw + 1 + k, raw_off, mblocks[1 + k]))
-            pair_off += 2 * n_nu[k]
-            raw_off += n_nu[k]
-
-        # uniform amplitude on the jj=0 sub-plane (folded bits free, all
-        # other bits 0), scaled by the SMEM carrier*2^{-f/2}
-        amp = jnp.where((x & comp) == 0, 1.0, 0.0) * ang_ref[amp_idx]
-        # prods[jj] = amp * prod_b (s_b if bit b of jj else c_b), built
-        # level by level so each product is one multiply
-        prods = [amp]
-        for b in range(4):
-            cb, sb = cs[b]
-            prods = [p * cb for p in prods] + [p * sb for p in prods]
-        if has_mu:  # static specialization: QCMRF profiles have mu == 0
-            cm, sm = cos_sin(mu_terms, 0, 10, raw, raw + 5, mblocks[0])
-        zero = jnp.zeros(shape, jnp.float32)
-        for jj in range(16):
-            m = bin(jj).count("1") % 4  # (-i)^popcount phase class
-            pr = prods[jj]
-            rv = pr if m == 0 else (-pr if m == 2 else zero)
-            iv = -pr if m == 1 else (pr if m == 3 else zero)
-            if has_mu:
+        if has_mu:
+            for jj, (rv, iv) in enumerate(vals):
                 ore_ref[:, jj] = cm * rv - sm * iv
                 oim_ref[:, jj] = cm * iv + sm * rv
-            else:
+        else:
+            for jj, (rv, iv) in enumerate(vals):
                 ore_ref[:, jj] = rv
                 oim_ref[:, jj] = iv
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _hdh_quad_uniform_call(mu_terms: tuple, nu_terms4: tuple,
-                           anc_lo: int, has_mu: bool, comp: int,
-                           num_qubits: int, ang):
-    rows = (1 << num_qubits) // 128
+def _multi_geometry(rows: int, anc_lo: int, k: int):
+    """Block geometry shared by both multi forms: 2^k sub-planes per
+    block, block held at ~2048 rows (1 MB/plane — the quad kernel's
+    proven VMEM budget)."""
+    nsub = 1 << k
     stride_rows = 1 << (anc_lo - 7)
-    g = rows // (16 * stride_rows)
-    sblk = min(stride_rows, 128)
-    chunk_g = max(1, min(g, 1024 // (16 * sblk)))
-    kernel = _build_hdh_quad_uniform_kernel(
-        mu_terms, nu_terms4, comp, chunk_g, sblk, stride_rows, has_mu)
-    shape16 = (g, 16, stride_rows, LANE)
-    bspec = pl.BlockSpec((chunk_g, 16, sblk, LANE),
+    g = rows // (nsub * stride_rows)
+    sblk = min(stride_rows, max(1, 2048 // nsub))
+    chunk_g = max(1, min(g, 1024 // (nsub * sblk)))
+    return nsub, stride_rows, g, sblk, chunk_g
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _hdh_multi_call(mu_terms: tuple, nu_terms_k: tuple, anc_lo: int,
+                    has_mu: bool, ang, re, im):
+    rows = re.shape[0]
+    k = len(nu_terms_k)
+    nsub, stride_rows, g, sblk, chunk_g = _multi_geometry(rows, anc_lo, k)
+    re_k = re.reshape(g, nsub, stride_rows, LANE)
+    im_k = im.reshape(g, nsub, stride_rows, LANE)
+    kernel = _build_hdh_multi_kernel(mu_terms, nu_terms_k, chunk_g, sblk,
+                                     stride_rows, has_mu, None)
+    bspec = pl.BlockSpec((chunk_g, nsub, sblk, LANE),
                          lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct(shape16, jnp.float32),
-            jax.ShapeDtypeStruct(shape16, jnp.float32),
+            jax.ShapeDtypeStruct(re_k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(re_k.shape, jnp.float32),
+        ),
+        grid=(g // chunk_g, stride_rows // sblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
+        out_specs=(bspec, bspec),
+        input_output_aliases={1: 0, 2: 1},  # in-place planes
+        interpret=_interpret(),
+    )(ang, re_k, im_k)
+    return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _hdh_multi_uniform_call(mu_terms: tuple, nu_terms_k: tuple,
+                            anc_lo: int, has_mu: bool, comp: int,
+                            num_qubits: int, ang):
+    rows = (1 << num_qubits) // 128
+    k = len(nu_terms_k)
+    nsub, stride_rows, g, sblk, chunk_g = _multi_geometry(rows, anc_lo, k)
+    kernel = _build_hdh_multi_kernel(mu_terms, nu_terms_k, chunk_g, sblk,
+                                     stride_rows, has_mu, comp)
+    shape_k = (g, nsub, stride_rows, LANE)
+    bspec = pl.BlockSpec((chunk_g, nsub, sblk, LANE),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(shape_k, jnp.float32),
+            jax.ShapeDtypeStruct(shape_k, jnp.float32),
         ),
         grid=(g // chunk_g, stride_rows // sblk),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -1630,27 +1511,13 @@ def _hdh_quad_uniform_call(mu_terms: tuple, nu_terms4: tuple,
     return (out[0].reshape(rows, LANE), out[1].reshape(rows, LANE))
 
 
-def apply_hdh_sandwich_quad_uniform(num_qubits: int, folded, anc_lo: int,
-                                    nu_terms4, nu_angles4, nu_bases4,
-                                    mu_terms=(), mu_angles=(),
-                                    mu_base=0.0, carrier=1.0):
-    """Write-only pass producing the first quad sandwich applied to the
-    uniform H-wall state (``sim.tpu.fold_uniform_prefix`` fold followed
-    by ``apply_hdh_sandwich_quad``), without ever materializing the
-    intermediate uniform planes. ``folded`` must NOT contain any of the
-    four quad ancillas (``fold_uniform_prefix`` never folds them);
-    ``carrier`` is an optional traced scalar equal to 1.0 at runtime
-    (benchmark-chain data dependence, see ``sim.tpu.uniform_planes``)."""
-    canon = lambda ts: tuple(
-        tuple((int(p), int(w)) for p, w in conds) for conds in ts
-    )
-    mu_terms = canon(mu_terms)
-    nu_terms4 = tuple(canon(ts) for ts in nu_terms4)
-    assert not any(anc_lo <= q < anc_lo + 4 for q in folded)
-    comp = ((1 << num_qubits) - 1) ^ sum(1 << q for q in folded)
-    bases = jnp.asarray([mu_base] + list(nu_bases4), jnp.float32)
+def _multi_smem_vector(k, nu_terms_k, nu_angles_k, nu_bases_k, mu_terms,
+                       mu_angles, mu_base, amp=None):
+    """Host-side SMEM angle vector shared by both multi forms (layout in
+    _build_hdh_multi_kernel's docstring)."""
+    bases = jnp.asarray([mu_base] + list(nu_bases_k), jnp.float32)
     terms_a = jnp.asarray(
-        list(mu_angles) + [a for al in nu_angles4 for a in al],
+        list(mu_angles) + [a for al in nu_angles_k for a in al],
         jnp.float32,
     ).reshape(-1)
     pairs = jnp.stack(
@@ -1661,21 +1528,96 @@ def apply_hdh_sandwich_quad_uniform(num_qubits: int, folded, anc_lo: int,
     ).reshape(-1)
     parts = [base_cs, pairs, bases, terms_a]
     profiles = [(mu_terms, mu_angles, mu_base)] + [
-        (nu_terms4[k], nu_angles4[k], nu_bases4[k]) for k in range(4)
+        (nu_terms_k[t], nu_angles_k[t], nu_bases_k[t]) for t in range(k)
     ]
     for p_terms, p_angles, p_base in profiles:
         if _cs_support(p_terms) is not None:
             parts.append(_cs_coeff_block(p_terms, p_angles, p_base))
+    if amp is not None:
+        parts.append(jnp.asarray(amp, jnp.float32).reshape(1))
+    return jnp.concatenate(parts)
+
+
+def _canon_terms(ts):
+    return tuple(
+        tuple((int(p), int(w)) for p, w in conds) for conds in ts
+    )
+
+
+def apply_hdh_sandwich_multi(re, im, anc_lo: int, nu_terms_k,
+                             nu_angles_k, nu_bases_k, mu_terms=(),
+                             mu_angles=(), mu_base=0.0):
+    """Apply k H(a+t)·Dt·H(a+t) blocks (t = 0..k-1, a = anc_lo) in ONE
+    pass.
+
+    ``nu_terms_k[t]`` / ``nu_angles_k[t]`` / ``nu_bases_k[t]`` describe
+    ancilla ``anc_lo + t``'s half-difference profile; ``mu`` is the
+    COMBINED common-phase profile of all k sandwiches. No term may
+    condition on any of the k ancillas; requires ``anc_lo >= 7`` (row
+    qubits throughout) and ``k <= _MAX_SANDWICH_K``.
+    """
+    mu_terms = _canon_terms(mu_terms)
+    nu_terms_k = tuple(_canon_terms(ts) for ts in nu_terms_k)
+    k = len(nu_terms_k)
+    assert 1 <= k <= _MAX_SANDWICH_K
+    ang = _multi_smem_vector(k, nu_terms_k, nu_angles_k, nu_bases_k,
+                             mu_terms, mu_angles, mu_base)
+    if isinstance(mu_base, (int, float)):
+        has_mu = bool(mu_terms) or float(mu_base) != 0.0
+    else:
+        has_mu = True  # traced base (sharded device-bit angles)
+    return _hdh_multi_call(mu_terms, nu_terms_k, int(anc_lo), has_mu,
+                           ang, re, im)
+
+
+def apply_hdh_sandwich_multi_uniform(num_qubits: int, folded,
+                                     anc_lo: int, nu_terms_k,
+                                     nu_angles_k, nu_bases_k,
+                                     mu_terms=(), mu_angles=(),
+                                     mu_base=0.0, carrier=1.0):
+    """Write-only pass producing k sandwiches applied to the uniform
+    H-wall state (``sim.tpu.fold_uniform_prefix`` fold followed by
+    ``apply_hdh_sandwich_multi``), without materializing the uniform
+    planes. ``folded`` must NOT contain any of the k ancillas
+    (``fold_uniform_prefix`` never folds them); ``carrier`` is an
+    optional traced scalar equal to 1.0 at runtime (benchmark-chain
+    data dependence, see ``sim.tpu.uniform_planes``)."""
+    mu_terms = _canon_terms(mu_terms)
+    nu_terms_k = tuple(_canon_terms(ts) for ts in nu_terms_k)
+    k = len(nu_terms_k)
+    assert 1 <= k <= _MAX_SANDWICH_K
+    assert not any(anc_lo <= q < anc_lo + k for q in folded)
+    comp = ((1 << num_qubits) - 1) ^ sum(1 << q for q in folded)
     amp = (jnp.asarray(carrier, jnp.float32)
            * np.float32(2.0 ** (-0.5 * len(folded))))
-    parts.append(amp.reshape(1))
-    ang = jnp.concatenate(parts)
+    ang = _multi_smem_vector(k, nu_terms_k, nu_angles_k, nu_bases_k,
+                             mu_terms, mu_angles, mu_base, amp=amp)
     if isinstance(mu_base, (int, float)):
         has_mu = bool(mu_terms) or float(mu_base) != 0.0
     else:
         has_mu = True
-    return _hdh_quad_uniform_call(mu_terms, nu_terms4, int(anc_lo),
-                                  has_mu, comp, int(num_qubits), ang)
+    return _hdh_multi_uniform_call(mu_terms, nu_terms_k, int(anc_lo),
+                                   has_mu, comp, int(num_qubits), ang)
+
+
+def apply_hdh_sandwich_quad(re, im, anc_lo: int, nu_terms4, nu_angles4,
+                            nu_bases4, mu_terms=(), mu_angles=(),
+                            mu_base=0.0):
+    """Four adjacent-ancilla sandwiches in one pass (multi with k=4;
+    kept as the stable entry point for the sharded engine and tests)."""
+    return apply_hdh_sandwich_multi(re, im, anc_lo, nu_terms4,
+                                    nu_angles4, nu_bases4, mu_terms,
+                                    mu_angles, mu_base)
+
+
+def apply_hdh_sandwich_quad_uniform(num_qubits: int, folded, anc_lo: int,
+                                    nu_terms4, nu_angles4, nu_bases4,
+                                    mu_terms=(), mu_angles=(),
+                                    mu_base=0.0, carrier=1.0):
+    """Write-only uniform-init quad (multi-uniform with k=4)."""
+    return apply_hdh_sandwich_multi_uniform(
+        num_qubits, folded, anc_lo, nu_terms4, nu_angles4, nu_bases4,
+        mu_terms, mu_angles, mu_base, carrier)
 
 
 # --------------------------------------------------------------------------

@@ -741,9 +741,9 @@ def _apply_fused_local(re, im, ops, local_n: int, devbit):
                 nt2, [ev(x) for x in na2], ev(nb2),
                 mt, [ev(x) for x in ma], ev(mb),
             )
-        elif kind == "sandwich4":
+        elif kind in ("sandwich4", "sandwichk"):
             _, a, nts, nas, nbs, mt, ma, mb = op
-            re, im = K.apply_hdh_sandwich_quad(
+            re, im = K.apply_hdh_sandwich_multi(
                 re, im, a, nts,
                 tuple(tuple(ev(x) for x in na) for na in nas),
                 tuple(ev(b) for b in nbs),

@@ -228,50 +228,45 @@ def fuse_primitives(prim: list) -> list:
             i += 1
     ops = fused
 
-    # post-pass 1b: merge consecutive sandwiches on ADJACENT row ancillas
-    # into ONE pair pass (kernels.apply_hdh_sandwich_pair). QCMRF emits
-    # one sandwich per clique on consecutive ancilla qubits and no
-    # clique's profile mentions another clique's ancilla, so neighbours
-    # commute and compose as a position-dependent Rx ⊗ Rx — the 4 planes
-    # move once instead of twice (n=28 chain: 18 -> 12 passes).
-    paired = []
+    # post-pass 1b: group runs of consecutive-ancilla sandwiches into ONE
+    # multi pass (kernels.apply_hdh_sandwich_multi), up to
+    # kernels._MAX_SANDWICH_K ancillas per pass. QCMRF emits one sandwich
+    # per clique on consecutive ancilla qubits and no clique's profile
+    # mentions another clique's ancilla, so neighbours commute and
+    # compose as a position-dependent Rx tensor power — every full pass
+    # is HBM-bound on-chip (the multi kernel's compute is linear in k and
+    # a same-geometry pure copy costs the same), so the group size is the
+    # whole cost model: a 13-clique n=28 chain drops to 2 sandwich passes.
+    grouped = []   # each group: [list of sandwich ops sorted by ancilla]
+    out1b = []
     for op in ops:
-        prev = paired[-1] if paired else None
-        if (op[0] == "sandwich" and prev is not None
-                and prev[0] == "sandwich"
-                and abs(op[1] - prev[1]) == 1
-                and _sandwich_independent(prev, op)):
-            _, a1, nt1, na1, nb1, mt1, ma1, mb1 = prev
-            _, a2, nt2, na2, nb2, mt2, ma2, mb2 = op
-            if a1 > a2:  # order as (low, high); they commute
-                a1, nt1, na1, nb1, a2, nt2, na2, nb2 = (
-                    a2, nt2, na2, nb2, a1, nt1, na1, nb1)
-            paired[-1] = ("sandwich2", a1, nt1, na1, nb1, nt2, na2, nb2,
-                          mt1 + mt2, ma1 + ma2, mb1 + mb2)
+        g = grouped[-1] if grouped else None
+        if (op[0] == "sandwich" and g is not None
+                and len(g) < K._MAX_SANDWICH_K
+                and (op[1] == g[-1][1] + 1 or op[1] == g[0][1] - 1)
+                and _sandwich_group_independent(g, op)):
+            g.append(op) if op[1] == g[-1][1] + 1 else g.insert(0, op)
+        elif op[0] == "sandwich":
+            grouped.append([op])
+            out1b.append(grouped[-1])
         else:
-            paired.append(op)
-    ops = paired
-
-    # post-pass 1c: merge consecutive sandwich2 passes on consecutive
-    # ancilla QUADS into ONE quad pass (kernels.apply_hdh_sandwich_quad).
-    # Same commutation argument as 1b applied twice more: at n=28 the
-    # QCMRF chain drops 8 -> 5 passes (init + 3 quads + 1 single).
-    quads = []
-    for op in ops:
-        prev = quads[-1] if quads else None
-        if (op[0] == "sandwich2" and prev is not None
-                and prev[0] == "sandwich2"
-                and abs(op[1] - prev[1]) == 2
-                and _sandwich2_independent(prev, op)):
-            lo, hi = (prev, op) if prev[1] < op[1] else (op, prev)
-            quads[-1] = ("sandwich4", lo[1],
-                         (lo[2], lo[5], hi[2], hi[5]),
-                         (lo[3], lo[6], hi[3], hi[6]),
-                         (lo[4], lo[7], hi[4], hi[7]),
-                         lo[8] + hi[8], lo[9] + hi[9], lo[10] + hi[10])
-        else:
-            quads.append(op)
-    ops = quads
+            grouped.append(None)
+            out1b.append(op)
+    ops = []
+    for item in out1b:
+        if not isinstance(item, list) or len(item) == 1:
+            ops.append(item[0] if isinstance(item, list) else item)
+            continue
+        mt = sum((s[5] for s in item), ())
+        ma = sum((tuple(s[6]) for s in item), ())
+        mb = item[0][7]   # may be _SymAngle (sharded): no sum() 0-start
+        for s in item[1:]:
+            mb = mb + s[7]
+        ops.append(("sandwichk", item[0][1],
+                    tuple(s[2] for s in item),
+                    tuple(s[3] for s in item),
+                    tuple(s[4] for s in item),
+                    mt, ma, mb))
 
     # post-pass 2: merge 1q ops on ADJACENT row qubits into one 4x4 pass
     # (matrix index = bit(q_lo+1)*2 + bit(q_lo) -> kron(U_hi, U_lo)); the
@@ -291,25 +286,13 @@ def fuse_primitives(prim: list) -> list:
     return merged
 
 
-def _sandwich_independent(s1, s2) -> bool:
-    """True when neither sandwich's profile conditions on the other's
-    ancilla (the commutation requirement for pair fusion)."""
-    for a, other in ((s1[1], s2), (s2[1], s1)):
-        for terms in (other[2], other[5]):  # nu terms, mu terms
-            for conds in terms:
-                if any(p == a for p, _ in conds):
-                    return False
-    return True
-
-
-def _sandwich2_independent(s1, s2) -> bool:
-    """True when neither sandwich2's profiles condition on the other's
-    ancilla pair (the commutation requirement for quad fusion).
-    sandwich2 layout: (kind, a, nt1, na1, nb1, nt2, na2, nb2, mt, ma, mb)
-    with ancillas {a, a+1}."""
-    for this, other in ((s1, s2), (s2, s1)):
-        ancs = {this[1], this[1] + 1}
-        for terms in (other[2], other[5], other[8]):  # nu1, nu2, mu
+def _sandwich_group_independent(group, op) -> bool:
+    """True when no profile in ``group + [op]`` conditions on any of the
+    combined ancilla set (the commutation requirement for multi fusion).
+    Each element is a ('sandwich', a, nt, na, nb, mt, ma, mb) op."""
+    ancs = {s[1] for s in group} | {op[1]}
+    for s in list(group) + [op]:
+        for terms in (s[2], s[5]):  # nu terms, mu terms
             for conds in terms:
                 if any(p in ancs for p, _ in conds):
                     return False
@@ -363,16 +346,21 @@ def fuse_ops(circuit: Circuit) -> list:
     if not folded:
         return fuse_primitives(prim)
     ops = fuse_primitives(rest)
-    # post-pass: fold the write-only uniform init INTO the first quad
-    # sandwich (kernels.apply_hdh_sandwich_quad_uniform) — the uniform
-    # state's quad-ancilla bits are 0, so the quad's output on it has a
+    # post-pass: fold the write-only uniform init INTO the first multi
+    # sandwich (kernels.apply_hdh_sandwich_multi_uniform) — the uniform
+    # state's ancilla bits are 0, so the pass's output on it has a
     # closed form and one write-only pass replaces a write pass plus a
     # read+write pass (ancillas are never folded, see fold_uniform_prefix)
-    if ops and ops[0][0] == "sandwich4":
+    if ops and ops[0][0] in ("sandwichk", "sandwich4"):
         _, a, nts, nas, nbs, mt, ma, mb = ops[0]
-        if not any(a <= q < a + 4 for q in folded):
-            return [("sandwich4u", folded, a, nts, nas, nbs, mt, ma, mb)
+        if not any(a <= q < a + len(nts) for q in folded):
+            return [("sandwichku", folded, a, nts, nas, nbs, mt, ma, mb)
                     ] + ops[1:]
+    if ops and ops[0][0] == "sandwich":
+        _, a, nt, na, nb, mt, ma, mb = ops[0]
+        if a not in folded:
+            return [("sandwichku", folded, a, (nt,), (na,), (nb,),
+                     mt, ma, mb)] + ops[1:]
     return [("init_uniform", folded)] + ops
 
 
@@ -432,11 +420,16 @@ def _apply_ops(re, im, ops, num_qubits: int):
             re, im = K.apply_hdh_sandwich_quad(
                 re, im, a, nts, nas, nbs, mt, ma, mb
             )
-        elif op[0] == "sandwich4u":
+        elif op[0] == "sandwichk":
+            _, a, nts, nas, nbs, mt, ma, mb = op
+            re, im = K.apply_hdh_sandwich_multi(
+                re, im, a, nts, nas, nbs, mt, ma, mb
+            )
+        elif op[0] == "sandwichku":
             # write-only (first op when present); the carrier keeps
             # benchmark dummy-arg dependences alive, as for init_uniform
             _, folded, a, nts, nas, nbs, mt, ma, mb = op
-            re, im = K.apply_hdh_sandwich_quad_uniform(
+            re, im = K.apply_hdh_sandwich_multi_uniform(
                 num_qubits, folded, a, nts, nas, nbs, mt, ma, mb,
                 carrier=re[0, 0]
             )

@@ -105,32 +105,28 @@ def test_lane_matmul_precision_plumbing(precision):
 
 def test_fuse_ops_emits_sandwiches():
     """The H wall folds into one closed-form init, row-qubit clique
-    blocks collapse to ONE sandwich pass each, ADJACENT-ancilla
-    sandwiches pair into one sandwich2 pass, and adjacent PAIRS merge
-    again into one sandwich4 quad pass; lane-qubit ancillas (a < 7)
-    keep the unfused 3-pass form."""
+    blocks collapse to ONE sandwich pass each, runs of ADJACENT-ancilla
+    sandwiches group into one multi pass (up to kernels._MAX_SANDWICH_K
+    ancillas), and the leading group absorbs the uniform init as a
+    write-only sandwichku; lane-qubit ancillas (a < 7) keep the unfused
+    3-pass form."""
     mrf = rand_mrf([[i, i + 1] for i in range(6)], seed=1)  # width 15
     ops = stpu.fuse_ops(compile_qcmrf(mrf, with_measurements=False))
     kinds = [o[0] for o in ops]
     # variable H wall (qubits 0..6) -> closed-form uniform init, folded
-    # INTO the first quad pass (write-only sandwich4u)
-    assert kinds[0] == "sandwich4u" and ops[0][1] == tuple(range(7))
-    assert not {"lane", "rowq", "row2"} & set(kinds)
-    # 6 cliques on consecutive ancillas 8..13 -> 3 pair passes, the
-    # first two of which merge into one quad pass (absorbing the init)
-    assert kinds.count("sandwich2") == 1
-    assert kinds.count("sandwich") == 0
-    assert "diag" not in kinds  # every clique block fused
-    assert len(ops) == 2  # uniform-quad + pair: the whole circuit
+    # INTO the single 6-ancilla group: the WHOLE circuit is one
+    # write-only pass
+    assert kinds == ["sandwichku"] and ops[0][1] == tuple(range(7))
+    assert len(ops[0][3]) == 6  # all 6 clique profiles in one group
 
     # width 10: ancillas sit at qubits 6..9 — the a=6 block must stay
-    # unfused (lane qubit), a=(7,8) pair, a=9 is a lone sandwich
+    # unfused (lane qubit), a=(7,8,9) group into one 3-ancilla pass
     mrf10 = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4]], seed=2)
     ops10 = stpu.fuse_ops(compile_qcmrf(mrf10, with_measurements=False))
     kinds10 = [o[0] for o in ops10]
     assert kinds10[0] == "init_uniform"
-    assert kinds10.count("sandwich2") == 1
-    assert kinds10.count("sandwich") == 1
+    assert kinds10.count("sandwichk") == 1
+    assert kinds10.count("sandwich") == 0
     assert kinds10.count("diag") == 1
 
 
@@ -298,13 +294,13 @@ def test_sandwich_quad_kernel_matches_sequential():
 
 
 def test_uniform_quad_fusion_matches_dense():
-    """The write-only uniform-init + first-quad fusion (sandwich4u)
+    """The write-only uniform-init + first-group fusion (sandwichku)
     produces the identical statevector to the dense complex engine, and
     fuse_ops actually emits it for a >= 4-clique chain."""
     mrf = rand_mrf([[i, i + 1] for i in range(5)], seed=7)  # width 13
     circ = compile_qcmrf(mrf, with_measurements=False)
     ops = stpu.fuse_ops(circ)
-    assert ops[0][0] == "sandwich4u"
+    assert ops[0][0] == "sandwichku"
     got = to_complex(*stpu.run_statevector(circ))
     want = np.asarray(dense.run_statevector(circ))
     np.testing.assert_allclose(got, want, atol=1e-5)
