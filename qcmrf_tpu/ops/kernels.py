@@ -1289,9 +1289,12 @@ def apply_hdh_sandwich_pair(re, im, anc_lo: int,
 # --------------------------------------------------------------------------
 
 #: max ancillas fused per sandwich pass (2^k sub-planes per VMEM block;
-#: see the section comment). k=6 keeps blocks at 2048 rows with 32-row
-#: sub-slices and a ~1536-statement butterfly body.
-_MAX_SANDWICH_K = 6
+#: see the section comment). k=7 keeps blocks at 2048 rows with 16-row
+#: sub-slices; measured on-chip (2026-08-18 width-by-k sweep) k=7 is
+#: fastest or tied at every width 20-28 (n=28 chain: 2 passes, 14.5 ms
+#: vs 20.9 at k=6 and 33.8 at k=3) and its ~3600-statement butterfly
+#: body still remote-compiles in ~2 s.
+_MAX_SANDWICH_K = 7
 
 
 @functools.lru_cache(maxsize=1024)
