@@ -288,10 +288,14 @@ def main():
             jax.block_until_ready(fn(0))
             return best_of(fn, reps=reps)[0]
 
-        # gate-apply HBM bandwidth, measured at 2^24 amplitudes by the
-        # chain-length-difference method (single-dispatch sync calls;
-        # dispatch overhead cancels — see runners/bench.py). n=20 sweeps
-        # are pipeline-ramp-bound and measure overhead, not bandwidth.
+        # gate-apply effective HBM bandwidth at 2^24 amplitudes, measured
+        # by the donated-chain method (32 in-place passes per dispatch,
+        # wall-clock around the dispatch; see runners/bench.py
+        # _donated_chain_pass_ms). Earlier rounds used a fetch-forced
+        # chain DIFFERENCE, which under-counts per-pass time because the
+        # tunnel overlaps transport with execution (it reported copy
+        # rates above the chip's physical HBM spec); this method's
+        # end-to-end circuit numbers reproduce across sessions to <1%.
         bw_n = 24
         extra["gate_bw_n"] = bw_n
         lane_gbps, row_gbps = gate_apply_gbps(bw_n)
@@ -299,23 +303,16 @@ def main():
         extra["gate_row_gbps"] = round(row_gbps, 1)
 
         # same-run pure-copy reference: the tunnel's day-scale throughput
-        # drift cancels in the gate/copy RATIOS (VERDICT round-2 item 8)
+        # drift cancels in the gate/copy RATIOS (VERDICT round-2 item 8).
+        # Donated vs ping-pong and block sizes 512-4096 measure within
+        # noise of each other (2026-08-18 sweep), so ONE copy number is
+        # the roofline for every full read+write pass.
         from qcmrf_tpu.runners.bench import copy_kernel_gbps
 
-        copy_gbps = copy_kernel_gbps(bw_n)
+        copy_gbps = copy_kernel_gbps(bw_n, donate=True)
         extra["copy_kernel_gbps"] = round(copy_gbps, 1)
         extra["gate_lane_copy_ratio"] = round(lane_gbps / copy_gbps, 3)
         extra["gate_row_copy_ratio"] = round(row_gbps / copy_gbps, 3)
-
-        # donated (in-place) copy: the gate kernels donate their planes,
-        # so THIS is their like-for-like roofline — the non-donated copy
-        # chain ping-pongs over two buffer pairs and measures slower
-        # than donated gate passes despite identical byte counts.
-        inplace_gbps = copy_kernel_gbps(bw_n, donate=True)
-        extra["copy_inplace_gbps"] = round(inplace_gbps, 1)
-        extra["gate_lane_inplace_ratio"] = round(lane_gbps / inplace_gbps,
-                                                 3)
-        extra["gate_row_inplace_ratio"] = round(row_gbps / inplace_gbps, 3)
 
         # lane-pass MXU precision study (VERDICT round-3 item 5): rate at
         # DEFAULT/HIGH/HIGHEST bf16 pass counts (1/3/6) + error vs
@@ -401,12 +398,11 @@ def main():
 
         # per-op-class attribution of the n=28 gate-level time (VERDICT
         # round-3 item 4): each fused-op CLASS of the same n=28 circuit
-        # timed as its own fetch-forced chain (chain-difference method, so
-        # dispatch and plane init cancel); the classes' sum vs the
-        # measured end-to-end time localizes any remaining gap (per-pass
-        # work vs inter-pass overhead).
+        # timed as its own donated chain (same method as the end-to-end
+        # number); the classes' sum vs the end-to-end time localizes any
+        # remaining gap (per-pass work vs per-dispatch overhead).
         try:
-            from qcmrf_tpu.runners.bench import _fetch_seconds
+            from qcmrf_tpu.runners.bench import _donated_chain_pass_ms
 
             w28 = 28
             chain14 = MRF.create(
@@ -418,33 +414,20 @@ def main():
             by_class = {}
             for op in ops28:
                 by_class.setdefault(op[0], []).append(op)
-            S_REP, L_REP = 2, 6
             class_ms = {}
             for kind, klops in sorted(by_class.items()):
-                def rep_chain(R, klops=klops):
-                    @jax.jit
-                    def f(s):
-                        rows28 = (1 << w28) // 128
-                        r = jnp.zeros((rows28, 128), jnp.float32).at[
-                            0, 0].set(1.0 + 0.0 * s)
-                        i_ = jnp.zeros((rows28, 128), jnp.float32)
-                        for _ in range(R):
-                            r, i_ = stpu._apply_ops(r, i_, klops, w28)
-                        return r[0, 0]
-                    return f
-
-                dt_cls = _fetch_seconds(rep_chain(L_REP)) - _fetch_seconds(
-                    rep_chain(S_REP))
-                class_ms[f"{kind}_x{len(klops)}"] = round(
-                    dt_cls / (L_REP - S_REP) * 1e3, 2)
+                pass_ms = _donated_chain_pass_ms(
+                    lambda r, i_, klops=klops: stpu._apply_ops(
+                        r, i_, klops, w28),
+                    w28, passes=8, reps=3)
+                class_ms[f"{kind}_x{len(klops)}"] = round(pass_ms, 2)
             extra["qcmrf28_class_ms"] = class_ms
             extra["qcmrf28_class_sum_ms"] = round(
                 sum(class_ms.values()), 2)
             if "qcmrf28_gate_level_ms" in extra:
-                # the class chains cancel dispatch + fetch; the end-to-end
-                # number keeps them — the residual is per-dispatch tunnel
-                # overhead (~10 ms amortized over the _t rep loop), not
-                # kernel time
+                # classes amortize dispatch over 8 reps; the end-to-end
+                # number pays it once per call — the residual is that
+                # per-dispatch tunnel overhead, not kernel time
                 extra["qcmrf28_unattributed_ms"] = round(
                     extra["qcmrf28_gate_level_ms"]
                     - sum(class_ms.values()), 2)
