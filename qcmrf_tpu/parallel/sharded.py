@@ -688,6 +688,30 @@ def _plan_fused(circuit: Circuit, local_n: int, dlog: int):
         L = local_n
         axes = tuple(L - 1 - layout.pos[L - 1 - k] for k in range(L))
         plan.append(("perm", axes))
+
+    # fold the write-only uniform init INTO the first local sandwich
+    # group (mirrors sim.tpu.fuse_ops' sandwichku fusion; the fold is
+    # valid because ancillas are never folded, so the uniform shard's
+    # group-ancilla bits are 0). Closes the single-chip gap: one
+    # write-only pass replaces a write pass plus a read+write pass.
+    if (len(plan) >= 2 and plan[0][0] == "ops"
+            and plan[0][1] and plan[0][1][0][0] == "init_uniform"
+            and plan[1][0] == "ops" and plan[1][1]):
+        first = plan[1][1][0]
+        _, s_local, comp_dev, total = plan[0][1][0]
+        fold = None
+        if first[0] in ("sandwichk", "sandwich4"):
+            _, a, nts, nas, nbs, mt, ma, mb = first
+            if not any(a <= q < a + len(nts) for q in s_local):
+                fold = ("sandwichku", s_local, comp_dev, total, a,
+                        nts, nas, nbs, mt, ma, mb)
+        elif first[0] == "sandwich":
+            _, a, nt, na, nb, mt, ma, mb = first
+            if a not in s_local:
+                fold = ("sandwichku", s_local, comp_dev, total, a,
+                        (nt,), (na,), (nb,), mt, ma, mb)
+        if fold is not None:
+            plan = ([("ops", [fold] + plan[1][1][1:])] + plan[2:])
     return plan, layout.remaps
 
 
@@ -748,6 +772,20 @@ def _apply_fused_local(re, im, ops, local_n: int, devbit):
                 tuple(tuple(ev(x) for x in na) for na in nas),
                 tuple(ev(b) for b in nbs),
                 mt, [ev(x) for x in ma], ev(mb),
+            )
+        elif kind == "sandwichku":
+            # write-only uniform-init + first-group fusion: the shard's
+            # uniform amplitude (incl. the all-zero-shard device-bit
+            # product) rides the carrier, as init_uniform's does
+            _, s_local, comp_dev, total, a, nts, nas, nbs, mt, ma, mb = op
+            dv = jnp.float32(2.0 ** (-0.5 * (total - len(s_local))))
+            for j in comp_dev:
+                dv = dv * (1.0 - devbit(j).astype(jnp.float32))
+            re, im = K.apply_hdh_sandwich_multi_uniform(
+                local_n, s_local, a, nts,
+                tuple(tuple(ev(x) for x in na) for na in nas),
+                tuple(ev(b) for b in nbs),
+                mt, [ev(x) for x in ma], ev(mb), carrier=dv,
             )
         else:  # rowq
             _, U, q = op

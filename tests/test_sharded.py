@@ -182,6 +182,24 @@ def test_sharded_qcmrf_2e20_amplitudes(mesh8):
     )
 
 
+def test_fused_plan_folds_uniform_into_first_sandwich():
+    """The write-only uniform init folds INTO the head sandwich group of
+    the fused sharded plan (``sandwichku``), matching the single-chip
+    engine's pass count — no standalone ``init_uniform`` pass remains.
+    Plan-level pin so the fold can't silently disengage (the equality
+    tests above stay green either way)."""
+    cliques = [[i, i + 1] for i in range(9)]
+    mrf = rand_mrf(cliques, seed=12, scale=0.3)
+    circ = compile_qcmrf(mrf, with_measurements=False)
+    n = circ.num_qubits
+    for dlog in (0, 3):
+        plan, _ = sharded._plan_fused(circ, n - dlog, dlog)
+        head = plan[0]
+        assert head[0] == "ops" and head[1][0][0] == "sandwichku"
+        kinds = [o[0] for e in plan if e[0] == "ops" for o in e[1]]
+        assert "init_uniform" not in kinds
+
+
 def test_statevector_executable_cache(mesh4):
     """Repeat calls with an identical gate stream hit the compiled
     executable (no re-trace) and still report the trace-time remap count;
