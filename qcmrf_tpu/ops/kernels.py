@@ -102,6 +102,134 @@ def _logpot_block(x, coef_ref, beta_ref, cliques, n: int, fuse_amp: bool):
     return acc
 
 
+def _split_cliques(cliques: tuple, n: int, L: int):
+    """Partition cliques by a block cut at state-id bit ``L``: variable v
+    lives in a block's LOW id bits iff its bit position (n-1-v) < L
+    (variable 0 = MSB; see utils/bits.py)."""
+    low, high, cross = [], [], []
+    for k, C in enumerate(cliques):
+        inlow = [(n - 1 - v) < L for v in C]
+        if all(inlow):
+            low.append((k, tuple(C)))
+        elif not any(inlow):
+            high.append((k, tuple(C)))
+        else:
+            cross.append((k, tuple(C)))
+    return low, high, cross
+
+
+def _split_logpot(offset, coef_ref, cliques, n: int, L: int):
+    """Block-invariant / per-block split of the Moebius log-potential sum
+    for single-program loop kernels sweeping 2^L-state blocks.
+
+    Every block's state ids decompose as ``x = base + offset`` with
+    ``base`` a multiple of 2^L (the loop kernels' block size is a power
+    of two and every caller's ``x0`` is a multiple of it — full sweeps
+    use x0=0, ICI shards start at device*2^(n-dlog)), so
+
+    * cliques entirely in LOW id bits contribute identically in every
+      block: evaluated ONCE on the offset planes (returned ``acc0``);
+    * cliques entirely in HIGH bits reduce to ONE scalar per block;
+    * crossing cliques reduce to per-block scalar coefficients FMA'd
+      onto loop-invariant low-bit monomial planes.
+
+    Per-block VECTOR work then scales with the number of cut-crossing
+    cliques, not the total clique count — for grid models the cut
+    crosses ~1 column of edges, so the former per-block re-evaluation
+    of every clique (``_logpot_block``) drops ~10x of its VPU work.
+
+    Returns ``(invariants, vary)``: ``invariants`` is a flat tuple of
+    (block, LANE) planes (the low-clique accumulator first, then the
+    crossing cliques' monomials) and ``vary(base, invariants)``
+    evaluates the full per-block log-potential. Callers MUST thread
+    ``invariants`` through their ``fori_loop`` carry: Mosaic does not
+    reliably hoist multi-plane invariant subgraphs out of the loop
+    (measured: the n=24 grid recomputed ~4 MB of planes every
+    iteration, 10x slower per step, while the n=28 compile hoisted).
+    """
+    cmax = max(len(C) for C in cliques)
+    low, high, cross = _split_cliques(cliques, n, L)
+
+    lowvars = [v for _, C in low + cross for v in C if (n - 1 - v) < L]
+    planes = moebius.extract_bit_planes(offset, lowvars, n)
+    acc0 = jnp.zeros(offset.shape, jnp.float32)
+    for k, C in low:
+        off = k << cmax
+        acc0 = moebius.eval_multilinear(
+            [planes[v] for v in C], len(C),
+            lambda s, off=off: coef_ref[off + s], acc0,
+        )
+
+    # loop-invariant low-bit monomial planes of the crossing cliques,
+    # one per (clique, nonempty low-slot subset); slot bit i <-> C[i].
+    # Flattened into the invariants tuple in deterministic order so the
+    # kernels can carry them through fori_loop.
+    mono_index = {}
+    mono_planes = []
+    cross_meta = []
+    for k, C in cross:
+        L_slots = [i for i, v in enumerate(C) if (n - 1 - v) < L]
+        H_slots = [i for i, v in enumerate(C) if (n - 1 - v) >= L]
+        for t in range(1, 1 << len(L_slots)):
+            sl, p = 0, None
+            for j in range(len(L_slots)):
+                if (t >> j) & 1:
+                    sl |= 1 << L_slots[j]
+                    b = planes[C[L_slots[j]]]
+                    p = b if p is None else p * b
+            mono_index[(k, sl)] = len(mono_planes)
+            mono_planes.append(p)
+        cross_meta.append((k, C, L_slots, H_slots))
+
+    hvars = sorted({v for _, C in high + cross for v in C
+                    if (n - 1 - v) >= L})
+    invariants = (acc0,) + tuple(mono_planes)
+
+    def vary(base, inv):
+        acc0, monos = inv[0], inv[1:]
+        hb = {v: ((base >> (n - 1 - v)) & 1).astype(jnp.float32)
+              for v in hvars}
+        sacc = jnp.float32(0.0)
+        for k, C in high:
+            off = k << cmax
+            sacc = moebius.eval_multilinear(
+                [hb[v] for v in C], len(C),
+                lambda s, off=off: coef_ref[off + s], sacc,
+            )
+        acc = acc0
+        for k, C, L_slots, H_slots in cross_meta:
+            off = k << cmax
+
+            def hidx(s, H_slots=H_slots):
+                e = 0
+                for j in range(len(H_slots)):
+                    if (s >> j) & 1:
+                        e |= 1 << H_slots[j]
+                return e
+
+            for t in range(1 << len(L_slots)):
+                sl = 0
+                for j in range(len(L_slots)):
+                    if (t >> j) & 1:
+                        sl |= 1 << L_slots[j]
+                # scalar reduced coefficient: the clique's multilinear
+                # form marginalized onto this low-slot subset at the
+                # block's high bits
+                cL = moebius.eval_multilinear(
+                    [hb[C[i]] for i in H_slots], len(H_slots),
+                    lambda s, off=off, sl=sl, hidx=hidx:
+                        coef_ref[off + sl + hidx(s)],
+                    jnp.float32(0.0),
+                )
+                if sl == 0:
+                    sacc = sacc + cL
+                else:
+                    acc = acc + cL * monos[mono_index[(k, sl)]]
+        return acc + sacc
+
+    return invariants, vary
+
+
 @functools.lru_cache(maxsize=256)
 def _build_logpot_kernel(cliques: tuple, n: int, block_rows: int,
                          fuse_amp: bool):
@@ -131,6 +259,8 @@ def _build_logpot_loop_kernel(cliques: tuple, n: int, block_rows: int,
     loop — compile time is then independent of n.
     """
 
+    assert block_rows & (block_rows - 1) == 0, block_rows
+
     def kernel(coef_ref, beta_ref, x0_ref, out_hbm_ref):
         def body(scratch, sem):
             rows = jax.lax.broadcasted_iota(
@@ -139,12 +269,16 @@ def _build_logpot_loop_kernel(cliques: tuple, n: int, block_rows: int,
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (block_rows, LANE), 1
             )
+            offset = rows * LANE + cols
+            L = block_rows.bit_length() - 1 + 7  # log2(block states)
+            inv0, vary = _split_logpot(offset, coef_ref, cliques, n, L)
+            block = block_rows * LANE
 
-            def step(i, _):
-                x = x0_ref[0] + (i * block_rows + rows) * LANE + cols
-                scratch[:] = _logpot_block(
-                    x, coef_ref, beta_ref, cliques, n, fuse_amp
-                )
+            def step(i, inv):
+                acc = beta_ref[0] * vary(x0_ref[0] + i * block, inv)
+                if fuse_amp:
+                    acc = jnp.exp(0.5 * acc) * (2.0 ** (-0.5 * n))
+                scratch[:] = acc
                 dma = pltpu.make_async_copy(
                     scratch,
                     out_hbm_ref.at[pl.ds(i * block_rows, block_rows), :],
@@ -152,9 +286,9 @@ def _build_logpot_loop_kernel(cliques: tuple, n: int, block_rows: int,
                 )
                 dma.start()
                 dma.wait()
-                return 0
+                return inv
 
-            jax.lax.fori_loop(0, num_blocks, step, 0)
+            jax.lax.fori_loop(0, num_blocks, step, inv0)
 
         pl.run_scoped(
             body,
@@ -342,29 +476,36 @@ def _build_lse_loop_kernel(cliques: tuple, n: int, block_rows: int,
     materializing it: a single grid program sweeps the state space with a
     fori_loop, carrying per-lane running (max, scaled-sum) pairs in
     vector registers. HBM traffic drops from write-1-table +
-    read-it-back-twice to one (8, 128) output block. The sweep was
-    already Moebius-FMA-bound, so the speedup is modest (n=28: 55->51 ms
-    measured) — the real win is that NO 2^n table materializes: n=31
-    (where the 8.6 GB table would not fit beside anything else) runs in
-    381 ms on one chip, validated against variable elimination."""
+    read-it-back-twice to one (8, 128) output block, and the
+    block-invariant split (:func:`_split_logpot`) removes the VPU
+    bottleneck the first version had: re-evaluating every clique per
+    block cost 48.8 ms at n=28, the split's cut-only per-block work
+    costs 7.4 ms (grid 4x7) and 14.2 ms at n=31 (chain; was 381 ms) —
+    where the 8.6 GB table would not fit beside anything else. Both
+    validated against variable elimination."""
+
+    assert block_rows & (block_rows - 1) == 0, block_rows
 
     def kernel(coef_ref, beta_ref, x0_ref, out_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+        offset = rows * LANE + cols
+        L = block_rows.bit_length() - 1 + 7  # log2(states per block)
+        inv0, vary = _split_logpot(offset, coef_ref, cliques, n, L)
+        block = block_rows * LANE
 
         def step(i, carry):
-            m, s = carry
-            x = x0_ref[0] + (i * block_rows + rows) * LANE + cols
-            acc = _logpot_block(x, coef_ref, beta_ref, cliques, n, False)
+            m, s, inv = carry
+            acc = beta_ref[0] * vary(x0_ref[0] + i * block, inv)
             bm = jnp.max(acc, axis=0, keepdims=True)
             bs = jnp.sum(jnp.exp(acc - bm), axis=0, keepdims=True)
             new_m = jnp.maximum(m, bm)
             s = s * jnp.exp(m - new_m) + bs * jnp.exp(bm - new_m)
-            return new_m, s
+            return new_m, s, inv
 
         m0 = jnp.full((1, LANE), -jnp.inf, jnp.float32)
         s0 = jnp.zeros((1, LANE), jnp.float32)
-        m, s = jax.lax.fori_loop(0, num_blocks, step, (m0, s0))
+        m, s, _ = jax.lax.fori_loop(0, num_blocks, step, (m0, s0, inv0))
         # row 0: per-lane max, row 1: per-lane scaled sum (Mosaic wants
         # >= 8 sublane rows per output block)
         out_ref[:] = jnp.concatenate(

@@ -188,6 +188,44 @@ def test_log_partition_fused_random_structures():
         assert abs(fused - ref) < 5e-4, (trial, cliques, fused, ref)
 
 
+@pytest.mark.parametrize("block_rows", [8, 16])
+def test_split_logpot_multiblock(block_rows):
+    """Multi-block streaming sweep with HIGH and CROSSING cliques.
+
+    The production block size keeps small-n sweeps in ONE block, where
+    every clique is block-low and _split_logpot's high/cross paths never
+    execute on the CPU suite — so drive the LSE loop kernel directly at
+    a forced small block (n=12 grid, 32/16 blocks: the cut crosses
+    several edges and whole columns land in the high bits), plus a
+    nonzero x0 mimicking a sharded device slice."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = grid_mrf(3, 4)
+    rng = np.random.RandomState(5)
+    m = g.with_theta(jnp.asarray(
+        -np.abs(rng.randn(g.dimension)).astype(np.float32) * 0.4))
+    coef = kernels._moebius_coefficients(m)
+    beta = jnp.reshape(jnp.asarray(m.beta, jnp.float32), (1,))
+    full = np.asarray(m.beta * m.all_log_potentials())
+
+    for x0_states, num_states in ((0, 1 << m.n), (1 << 11, 1 << 11)):
+        rows = num_states // 128
+        kernel = kernels._build_lse_loop_kernel(
+            m.cliques, m.n, block_rows, rows // block_rows)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=True,
+        )(coef, beta, jnp.full((1,), x0_states, jnp.int32))
+        got = float(kernels._combine_lse(out[0], out[1]))
+        ref = full[x0_states:x0_states + num_states]
+        want = float(np.log(np.exp(ref - ref.max()).sum()) + ref.max())
+        assert abs(got - want) < 5e-4, (block_rows, x0_states, got, want)
+
+
 def test_row_gate_high_qubit_stride_tiling():
     """apply_1q on a high row qubit exercises the stride-axis tiling
     (stride_rows > 256): without it the VMEM block grows with 2^(q-7)
