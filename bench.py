@@ -530,14 +530,15 @@ def main():
 
         try:
             # exact lnZ latency beyond the reference's 10-qubit ceiling;
-            # the n=30 grid / n=31 chain rows showcase the streaming
+            # the n=30 grid / n=34 chain rows showcase the streaming
             # kernel's block-invariant energy split (no 2^n table, per-
-            # block vector work only for cut-crossing cliques)
+            # block vector work only for cut-crossing cliques; block-unit
+            # base indices keep n>=32 state ids inside int32)
             from qcmrf_tpu.models.mrf import MRF
 
             models = [grid_mrf(4, 6), grid_mrf(4, 7), grid_mrf(5, 6)]
-            n31 = 31
-            models.append(MRF.create([[i, i + 1] for i in range(n31 - 1)]))
+            n34 = 34
+            models.append(MRF.create([[i, i + 1] for i in range(n34 - 1)]))
             for g in models:
                 gm = g.with_theta(jnp.asarray(
                     -np.abs(np.random.RandomState(1).randn(g.dimension))

@@ -122,10 +122,10 @@ def _split_logpot(offset, coef_ref, cliques, n: int, L: int):
     """Block-invariant / per-block split of the Moebius log-potential sum
     for single-program loop kernels sweeping 2^L-state blocks.
 
-    Every block's state ids decompose as ``x = base + offset`` with
-    ``base`` a multiple of 2^L (the loop kernels' block size is a power
-    of two and every caller's ``x0`` is a multiple of it — full sweeps
-    use x0=0, ICI shards start at device*2^(n-dlog)), so
+    Every block's state ids decompose as ``x = base_blocks * 2^L +
+    offset`` (the loop kernels' block size is a power of two and every
+    caller's ``x0`` is a multiple of it — full sweeps use x0=0, ICI
+    shards start at device*2^(n-dlog)), so
 
     * cliques entirely in LOW id bits contribute identically in every
       block: evaluated ONCE on the offset planes (returned ``acc0``);
@@ -140,12 +140,17 @@ def _split_logpot(offset, coef_ref, cliques, n: int, L: int):
 
     Returns ``(invariants, vary)``: ``invariants`` is a flat tuple of
     (block, LANE) planes (the low-clique accumulator first, then the
-    crossing cliques' monomials) and ``vary(base, invariants)``
-    evaluates the full per-block log-potential. Callers MUST thread
-    ``invariants`` through their ``fori_loop`` carry: Mosaic does not
-    reliably hoist multi-plane invariant subgraphs out of the loop
-    (measured: the n=24 grid recomputed ~4 MB of planes every
-    iteration, 10x slower per step, while the n=28 compile hoisted).
+    crossing cliques' monomials) and ``vary(base_blocks, invariants)``
+    evaluates the full per-block log-potential. ``base_blocks`` is the
+    absolute block index ``x >> L`` — working in BLOCK units keeps every
+    in-kernel integer below int32 even past the 2^31-state-id limit
+    (bit ``p`` of x for p >= L is bit ``p - L`` of base_blocks), which
+    is what lets the streaming lnZ run n >= 32 on int32 hardware.
+    Callers MUST thread ``invariants`` through their ``fori_loop``
+    carry: Mosaic does not reliably hoist multi-plane invariant
+    subgraphs out of the loop (measured: the n=24 grid recomputed ~4 MB
+    of planes every iteration, 10x slower per step, while the n=28
+    compile hoisted).
     """
     cmax = max(len(C) for C in cliques)
     low, high, cross = _split_cliques(cliques, n, L)
@@ -185,9 +190,9 @@ def _split_logpot(offset, coef_ref, cliques, n: int, L: int):
                     if (n - 1 - v) >= L})
     invariants = (acc0,) + tuple(mono_planes)
 
-    def vary(base, inv):
+    def vary(base_blocks, inv):
         acc0, monos = inv[0], inv[1:]
-        hb = {v: ((base >> (n - 1 - v)) & 1).astype(jnp.float32)
+        hb = {v: ((base_blocks >> (n - 1 - v - L)) & 1).astype(jnp.float32)
               for v in hvars}
         sacc = jnp.float32(0.0)
         for k, C in high:
@@ -272,10 +277,10 @@ def _build_logpot_loop_kernel(cliques: tuple, n: int, block_rows: int,
             offset = rows * LANE + cols
             L = block_rows.bit_length() - 1 + 7  # log2(block states)
             inv0, vary = _split_logpot(offset, coef_ref, cliques, n, L)
-            block = block_rows * LANE
+            x0b = x0_ref[0] // (block_rows * LANE)  # block units
 
             def step(i, inv):
-                acc = beta_ref[0] * vary(x0_ref[0] + i * block, inv)
+                acc = beta_ref[0] * vary(x0b + i, inv)
                 if fuse_amp:
                     acc = jnp.exp(0.5 * acc) * (2.0 ** (-0.5 * n))
                 scratch[:] = acc
@@ -486,17 +491,18 @@ def _build_lse_loop_kernel(cliques: tuple, n: int, block_rows: int,
 
     assert block_rows & (block_rows - 1) == 0, block_rows
 
-    def kernel(coef_ref, beta_ref, x0_ref, out_ref):
+    def kernel(coef_ref, beta_ref, x0b_ref, out_ref):
+        # x0b_ref is the slice start in BLOCK units (states >> L): block
+        # units keep every in-kernel integer inside int32 past n=31
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
         offset = rows * LANE + cols
         L = block_rows.bit_length() - 1 + 7  # log2(states per block)
         inv0, vary = _split_logpot(offset, coef_ref, cliques, n, L)
-        block = block_rows * LANE
 
         def step(i, carry):
             m, s, inv = carry
-            acc = beta_ref[0] * vary(x0_ref[0] + i * block, inv)
+            acc = beta_ref[0] * vary(x0b_ref[0] + i, inv)
             bm = jnp.max(acc, axis=0, keepdims=True)
             bs = jnp.sum(jnp.exp(acc - bm), axis=0, keepdims=True)
             new_m = jnp.maximum(m, bm)
@@ -515,9 +521,18 @@ def _build_lse_loop_kernel(cliques: tuple, n: int, block_rows: int,
     return kernel
 
 
+def lse_block_states(cliques: tuple, num_states: int) -> int:
+    """States per block of the streaming-lnZ kernel — the unit of its
+    ``x0_blocks`` argument (callers with a device-slice offset divide by
+    this; keeping x0 in block units is what stays inside int32 for
+    n >= 32)."""
+    return _pick_block_rows(cliques, num_states // LANE) * LANE
+
+
 def _lse_partials_call(cliques: tuple, n: int, num_states: int, coef,
-                       beta, x0):
-    """(max, scaled-sum) per lane over ``num_states`` states from x0."""
+                       beta, x0_blocks):
+    """(max, scaled-sum) per lane over ``num_states`` states starting at
+    block index ``x0_blocks`` (see :func:`lse_block_states`)."""
     rows = num_states // LANE
     block_rows = _pick_block_rows(cliques, rows)
     kernel = _build_lse_loop_kernel(cliques, n, block_rows,
@@ -528,11 +543,11 @@ def _lse_partials_call(cliques: tuple, n: int, num_states: int, coef,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (d,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0_blocks (1,)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(coef, beta, x0)
+    )(coef, beta, x0_blocks)
     return out[0], out[1]
 
 

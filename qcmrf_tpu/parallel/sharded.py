@@ -93,7 +93,13 @@ def _kernel_slice_args(mrf: MRF, dlog: int, axis: str):
     computed here so no caller re-derives it."""
     chunk = 1 << (mrf.n - dlog)
     d = jax.lax.axis_index(axis)
-    x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
+    if chunk < (1 << 31):
+        x0 = jnp.reshape((d * chunk).astype(jnp.int32), (1,))
+    else:
+        # state-unit offsets overflow int32 at this scale; the only
+        # consumer that runs here (streaming lnZ) derives its own
+        # BLOCK-unit offset instead (kernels.lse_block_states)
+        x0 = jnp.zeros((1,), jnp.int32)
     on_tpu = jax.default_backend() == "tpu"
     if not (mrf.n - dlog >= K._MIN_KERNEL_N
             and (on_tpu or mrf.n - dlog <= 16)):
@@ -150,9 +156,14 @@ def _build_lnZ_fn(cliques: tuple, n: int, mesh: Mesh):
         if coef is not None:
             # streaming per-lane (max, scaled-sum) partials: no local
             # 2^(n-dlog) table materializes on any device, so the sharded
-            # ceiling is compute-bound, not memory-bound
+            # ceiling is compute-bound, not memory-bound. The slice
+            # offset is passed in BLOCK units (device * blocks-per-chunk,
+            # int32-safe past n=31; kernels.lse_block_states).
+            x0b = (jax.lax.axis_index(axis).astype(jnp.int32)
+                   * (chunk // K.lse_block_states(template.cliques,
+                                                  chunk)))[None]
             ml, sl = K._lse_partials_call(template.cliques, n, chunk,
-                                          coef, beta32, x0)
+                                          coef, beta32, x0b)
             m = jax.lax.pmax(jnp.max(ml), axis)
             local = jnp.sum(sl * jnp.exp(ml - m))
         else:

@@ -213,17 +213,67 @@ def test_split_logpot_multiblock(block_rows):
         rows = num_states // 128
         kernel = kernels._build_lse_loop_kernel(
             m.cliques, m.n, block_rows, rows // block_rows)
+        x0b = x0_states // (block_rows * 128)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=True,
-        )(coef, beta, jnp.full((1,), x0_states, jnp.int32))
+        )(coef, beta, jnp.full((1,), x0b, jnp.int32))
         got = float(kernels._combine_lse(out[0], out[1]))
         ref = full[x0_states:x0_states + num_states]
         want = float(np.log(np.exp(ref - ref.max()).sum()) + ref.max())
         assert abs(got - want) < 5e-4, (block_rows, x0_states, got, want)
+
+
+def test_split_logpot_past_int32_state_ids():
+    """Block-unit bases keep the streaming sweep inside int32 past the
+    2^31-state-id limit: an n=34 chain slice starting beyond 2^33 must
+    match an int64 numpy enumeration of the same states. (The full n=34
+    sweep runs on the real chip only; this pins the >int32 bit
+    arithmetic that enables it.)"""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 34
+    cliques = [[i, i + 1] for i in range(n - 1)]
+    rng = np.random.RandomState(9)
+    m = MRF.create(cliques, theta=jnp.asarray(
+        -np.abs(rng.randn(4 * (n - 1))).astype(np.float32) * 0.3))
+    coef = kernels._moebius_coefficients(m)
+    beta = jnp.reshape(jnp.asarray(m.beta, jnp.float32), (1,))
+
+    block_rows, num_states = 8, 1 << 12  # 4 blocks of 2^10 states
+    x0_states = (1 << 33) + (1 << 31) + 5 * (1 << 12)  # > int32 max
+    x0b = x0_states // (block_rows * 128)
+    kernel = kernels._build_lse_loop_kernel(
+        tuple(tuple(C) for C in m.cliques), n, block_rows,
+        (num_states // 128) // block_rows)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=True,
+    )(coef, beta, jnp.full((1,), x0b, jnp.int32))
+    got = float(kernels._combine_lse(out[0], out[1]))
+
+    # int64 host reference over the same slice
+    x = np.arange(x0_states, x0_states + num_states, dtype=np.int64)
+    lp = np.zeros(num_states, np.float64)
+    th = np.asarray(m.theta, np.float64)
+    off = 0
+    for C in m.cliques:
+        idx = np.zeros(num_states, np.int64)
+        for slot, v in enumerate(C):  # y[0] slowest: slot 0 = MSB of y
+            bit = (x >> np.int64(n - 1 - v)) & 1
+            idx |= bit << np.int64(len(C) - 1 - slot)
+        lp += th[off + idx]
+        off += 1 << len(C)
+    lp *= float(m.beta)
+    want = float(np.log(np.exp(lp - lp.max()).sum()) + lp.max())
+    assert abs(got - want) < 5e-4, (got, want)
 
 
 def test_row_gate_high_qubit_stride_tiling():
