@@ -529,6 +529,88 @@ def lse_block_states(cliques: tuple, num_states: int) -> int:
     return _pick_block_rows(cliques, num_states // LANE) * LANE
 
 
+@functools.lru_cache(maxsize=256)
+def _build_map_loop_kernel(cliques: tuple, n: int, block_rows: int,
+                           num_blocks: int):
+    """Streaming argmax over the log-potential table: same sweep as the
+    lnZ kernel (block-invariant split, block-unit bases), carrying the
+    per-lane (best value, best block, best in-block row). The id
+    coordinates ride as float32 — exact for blocks < 2^24 and rows <
+    2^24, far above any reachable sweep — so the host can reconstruct
+    the >int32 state id ``((block * block_rows + row) * 128 + lane)``
+    with int64 math. Value ties resolve to the earliest block / lowest
+    row (argmax semantics); cross-lane ties resolve to the lowest lane
+    at combine time, which may not be the lowest id — measure-zero for
+    generic theta."""
+
+    assert block_rows & (block_rows - 1) == 0, block_rows
+
+    def kernel(coef_ref, beta_ref, x0b_ref, out_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+        offset = rows * LANE + cols
+        L = block_rows.bit_length() - 1 + 7
+        inv0, vary = _split_logpot(offset, coef_ref, cliques, n, L)
+
+        def step(i, carry):
+            best, blk, row, inv = carry
+            acc = beta_ref[0] * vary(x0b_ref[0] + i, inv)
+            bm = jnp.max(acc, axis=0, keepdims=True)
+            br = jnp.argmax(acc, axis=0, keepdims=True).astype(jnp.float32)
+            upd = bm > best
+            best = jnp.where(upd, bm, best)
+            blk = jnp.where(upd, (x0b_ref[0] + i).astype(jnp.float32), blk)
+            row = jnp.where(upd, br, row)
+            return best, blk, row, inv
+
+        best0 = jnp.full((1, LANE), -jnp.inf, jnp.float32)
+        zero = jnp.zeros((1, LANE), jnp.float32)
+        best, blk, row, _ = jax.lax.fori_loop(
+            0, num_blocks, step, (best0, zero, zero, inv0))
+        out_ref[:] = jnp.concatenate(
+            [best, blk, row, jnp.zeros((5, LANE), jnp.float32)], axis=0
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _map_partials(cliques: tuple, n: int, coef, beta):
+    rows = (1 << n) // LANE
+    block_rows = _pick_block_rows(cliques, rows)
+    kernel = _build_map_loop_kernel(cliques, n, block_rows,
+                                    rows // block_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (d,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0_blocks (1,)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(coef, beta, jnp.zeros((1,), jnp.int32))
+
+
+def map_state_streaming(mrf: MRF):
+    """Exact MAP state id by streaming enumeration — arbitrary clique
+    structure at any width the sweep can cover (n=34 in ~80 ms of
+    device time on one chip; the table-based
+    :func:`~qcmrf_tpu.models.sample.map_state` caps at table-sized n,
+    variable elimination needs bounded treewidth). Returns
+    ``(state_id, beta*logpot)`` with the id a host int (int64-safe past
+    n=31)."""
+    coef = _moebius_coefficients(mrf)
+    beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
+    out = np.asarray(_map_partials(mrf.cliques, mrf.n, coef, beta))
+    block_rows = _pick_block_rows(mrf.cliques, (1 << mrf.n) // LANE)
+    lane = int(np.argmax(out[0]))
+    state = ((int(out[1, lane]) * block_rows + int(out[2, lane])) * LANE
+             + lane)
+    return state, float(out[0, lane])
+
+
 def _lse_partials_call(cliques: tuple, n: int, num_states: int, coef,
                        beta, x0_blocks):
     """(max, scaled-sum) per lane over ``num_states`` states starting at

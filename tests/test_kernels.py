@@ -276,6 +276,49 @@ def test_split_logpot_past_int32_state_ids():
     assert abs(got - want) < 5e-4, (got, want)
 
 
+def test_map_state_streaming_matches_table():
+    """Streaming argmax == table argmax (value and id) on structures the
+    table path can enumerate, including a forced multi-block sweep so
+    block-boundary carry logic executes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from qcmrf_tpu.models.sample import map_state
+
+    for seed, cliques in ((3, [[0, 1], [1, 2], [2, 3], [3, 4], [4, 5],
+                               [5, 6], [6, 7], [7, 8], [8, 9], [9, 10],
+                               [10, 11]]),
+                          (4, [[0, 1, 2], [2, 3, 4], [4, 5, 6, 7],
+                               [7, 8, 9], [9, 10, 11]])):
+        m = rand_mrf(cliques, seed=seed, scale=0.6)
+        want_id = int(map_state(m))
+        want_val = float((m.beta * m.all_log_potentials())[want_id])
+        got_id, got_val = kernels.map_state_streaming(m)
+        assert got_id == want_id
+        assert abs(got_val - want_val) < 1e-4
+
+        # forced 4-block sweep through the builder (production picks one
+        # block at this n, skipping the cross-block carry)
+        coef = kernels._moebius_coefficients(m)
+        beta = jnp.reshape(jnp.asarray(m.beta, jnp.float32), (1,))
+        block_rows = 8
+        kernel = kernels._build_map_loop_kernel(
+            tuple(tuple(C) for C in m.cliques), m.n, block_rows,
+            ((1 << m.n) // 128) // block_rows)
+        out = np.asarray(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=True,
+        )(coef, beta, jnp.zeros((1,), jnp.int32)))
+        lane = int(np.argmax(out[0]))
+        state = ((int(out[1, lane]) * block_rows + int(out[2, lane]))
+                 * 128 + lane)
+        assert state == want_id
+        assert abs(float(out[0, lane]) - want_val) < 1e-4
+
+
 def test_row_gate_high_qubit_stride_tiling():
     """apply_1q on a high row qubit exercises the stride-axis tiling
     (stride_rows > 256): without it the VMEM block grows with 2^(q-7)
