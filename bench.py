@@ -135,19 +135,36 @@ def _gate_level_subprocess(nn: int, timeout: float = 900.0) -> dict:
         f"    'qcmrf{w}_fused_passes': len(ops),\n"
         f"    'qcmrf{w}_gates': len(circ.gates)}}))\n"
     )
+    import tempfile
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], env=dict(os.environ),
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=timeout,
-        )
-        if r.returncode != 0:
-            tail = (r.stderr or "").strip().splitlines()[-1:]
-            return {f"qcmrf{w}_error": f"child rc={r.returncode}: "
-                                       f"{' '.join(tail)[:200]}"}
-        return json.loads(r.stdout.strip().splitlines()[-1])
-    except subprocess.TimeoutExpired:
-        return {f"qcmrf{w}_error": f"child timeout {timeout}s"}
+        # NEVER kill this child on timeout: it may be mid-Mosaic-compile
+        # of the w=30 fused chain, and killing a process mid-TPU-compile
+        # can wedge the chip for ~25 min (grant timeout) — poisoning
+        # every later bench section. On timeout we abandon the metric
+        # but leave the child to finish on its own (its compile then
+        # lands in the persistent XLA cache, so the next run is warm).
+        # Output goes to temp files so an orphaned child can't block on
+        # a full pipe.
+        with tempfile.TemporaryFile(mode="w+") as out_f, \
+                tempfile.TemporaryFile(mode="w+") as err_f:
+            p = subprocess.Popen(
+                [sys.executable, "-c", code], env=dict(os.environ),
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=out_f, stderr=err_f, text=True,
+            )
+            try:
+                p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                return {f"qcmrf{w}_error":
+                        f"child exceeded {timeout}s; left running to "
+                        "protect the TPU grant (not killed)"}
+            out_f.seek(0)
+            err_f.seek(0)
+            if p.returncode != 0:
+                tail = err_f.read().strip().splitlines()[-1:]
+                return {f"qcmrf{w}_error": f"child rc={p.returncode}: "
+                                           f"{' '.join(tail)[:200]}"}
+            return json.loads(out_f.read().strip().splitlines()[-1])
     except Exception as e:
         return {f"qcmrf{w}_error": f"{type(e).__name__}: {e}"}
 

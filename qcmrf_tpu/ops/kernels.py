@@ -409,6 +409,38 @@ def _pick_block_rows(cliques: tuple, rows: int) -> int:
     return moebius.vmem_block_rows(used, rows)
 
 
+def _split_live_planes(cliques: tuple, n: int, block_rows: int) -> int:
+    """Live (block, LANE) f32 planes the split-loop kernels carry through
+    their fori_loop at this block size: one bit-plane per low variable,
+    the low-clique accumulator, and one loop-invariant monomial plane per
+    (crossing clique, nonempty low-slot subset) — the ``invariants``
+    tuple of :func:`_split_logpot`, which must stay resident (Mosaic
+    recomputes rather than spills; see the _split_logpot docstring)."""
+    L = block_rows.bit_length() - 1 + 7
+    low, high, cross = _split_cliques(cliques, n, L)
+    lowvars = {v for _, C in low + cross for v in C if (n - 1 - v) < L}
+    monos = sum(
+        (1 << sum(1 for v in C if (n - 1 - v) < L)) - 1 for _, C in cross
+    )
+    return len(lowvars) + 1 + monos
+
+
+def _pick_loop_block_rows(cliques: tuple, n: int, rows: int) -> int:
+    """Block size for the single-program loop kernels: like
+    :func:`_pick_block_rows` but budgeting the split kernel's ACTUAL
+    live-plane count — crossing cliques carry 2^|low-slots|-1 monomial
+    planes each, which the distinct-variable count misses for
+    higher-order cliques. The count depends on the cut position (which
+    depends on the block size), hence the shrink-until-fit loop."""
+    block = _pick_block_rows(cliques, rows)
+    while block > 8:
+        planes = _split_live_planes(cliques, n, block)
+        if block <= moebius.vmem_block_rows(planes, rows):
+            break
+        block //= 2
+    return block
+
+
 def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,
                        num_states: int, coef, beta, x0):
     """Kernel invocation producing ``num_states`` entries starting at x0."""
@@ -434,6 +466,10 @@ def _logpot_call_sized(cliques: tuple, n: int, fuse_amp: bool,
             interpret=_interpret(),
         )(coef, beta, x0)
     else:
+        # the loop kernel carries _split_logpot's invariants through its
+        # fori_loop — re-pick the block with the split-aware VMEM budget
+        block_rows = _pick_loop_block_rows(cliques, n, rows)
+        grid = rows // block_rows
         kernel = _build_logpot_loop_kernel(cliques, n, block_rows, grid,
                                            fuse_amp)
         out = pl.pallas_call(
@@ -521,12 +557,13 @@ def _build_lse_loop_kernel(cliques: tuple, n: int, block_rows: int,
     return kernel
 
 
-def lse_block_states(cliques: tuple, num_states: int) -> int:
+def lse_block_states(cliques: tuple, n: int, num_states: int) -> int:
     """States per block of the streaming-lnZ kernel — the unit of its
     ``x0_blocks`` argument (callers with a device-slice offset divide by
     this; keeping x0 in block units is what stays inside int32 for
-    n >= 32)."""
-    return _pick_block_rows(cliques, num_states // LANE) * LANE
+    n >= 32). Must match :func:`_lse_partials_call`'s internal pick,
+    hence the shared split-aware helper."""
+    return _pick_loop_block_rows(cliques, n, num_states // LANE) * LANE
 
 
 @functools.lru_cache(maxsize=256)
@@ -577,7 +614,7 @@ def _build_map_loop_kernel(cliques: tuple, n: int, block_rows: int,
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _map_partials(cliques: tuple, n: int, coef, beta):
     rows = (1 << n) // LANE
-    block_rows = _pick_block_rows(cliques, rows)
+    block_rows = _pick_loop_block_rows(cliques, n, rows)
     kernel = _build_map_loop_kernel(cliques, n, block_rows,
                                     rows // block_rows)
     return pl.pallas_call(
@@ -600,11 +637,17 @@ def map_state_streaming(mrf: MRF):
     :func:`~qcmrf_tpu.models.sample.map_state` caps at table-sized n,
     variable elimination needs bounded treewidth). Returns
     ``(state_id, beta*logpot)`` with the id a host int (int64-safe past
-    n=31)."""
+    n=31). Small n (below the kernel floor, where the sweep's row count
+    would not even fill one lane block) takes the dense argmax."""
+    if mrf.n < _MIN_KERNEL_N:
+        lp = mrf.beta * mrf.all_log_potentials()
+        i = int(jnp.argmax(lp))
+        return i, float(lp[i])
     coef = _moebius_coefficients(mrf)
     beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
     out = np.asarray(_map_partials(mrf.cliques, mrf.n, coef, beta))
-    block_rows = _pick_block_rows(mrf.cliques, (1 << mrf.n) // LANE)
+    block_rows = _pick_loop_block_rows(mrf.cliques, mrf.n,
+                                       (1 << mrf.n) // LANE)
     lane = int(np.argmax(out[0]))
     state = ((int(out[1, lane]) * block_rows + int(out[2, lane])) * LANE
              + lane)
@@ -616,7 +659,7 @@ def _lse_partials_call(cliques: tuple, n: int, num_states: int, coef,
     """(max, scaled-sum) per lane over ``num_states`` states starting at
     block index ``x0_blocks`` (see :func:`lse_block_states`)."""
     rows = num_states // LANE
-    block_rows = _pick_block_rows(cliques, rows)
+    block_rows = _pick_loop_block_rows(cliques, n, rows)
     kernel = _build_lse_loop_kernel(cliques, n, block_rows,
                                     rows // block_rows)
     out = pl.pallas_call(
@@ -1845,7 +1888,9 @@ def apply_hdh_sandwich_quad(re, im, anc_lo: int, nu_terms4, nu_angles4,
                             nu_bases4, mu_terms=(), mu_angles=(),
                             mu_base=0.0):
     """Four adjacent-ancilla sandwiches in one pass (multi with k=4;
-    kept as the stable entry point for the sharded engine and tests)."""
+    kept as the k=4 entry point for the single-chip engine's
+    ``sandwich4`` ops and tests — the sharded engine calls
+    :func:`apply_hdh_sandwich_multi` directly)."""
     return apply_hdh_sandwich_multi(re, im, anc_lo, nu_terms4,
                                     nu_angles4, nu_bases4, mu_terms,
                                     mu_angles, mu_base)

@@ -112,6 +112,16 @@ def _kernel_slice_args(mrf: MRF, dlog: int, axis: str):
 def _local_log_potentials(mrf: MRF, dlog: int, axis: str) -> jax.Array:
     """This device's contiguous slice of the beta*logpot table."""
     chunk, coef, beta, x0 = _kernel_slice_args(mrf, dlog, axis)
+    if chunk >= (1 << 31):
+        # the zeroed x0 above would make every device compute the SAME
+        # slice — a silently wrong table. Only the streaming-lnZ path
+        # (block-unit offsets, no local table) runs at this scale.
+        raise ValueError(
+            f"per-device table slices of 2^{mrf.n - dlog} states need "
+            "state-unit offsets, which overflow int32; use "
+            "sharded_log_partition (streaming, block-unit offsets) or a "
+            "larger mesh"
+        )
     if coef is not None:
         return K._logpot_call_sized(
             mrf.cliques, mrf.n, False, chunk, coef, beta, x0
@@ -160,7 +170,7 @@ def _build_lnZ_fn(cliques: tuple, n: int, mesh: Mesh):
             # offset is passed in BLOCK units (device * blocks-per-chunk,
             # int32-safe past n=31; kernels.lse_block_states).
             x0b = (jax.lax.axis_index(axis).astype(jnp.int32)
-                   * (chunk // K.lse_block_states(template.cliques,
+                   * (chunk // K.lse_block_states(template.cliques, n,
                                                   chunk)))[None]
             ml, sl = K._lse_partials_call(template.cliques, n, chunk,
                                           coef, beta32, x0b)
@@ -701,29 +711,31 @@ def _plan_fused(circuit: Circuit, local_n: int, dlog: int):
         plan.append(("perm", axes))
 
     # fold the write-only uniform init INTO the first local sandwich
-    # group (mirrors sim.tpu.fuse_ops' sandwichku fusion; the fold is
-    # valid because ancillas are never folded, so the uniform shard's
-    # group-ancilla bits are 0). Closes the single-chip gap: one
+    # group (the same fold as sim.tpu.fuse_ops' sandwichku fusion — the
+    # shared sandwich_fold_parts keeps the condition from drifting; the
+    # fold is valid because ancillas are never folded, so the uniform
+    # shard's group-ancilla bits are 0). Closes the single-chip gap: one
     # write-only pass replaces a write pass plus a read+write pass.
     if (len(plan) >= 2 and plan[0][0] == "ops"
             and plan[0][1] and plan[0][1][0][0] == "init_uniform"
             and plan[1][0] == "ops" and plan[1][1]):
-        first = plan[1][1][0]
         _, s_local, comp_dev, total = plan[0][1][0]
-        fold = None
-        if first[0] in ("sandwichk", "sandwich4"):
-            _, a, nts, nas, nbs, mt, ma, mb = first
-            if not any(a <= q < a + len(nts) for q in s_local):
-                fold = ("sandwichku", s_local, comp_dev, total, a,
-                        nts, nas, nbs, mt, ma, mb)
-        elif first[0] == "sandwich":
-            _, a, nt, na, nb, mt, ma, mb = first
-            if a not in s_local:
-                fold = ("sandwichku", s_local, comp_dev, total, a,
-                        (nt,), (na,), (nb,), mt, ma, mb)
-        if fold is not None:
+        parts = stpu.sandwich_fold_parts(plan[1][1][0], s_local)
+        if parts is not None:
+            fold = ("sandwichku", s_local, comp_dev, total) + parts
             plan = ([("ops", [fold] + plan[1][1][1:])] + plan[2:])
     return plan, layout.remaps
+
+
+def _uniform_carrier(s_local, comp_dev, total: int, devbit):
+    """Per-device amplitude factor of the folded uniform init: uniform
+    2^{-total/2} with every untouched DEVICE bit forced to 0 (the
+    all-zero shard elsewhere); the local kernels contribute the
+    remaining 2^{-|s_local|/2} via their own masks."""
+    dv = jnp.float32(2.0 ** (-0.5 * (total - len(s_local))))
+    for j in comp_dev:
+        dv = dv * (1.0 - devbit(j).astype(jnp.float32))
+    return dv
 
 
 def _apply_fused_local(re, im, ops, local_n: int, devbit):
@@ -740,12 +752,7 @@ def _apply_fused_local(re, im, ops, local_n: int, devbit):
             from qcmrf_tpu.sim import tpu as stpu
 
             _, s_local, comp_dev, total = op
-            # per-device amplitude: uniform 2^{-total/2} with every
-            # untouched DEVICE bit forced to 0 (all-zero shard elsewhere);
-            # uniform_planes contributes 2^{-|s_local|/2} via its mask
-            dv = jnp.float32(2.0 ** (-0.5 * (total - len(s_local))))
-            for j in comp_dev:
-                dv = dv * (1.0 - devbit(j).astype(jnp.float32))
+            dv = _uniform_carrier(s_local, comp_dev, total, devbit)
             re, im = stpu.uniform_planes(local_n, s_local, carrier=dv)
         elif kind == "diag":
             _, terms, angles, base = op
@@ -789,9 +796,7 @@ def _apply_fused_local(re, im, ops, local_n: int, devbit):
             # uniform amplitude (incl. the all-zero-shard device-bit
             # product) rides the carrier, as init_uniform's does
             _, s_local, comp_dev, total, a, nts, nas, nbs, mt, ma, mb = op
-            dv = jnp.float32(2.0 ** (-0.5 * (total - len(s_local))))
-            for j in comp_dev:
-                dv = dv * (1.0 - devbit(j).astype(jnp.float32))
+            dv = _uniform_carrier(s_local, comp_dev, total, devbit)
             re, im = K.apply_hdh_sandwich_multi_uniform(
                 local_n, s_local, a, nts,
                 tuple(tuple(ev(x) for x in na) for na in nas),
@@ -1076,12 +1081,13 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     then ppermutes it one hop (D-1 hops of 2**num_clbits / D floats; D
     scatter passes instead of one, traded for never materializing
     2**num_clbits on any device). This scales exactly like the sharded
-    statevector itself, so there is no clbit-count cap (round-3 weak
-    item 7 removed the replicated 2^26 ceiling). Registers smaller than
+    statevector itself, up to the int32 key limit of 31 clbits
+    (round-3 weak item 7 removed the replicated 2^26 ceiling; keys are
+    built bitwise in int32, so registers past 31 clbits raise rather
+    than silently wrap). Registers smaller than
     the device count keep the trivial replicated scatter + psum.
     Callers with unmeasured qubits get them marginalized out
     (deferred-measurement semantics of sim.dense.outcome_probs)."""
-    re, im = run_statevector_sharded(circuit, mesh)
     axis = mesh.axis_names[0]
     nq = circuit.num_qubits
     pairs = circuit.measured_pairs
@@ -1092,6 +1098,16 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     identity = (not pairs
                 or (all(q == c for q, c in pairs)
                     and circuit.num_clbits == nq))
+    if not identity and circuit.num_clbits > 31:
+        # keys are built bitwise in int32 below: bit 31 would set the
+        # sign bit and the ring reduce-scatter's owner arithmetic-shift
+        # would silently drop that mass. Fail fast, before the
+        # statevector runs.
+        raise ValueError(
+            f"keyed marginalization caps at 31 clbits (int32 keys); got "
+            f"{circuit.num_clbits}"
+        )
+    re, im = run_statevector_sharded(circuit, mesh)
 
     if identity:
         @functools.partial(
@@ -1129,14 +1145,25 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
             return jax.lax.psum(
                 jnp.where(mask, p.reshape(-1), 0.0).sum(), axis)
 
-        # scale-aware tolerance: each gate pass contributes O(eps) f32
-        # rounding to a genuinely-|0> workspace, so a fixed 1e-6 could
-        # reroute deep at-scale circuits into the replicated keyed path
-        # (which then *raises* past 26 clbits) — advisor round-3 finding
-        tol = max(1e-6, 1e-7 * len(circuit.gates))
+        # fixed tolerance: the fused QCMRF path never touches the
+        # workspace (its stray mass is exactly 0), and a genuinely-|0>
+        # workspace accumulates only O(eps)-scale rounding, so 1e-6 has
+        # plenty of headroom. Rerouting on failure now costs only
+        # performance, never correctness: the keyed path below is exact
+        # at any width up to the int32 key limit (it no longer raises
+        # past 26 clbits), so a loose tolerance would trade silent
+        # ~1e-4-scale probability errors for nothing.
+        tol = 1e-6
         stray = float(stray_mass(p2))
         if stray <= tol:
             return p2
+        if circuit.num_clbits > 31:
+            raise ValueError(
+                "identity-wired circuit with an unmeasured qubit "
+                f"carrying |1> mass {stray:.2e} needs the keyed "
+                "marginalization, which caps at 31 clbits (int32 keys); "
+                f"got {circuit.num_clbits}"
+            )
         # fall through to the exact marginalizing path below (sharded
         # over key space, so no width carve-out remains)
 

@@ -39,59 +39,6 @@ def _time(fn: Callable, reps: int = 10) -> float:
 #    times them best-of-trials for the driver artifact) ---------------------
 
 
-#: chain lengths for the bandwidth difference measurement (see below)
-_BW_SHORT, _BW_LONG = 16, 64
-
-
-def _fetch_seconds(fn, reps: int = 5) -> float:
-    """min-of-reps per-call time with a FORCED DATA FETCH each call.
-
-    ``fn`` must return a scalar. On the tunneled remote runtime,
-    ``block_until_ready`` on an array output can return before the
-    computation actually finishes (measured: a 16-pass chain whose
-    device work alone is ~300 us "completing" in 52 us), so the only
-    trustworthy sync point is materializing a value — ``float()`` on a
-    scalar that data-depends on the whole computation."""
-    import time
-
-    float(fn(0.0))  # warm-up / compile
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(fn(float(i + 1)))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _chain_difference_gbps(make_chain: Callable, n: int) -> float:
-    """HBM bandwidth from the time difference of two single-dispatch
-    chains (``_BW_LONG`` vs ``_BW_SHORT`` passes). Each pass moves 4 f32
-    planes (2 in + 2 out). ``make_chain(L)`` must return a jitted fn
-    whose scalar output data-depends on all L passes.
-
-    DEPRECATED for artifact numbers: the subtraction assumes both chains
-    pay the same transport latency ON TOP of device time, but the
-    tunneled runtime overlaps transport with execution, so the short
-    chain hides more of its device time inside the round-trip than the
-    long one and the difference UNDER-counts per-pass time — measured
-    2026-08-18 as copy "bandwidths" up to 1.5x the chip's physical HBM
-    spec, while the same kernels timed by :func:`_donated_chain_pass_ms`
-    sustain a physically consistent ~530 GB/s effective at n=28 that
-    reproduces across sessions. Kept for comparison against older
-    artifacts only."""
-    dt = _fetch_seconds(make_chain(_BW_LONG)) - _fetch_seconds(
-        make_chain(_BW_SHORT)
-    )
-    if dt <= 1e-6:
-        # Under tunnel timing noise the min-of-reps difference can come
-        # out non-positive; that is an invalid measurement, not infinite
-        # bandwidth — surface it as NaN so it can't land in an artifact
-        # looking like a number (advisor round-3 finding).
-        return float("nan")
-    moved = 4 * (1 << n) * 4 * (_BW_LONG - _BW_SHORT)
-    return moved / dt / 1e9
-
-
 #: passes per dispatch for the donated-chain timing method: long enough
 #: that the ~2-8 ms per-dispatch tunnel overhead is a small fraction of
 #: device time at n >= 24, short enough to keep the bench quick
@@ -107,8 +54,11 @@ def _donated_chain_pass_ms(make_call: Callable, n: int,
     dispatch with ``block_until_ready`` (best-of-``reps``).
 
     This is the timing method whose end-to-end circuit numbers
-    reproduce across sessions to <1% and agree with HBM physics (unlike
-    the fetch-forced chain difference — see _chain_difference_gbps).
+    reproduce across sessions to <1% and agree with HBM physics — the
+    earlier fetch-forced chain-difference method under-counted per-pass
+    time because the tunnel overlaps transport with execution, reporting
+    "bandwidths" up to 1.5x the chip's physical HBM spec (measured
+    2026-08-18), and was removed.
     The sync point is a FORCED SCALAR FETCH after all reps (the
     tunneled ``block_until_ready`` can return before the work finishes
     — observed again 2026-08-18 as a 300x-physical "bandwidth"), so the
@@ -177,7 +127,7 @@ def lane_precision_study(n: int) -> dict:
     intensity 64 FLOP/B, so whether the pass is compute- or memory-bound
     is purely the bf16 pass count vs the chip's MXU:HBM ratio. This
     study measures the chained-pass GB/s at each precision (same
-    chain-difference method as ``gate_apply_gbps``) and the norm-relative
+    donated-chain method as ``gate_apply_gbps``) and the norm-relative
     statevector error vs HIGHEST on a random normalized state, using the
     fully composed 7-H lane wall (dense 128x128 — the worst case for
     both rate and error). Emitted in the driver artifact as the
@@ -232,9 +182,8 @@ def copy_kernel_gbps(n: int, timer: Callable = None,
     normalizes out the axon tunnel's day-scale throughput drift (report
     gate GB/s alongside this; the RATIO is a genuine compute-overhead
     measure because the byte traffic per pass is identical; VERDICT
-    round-2 item 8). Measured by the same chain-length difference method
-    as ``gate_apply_gbps``; ``timer`` is accepted for signature
-    compatibility and unused.
+    round-2 item 8). ``timer`` is accepted for signature compatibility
+    and unused.
 
     Measured by the donated-chain method (``_donated_chain_pass_ms``).
     ``donate`` aliases the input planes into the outputs inside the

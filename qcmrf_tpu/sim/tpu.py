@@ -335,6 +335,27 @@ def fold_uniform_prefix(prim: list):
     return tuple(sorted(folded)), prim[k:]
 
 
+def sandwich_fold_parts(first_op, folded_locals):
+    """If a fused stream's first op is a sandwich group whose ancillas
+    avoid ``folded_locals``, return its ``(a, nts, nas, nbs, mt, ma,
+    mb)`` normalized to the multi (k-tuple) layout so a write-only
+    uniform-init fold can absorb it; else None. Shared by the
+    single-chip ``sandwichku`` fusion below and the sharded engine's
+    mirror of it (parallel.sharded._plan_fused) so the fold condition
+    cannot drift between the two dialects."""
+    if first_op[0] in ("sandwichk", "sandwich4"):
+        _, a, nts, nas, nbs, mt, ma, mb = first_op
+        if any(a <= q < a + len(nts) for q in folded_locals):
+            return None
+        return a, nts, nas, nbs, mt, ma, mb
+    if first_op[0] == "sandwich":
+        _, a, nt, na, nb, mt, ma, mb = first_op
+        if a in folded_locals:
+            return None
+        return a, (nt,), (na,), (nb,), mt, ma, mb
+    return None
+
+
 def fuse_ops(circuit: Circuit) -> list:
     """Fused op stream of a circuit: :func:`circuit_primitives` (X-deferred
     lowering) composed with :func:`fuse_primitives` (peephole fusion into
@@ -351,16 +372,10 @@ def fuse_ops(circuit: Circuit) -> list:
     # state's ancilla bits are 0, so the pass's output on it has a
     # closed form and one write-only pass replaces a write pass plus a
     # read+write pass (ancillas are never folded, see fold_uniform_prefix)
-    if ops and ops[0][0] in ("sandwichk", "sandwich4"):
-        _, a, nts, nas, nbs, mt, ma, mb = ops[0]
-        if not any(a <= q < a + len(nts) for q in folded):
-            return [("sandwichku", folded, a, nts, nas, nbs, mt, ma, mb)
-                    ] + ops[1:]
-    if ops and ops[0][0] == "sandwich":
-        _, a, nt, na, nb, mt, ma, mb = ops[0]
-        if a not in folded:
-            return [("sandwichku", folded, a, (nt,), (na,), (nb,),
-                     mt, ma, mb)] + ops[1:]
+    if ops:
+        parts = sandwich_fold_parts(ops[0], folded)
+        if parts is not None:
+            return [("sandwichku", folded) + parts] + ops[1:]
     return [("init_uniform", folded)] + ops
 
 

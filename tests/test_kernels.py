@@ -340,3 +340,41 @@ def test_row_gate_high_qubit_stride_tiling():
     ref = np.where(hi == 0, a0 + a1, a0 - a1) / np.sqrt(2)
     got = (np.asarray(ore) + 1j * np.asarray(oim)).reshape(-1)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_map_state_streaming_small_n_dense_fallback():
+    """Below the kernel floor the streaming MAP takes the dense argmax
+    (previously a ZeroDivisionError: rows // block_rows with rows = 0
+    at n < 7)."""
+    m = rand_mrf([[0, 1], [1, 2]], seed=7)  # n=3
+    got_id, got_val = kernels.map_state_streaming(m)
+    lp = np.asarray(m.beta * m.all_log_potentials())
+    assert got_id == int(np.argmax(lp))
+    assert abs(got_val - float(lp.max())) < 1e-5
+
+
+def test_loop_block_rows_budgets_split_invariants():
+    """The loop-kernel block pick must budget the split kernel's ACTUAL
+    live planes: crossing cliques carry 2^|low-slots|-1 loop-invariant
+    monomial planes each, which the distinct-variable count misses for
+    higher-order cliques (round-4 review finding)."""
+    from qcmrf_tpu.utils import moebius
+
+    # eight 5-cliques, each one high variable + four low variables at
+    # any plausible cut: 15 monomial planes per clique
+    n = 26
+    cliques = tuple(
+        (h, 12 + h, 13 + h, 14 + h, 15 + h) for h in range(8)
+    )
+    rows = (1 << n) // 128
+    naive = kernels._pick_block_rows(cliques, rows)
+    block = kernels._pick_loop_block_rows(cliques, n, rows)
+    planes = kernels._split_live_planes(cliques, n, block)
+    # the chosen block fits its own live-plane count...
+    assert block <= moebius.vmem_block_rows(planes, rows)
+    # ...and the naive pick would NOT have (the fix is load-bearing)
+    naive_planes = kernels._split_live_planes(cliques, n, naive)
+    assert naive > moebius.vmem_block_rows(naive_planes, rows)
+    # consistency contract: the sharded caller's block-unit conversion
+    # must match the kernel's internal pick
+    assert kernels.lse_block_states(cliques, n, 1 << n) == block * 128

@@ -304,3 +304,25 @@ def test_sharded_outcome_probs_no_measurements(mesh4):
     got = np.asarray(sharded.sharded_outcome_probs(circ, mesh4))
     want = np.asarray(dense.simulate_probs(circ))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_table_slice_guard_past_int32(mesh8):
+    """Per-device TABLE slices past 2^31 states must raise loudly: the
+    zeroed state-unit offset would make every device compute the SAME
+    slice (round-4 review finding). Only the streaming-lnZ path (block-
+    unit offsets) runs at that scale."""
+    mrf = rand_mrf([[i, i + 1] for i in range(33)], seed=5)  # n=34
+    with pytest.raises(ValueError, match="state-unit offsets"):
+        sharded.sharded_gibbs_probs(mrf, mesh8)
+
+
+def test_keyed_marginalization_int32_clbit_guard(mesh8):
+    """Non-identity wiring past 31 clbits must raise BEFORE running the
+    statevector: int32 keys would set the sign bit and the ring
+    reduce-scatter would silently drop that mass (round-4 review
+    finding; replaces the removed 26-clbit replication cap)."""
+    c = Circuit(num_qubits=4, num_clbits=33)
+    c.h(0)
+    c.measure(0, 32)  # non-identity wiring into clbit 32
+    with pytest.raises(ValueError, match="31 clbits"):
+        sharded.sharded_outcome_probs(c, mesh8)
