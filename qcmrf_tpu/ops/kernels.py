@@ -611,9 +611,13 @@ def _build_map_loop_kernel(cliques: tuple, n: int, block_rows: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _map_partials(cliques: tuple, n: int, coef, beta):
-    rows = (1 << n) // LANE
+def _map_partials_call(cliques: tuple, n: int, num_states: int, coef,
+                       beta, x0_blocks):
+    """(best value, best ABSOLUTE block, best in-block row) per lane over
+    ``num_states`` states starting at block index ``x0_blocks`` (same
+    block unit as :func:`lse_block_states`; the ICI-sharded MAP passes a
+    device-slice offset)."""
+    rows = num_states // LANE
     block_rows = _pick_loop_block_rows(cliques, n, rows)
     kernel = _build_map_loop_kernel(cliques, n, block_rows,
                                     rows // block_rows)
@@ -627,7 +631,13 @@ def _map_partials(cliques: tuple, n: int, coef, beta):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(coef, beta, jnp.zeros((1,), jnp.int32))
+    )(coef, beta, x0_blocks)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _map_partials(cliques: tuple, n: int, coef, beta):
+    return _map_partials_call(cliques, n, 1 << n, coef, beta,
+                              jnp.zeros((1,), jnp.int32))
 
 
 def map_state_streaming(mrf: MRF):

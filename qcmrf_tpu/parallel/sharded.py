@@ -82,15 +82,23 @@ def _dlog(mesh: Mesh) -> int:
     return dlog
 
 
+def _use_slice_kernel(n: int, dlog: int) -> bool:
+    """Whether the per-device-slice Pallas kernels apply (static: local
+    width over the kernel floor; interpret mode only for small test
+    chunks). ALL sharded sweep paths (table, streaming lnZ, streaming
+    MAP) must take this one gate so they stay in lockstep."""
+    on_tpu = jax.default_backend() == "tpu"
+    return (n - dlog >= K._MIN_KERNEL_N
+            and (on_tpu or n - dlog <= 16))
+
+
 def _kernel_slice_args(mrf: MRF, dlog: int, axis: str):
     """Shared gate + argument prep for the per-device-slice Pallas
-    kernels (table and streaming-lnZ paths must stay in lockstep on
-    which backend/size combinations hit the kernel).
+    kernels (see :func:`_use_slice_kernel`).
 
     Returns ``(chunk, coef, beta32, x0)``; ``coef``/``beta32`` are None
-    when the kernel path does not apply (interpret mode is allowed only
-    for small test chunks), but the slice offset ``x0`` is always
-    computed here so no caller re-derives it."""
+    when the kernel path does not apply, but the slice offset ``x0`` is
+    always computed here so no caller re-derives it."""
     chunk = 1 << (mrf.n - dlog)
     d = jax.lax.axis_index(axis)
     if chunk < (1 << 31):
@@ -100,9 +108,7 @@ def _kernel_slice_args(mrf: MRF, dlog: int, axis: str):
         # consumer that runs here (streaming lnZ) derives its own
         # BLOCK-unit offset instead (kernels.lse_block_states)
         x0 = jnp.zeros((1,), jnp.int32)
-    on_tpu = jax.default_backend() == "tpu"
-    if not (mrf.n - dlog >= K._MIN_KERNEL_N
-            and (on_tpu or mrf.n - dlog <= 16)):
+    if not _use_slice_kernel(mrf.n, dlog):
         return chunk, None, None, x0
     coef = K._moebius_coefficients(mrf)
     beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
@@ -222,6 +228,74 @@ def sharded_success_rate(mrf: MRF, mesh: Mesh) -> jax.Array:
     """Z / 2**n without materializing anything unsharded."""
     lnZ = sharded_log_partition(mrf, mesh)
     return jnp.exp(lnZ - mrf.n * jnp.log(2.0))
+
+
+@functools.lru_cache(maxsize=128)
+def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
+    """Compiled sharded streaming-MAP partials, plus the block size the
+    host needs to reconstruct global state ids (the in-graph outputs
+    stay in (value, block, row, lane) coordinates because a flat id can
+    exceed int32/f32-exact range past n=31 — same convention as the
+    single-chip kernels.map_state_streaming)."""
+    dlog = _dlog(mesh)
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+    chunk = 1 << (n - dlog)
+    use_kernel = _use_slice_kernel(n, dlog)
+    if use_kernel:
+        block_rows = K.lse_block_states(cliques, n, chunk) // 128
+    else:
+        # table fallback: one synthetic block per device (block index =
+        # device coordinate), so reconstruction is uniform across paths
+        block_rows = chunk // 128
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+    def compute(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        d = jax.lax.axis_index(axis)
+        if use_kernel:
+            coef = K._moebius_coefficients(mrf)
+            beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32),
+                                 (1,))
+            x0b = (d.astype(jnp.int32)
+                   * (chunk // (block_rows * 128)))[None]
+            out = K._map_partials_call(template.cliques, n, chunk, coef,
+                                       beta32, x0b)
+            lane = jnp.argmax(out[0])
+            val, blk, row = out[0, lane], out[1, lane], out[2, lane]
+        else:
+            lp = _local_log_potentials(mrf, dlog, axis)
+            i = jnp.argmax(lp)
+            val = lp[i]
+            blk = d.astype(jnp.float32)
+            row = (i // 128).astype(jnp.float32)
+            lane = i % 128
+        return jnp.stack([val, blk, row, lane.astype(jnp.float32)])[None]
+
+    return compute, block_rows
+
+
+def sharded_map_state(mrf: MRF, mesh: Mesh):
+    """Exact MAP state by streaming argmax SHARDED over the mesh: each
+    device sweeps its contiguous slice of the 2**n state space with the
+    block-split argmax kernel (kernels._build_map_loop_kernel) and the
+    host combines D per-device (value, block, row, lane) partials.
+    Arbitrary clique structure at any width the sharded sweep covers
+    (block-unit bases keep the kernel int32-safe past n=31). Returns
+    ``(state_id, beta*logpot)`` with a host-int id, exactly like the
+    single-chip :func:`qcmrf_tpu.ops.kernels.map_state_streaming`.
+    Cross-device value ties resolve to the lowest device (measure-zero
+    for generic theta)."""
+    fn, block_rows = _build_map_fn(mrf.cliques, mrf.n, mesh)
+    out = np.asarray(fn(mrf.theta, mrf.beta))  # (D, 4)
+    j = int(np.argmax(out[:, 0]))
+    val, blk, row, lane = out[j]
+    state = (int(blk) * block_rows + int(row)) * 128 + int(lane)
+    return state, float(val)
 
 
 @functools.lru_cache(maxsize=128)

@@ -326,3 +326,28 @@ def test_keyed_marginalization_int32_clbit_guard(mesh8):
     c.measure(0, 32)  # non-identity wiring into clbit 32
     with pytest.raises(ValueError, match="31 clbits"):
         sharded.sharded_outcome_probs(c, mesh8)
+
+
+def test_sharded_map_state_kernel_path(mesh8):
+    """Sharded streaming MAP == single-chip streaming MAP == table argmax
+    on the interpret-kernel path (local width <= 16)."""
+    from qcmrf_tpu.ops import kernels
+
+    mrf = rand_mrf([[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8],
+                    [8, 9, 10], [10, 11, 12], [12, 13]], seed=9,
+                   scale=0.6)  # n=14, dlog=3 -> local 11 (kernel path)
+    want_id, want_val = kernels.map_state_streaming(mrf)
+    got_id, got_val = sharded.sharded_map_state(mrf, mesh8)
+    assert got_id == want_id
+    assert abs(got_val - want_val) < 1e-4
+
+
+def test_sharded_map_state_table_fallback(mesh8):
+    """Sharded streaming MAP on the table-fallback path (local width
+    past the CPU kernel gate) still reconstructs the global id."""
+    mrf = rand_mrf([[i, i + 1] for i in range(19)], seed=10,
+                   scale=0.6)  # n=20, dlog=3 -> local 17 (fallback)
+    lp = np.asarray(mrf.beta * mrf.all_log_potentials())
+    got_id, got_val = sharded.sharded_map_state(mrf, mesh8)
+    assert got_id == int(np.argmax(lp))
+    assert abs(got_val - float(lp.max())) < 1e-4
