@@ -232,11 +232,11 @@ def sharded_success_rate(mrf: MRF, mesh: Mesh) -> jax.Array:
 
 @functools.lru_cache(maxsize=128)
 def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
-    """Compiled sharded streaming-MAP partials, plus the block size the
-    host needs to reconstruct global state ids (the in-graph outputs
-    stay in (value, block, row, lane) coordinates because a flat id can
-    exceed int32/f32-exact range past n=31 — same convention as the
-    single-chip kernels.map_state_streaming)."""
+    """Compiled sharded streaming-MAP partials, plus the host-side id
+    reconstructor for this path (the in-graph outputs stay in (value,
+    block, row, lane) coordinates because a flat id can exceed
+    int32/f32-exact range past n=31 — same convention as the single-chip
+    kernels.map_state_streaming)."""
     dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
     template = MRF.create([list(C) for C in cliques])
@@ -244,10 +244,17 @@ def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
     use_kernel = _use_slice_kernel(n, dlog)
     if use_kernel:
         block_rows = K.lse_block_states(cliques, n, chunk) // 128
+
+        def reconstruct(blk: int, row: int, lane: int) -> int:
+            # blk is the ABSOLUTE sweep-block index (the kernel carries
+            # x0_blocks + i)
+            return (blk * block_rows + row) * 128 + lane
     else:
-        # table fallback: one synthetic block per device (block index =
-        # device coordinate), so reconstruction is uniform across paths
-        block_rows = chunk // 128
+        # table fallback: blk is the DEVICE coordinate and (row, lane)
+        # split the local argmax index — valid for any chunk size,
+        # including shards smaller than one 128-lane row
+        def reconstruct(blk: int, row: int, lane: int) -> int:
+            return blk * chunk + row * 128 + lane
 
     @jax.jit
     @functools.partial(
@@ -276,7 +283,7 @@ def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
             lane = i % 128
         return jnp.stack([val, blk, row, lane.astype(jnp.float32)])[None]
 
-    return compute, block_rows
+    return compute, reconstruct
 
 
 def sharded_map_state(mrf: MRF, mesh: Mesh):
@@ -290,12 +297,11 @@ def sharded_map_state(mrf: MRF, mesh: Mesh):
     single-chip :func:`qcmrf_tpu.ops.kernels.map_state_streaming`.
     Cross-device value ties resolve to the lowest device (measure-zero
     for generic theta)."""
-    fn, block_rows = _build_map_fn(mrf.cliques, mrf.n, mesh)
+    fn, reconstruct = _build_map_fn(mrf.cliques, mrf.n, mesh)
     out = np.asarray(fn(mrf.theta, mrf.beta))  # (D, 4)
     j = int(np.argmax(out[:, 0]))
     val, blk, row, lane = out[j]
-    state = (int(blk) * block_rows + int(row)) * 128 + int(lane)
-    return state, float(val)
+    return reconstruct(int(blk), int(row), int(lane)), float(val)
 
 
 @functools.lru_cache(maxsize=128)

@@ -351,3 +351,15 @@ def test_sharded_map_state_table_fallback(mesh8):
     got_id, got_val = sharded.sharded_map_state(mrf, mesh8)
     assert got_id == int(np.argmax(lp))
     assert abs(got_val - float(lp.max())) < 1e-4
+
+
+def test_sharded_map_state_tiny_shards(mesh8):
+    """Shards smaller than one 128-lane row (chunk < 128) must still
+    reconstruct the global id (the fallback's (device, row, lane)
+    encoding cannot assume chunk is a multiple of 128)."""
+    mrf = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5]], seed=11,
+                   scale=0.6)  # n=6, dlog=3 -> chunk=8
+    lp = np.asarray(mrf.beta * mrf.all_log_potentials())
+    got_id, got_val = sharded.sharded_map_state(mrf, mesh8)
+    assert got_id == int(np.argmax(lp))
+    assert abs(got_val - float(lp.max())) < 1e-5
