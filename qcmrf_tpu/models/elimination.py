@@ -102,6 +102,15 @@ def _plan(cliques: Sequence[Tuple[int, ...]], n: int):
     return steps, isolated
 
 
+def induced_width(cliques, n: int) -> int:
+    """Largest combined factor scope of the min-degree elimination plan —
+    the exponent of this module's per-step table cost (2^width). Callers
+    route high-width structures to streaming enumeration instead
+    (models.moments), since elimination's tables blow up in it."""
+    steps, _ = _plan(tuple(tuple(sorted(C)) for C in cliques), n)
+    return max((len(st.scope) for st in steps), default=0)
+
+
 def _clique_log_factor(mrf: MRF, k: int) -> jax.Array:
     """Clique k's theta table as a log-factor over its sorted scope."""
     C = mrf.cliques[k]

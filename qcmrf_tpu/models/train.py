@@ -33,15 +33,27 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from qcmrf_tpu.models.mrf import MRF
 
+#: max induced width routed through variable elimination past table
+#: widths; a wider plan's per-step 2^width factor tables stop paying off
+#: against the gather-free streaming sweep (128 MB at 25)
+_ELIM_WIDTH_CAP = 25
+
 
 def _nll(mrf: MRF, theta: jax.Array, data: jax.Array) -> jax.Array:
     m = mrf.with_theta(theta)
     if mrf.n > 22:
         # enumeration's 2^n table stops scaling; bounded-treewidth models
-        # use the (differentiable) variable-elimination lnZ instead
+        # use the (differentiable) variable-elimination lnZ, and
+        # high-induced-width structures fall back to the streaming
+        # custom-VJP sweep (exact for ANY cliques, n <= 31)
         from qcmrf_tpu.models import elimination
 
-        lnZ = elimination.log_partition(m)
+        if elimination.induced_width(m.cliques, m.n) <= _ELIM_WIDTH_CAP:
+            lnZ = elimination.log_partition(m)
+        else:
+            from qcmrf_tpu.models import moments
+
+            lnZ = moments.log_partition_streaming(m)
     else:
         lnZ = m.log_partition()
     return lnZ - m.beta * jnp.mean(m.log_potential(data))

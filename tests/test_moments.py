@@ -1,0 +1,127 @@
+"""Streaming exact moments + differentiable streaming lnZ (models/moments.py).
+
+Validates the chunked gather-free sweep against the elimination and
+enumeration oracles, the custom-VJP gradient against autodiff through
+the enumeration table, and the training-path routing that sends
+high-induced-width structures past n=22 through the streaming lnZ.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models import elimination as ve
+from qcmrf_tpu.models import moments, train
+from qcmrf_tpu.models.mrf import MRF, chain_mrf
+
+
+GRAPHS = [
+    [[0]],
+    [[0, 1], [1, 2], [2, 3]],
+    [[0, 1, 2], [2, 3, 4]],
+    [[2, 0, 3]],          # unsorted clique order
+    [[0, 2], [1, 3]],     # disconnected components
+]
+
+
+def _random_mrf(cliques, seed=0, beta=1.0):
+    probe = MRF.create(cliques)
+    rng = np.random.RandomState(seed)
+    return MRF.create(
+        cliques, theta=-np.abs(rng.randn(probe.dimension)), beta=beta
+    )
+
+
+@pytest.mark.parametrize("cliques", GRAPHS)
+def test_streaming_moments_match_elimination(cliques):
+    mrf = _random_mrf(cliques)
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_moments_chunked_path():
+    """n=17 > _CHUNK_BITS exercises the lax.scan sweep (2 chunks)."""
+    assert moments._CHUNK_BITS == 16
+    mrf = _random_mrf([[i, i + 1] for i in range(16)], seed=3, beta=1.5)
+    assert mrf.n == 17
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_lnZ_value_and_grad():
+    """Value == enumeration lnZ; custom-VJP grad == autodiff through the
+    2^n table (beta * E_p[phi])."""
+    mrf = _random_mrf([[0, 1, 2], [2, 3], [3, 4, 0]], seed=4, beta=2.0)
+
+    got = float(moments.log_partition_streaming(mrf))
+    want = float(mrf.log_partition())
+    assert np.isclose(got, want, rtol=1e-5)
+
+    def stream_lnZ(theta):
+        return moments.log_partition_streaming(mrf.with_theta(theta))
+
+    def table_lnZ(theta):
+        return mrf.with_theta(theta).log_partition()
+
+    g_got = np.asarray(jax.grad(stream_lnZ)(mrf.theta))
+    g_want = np.asarray(jax.grad(table_lnZ)(mrf.theta))
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_lnZ_jittable():
+    mrf = _random_mrf([[0, 1], [1, 2]], seed=5)
+
+    @jax.jit
+    def f(theta):
+        return jax.value_and_grad(
+            lambda t: moments.log_partition_streaming(mrf.with_theta(t))
+        )(theta)
+
+    v, g = f(mrf.theta)
+    assert np.isclose(float(v), float(mrf.log_partition()), rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_streaming_moments_width_cap():
+    with pytest.raises(ValueError, match="n=31"):
+        moments.clique_moments_streaming(
+            MRF.create([[0, 31]])  # n = 32
+        )
+
+
+def test_induced_width():
+    # chain: width 2; adding a clique over {0..4} forces width >= 5
+    assert ve.induced_width(((0, 1), (1, 2), (2, 3)), 4) == 2
+    assert ve.induced_width(((0, 1, 2, 3, 4), (4, 5)), 6) >= 5
+    assert ve.induced_width((), 3) == 0
+
+
+@pytest.mark.slow
+def test_nll_routes_wide_structures_through_streaming(monkeypatch):
+    """Past n=22 with induced width above the cap, _nll must fall back to
+    the streaming lnZ and produce the same loss/grad as elimination would
+    (cap lowered so a small-width n=23 model exercises the routing)."""
+    cliques = [[i, i + 1] for i in range(22)] + [[0, 11, 22]]
+    mrf = _random_mrf(cliques, seed=6)
+    assert mrf.n == 23
+    data = jnp.asarray([0, 5, (1 << 23) - 1], dtype=jnp.int32)
+
+    def nll_grad(theta):
+        return jax.value_and_grad(
+            lambda t: train._nll(mrf, t, data)
+        )(theta)
+
+    v_elim, g_elim = nll_grad(mrf.theta)
+
+    width = ve.induced_width(mrf.cliques, mrf.n)
+    monkeypatch.setattr(train, "_ELIM_WIDTH_CAP", width - 1)
+    v_stream, g_stream = nll_grad(mrf.theta)
+
+    assert np.isclose(float(v_stream), float(v_elim), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_stream), np.asarray(g_elim), rtol=1e-3, atol=1e-5
+    )
