@@ -337,18 +337,39 @@ def make_moment_train_step(
     optimizer: optax.GradientTransformation,
     mu_hat: jax.Array,
     nonpositive: bool = True,
+    mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Jitted exact-MLE step on the sufficient statistics:
     ``loss(theta) = lnZ(theta) - beta * theta^T mu_hat`` (the exact mean
-    NLL of the data). lnZ comes from variable elimination, so this trains
-    bounded-treewidth graphs at any ``n`` (the CLI uses it past the
-    int32-state-id ceiling). Signature matches make_train_step's
+    NLL of the data). lnZ comes from variable elimination (bounded
+    treewidth at any ``n`` — the CLI uses it past the int32-state-id
+    ceiling) or, past the induced-width cap, from the streaming
+    custom-VJP sweep (arbitrary structure, block-unit state coordinates;
+    models/moments.py) — that sweep optionally SHARDS over ``mesh``
+    (devices split the block range, one psum per moment vector; ``mesh``
+    is ignored on the elimination branch, whose any-n reach a 2^n sweep
+    cannot match). Signature matches make_train_step's
     (raw, opt_state, batch) -> (raw, opt_state, loss); ``batch`` is
     ignored (the moments are baked in)."""
     from qcmrf_tpu.models import elimination
 
     mu_hat = jnp.asarray(mu_hat, jnp.float32)
-    lnZ_fn = elimination._build_lnZ(template.cliques, template.n)
+    width = elimination.induced_width(template.cliques, template.n)
+    if width <= _ELIM_WIDTH_CAP:
+        lnZ_fn = elimination._build_lnZ(template.cliques, template.n)
+    else:
+        from qcmrf_tpu.models import moments
+
+        beta_c = float(template.beta)
+
+        def lnZ_fn(theta, beta):
+            if mesh is None:
+                return moments._lnZ_streaming(
+                    template.cliques, template.n, beta_c, theta
+                )
+            return moments._lnZ_streaming_sharded(
+                template.cliques, template.n, beta_c, mesh, theta
+            )
 
     @jax.jit
     def step(raw, opt_state, batch=None):

@@ -231,6 +231,73 @@ def sharded_success_rate(mrf: MRF, mesh: Mesh) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=128)
+def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
+    """Compiled sharded streaming-moments sweep: each device scans its
+    contiguous block range of the 2**n state space in (block, offset)
+    coordinates (models/moments.py::_chunk_moments — no flat state id,
+    int32-safe past n=31) and one psum reduces the (d,) partials."""
+    from qcmrf_tpu.models import moments as M
+
+    dlog = _dlog(mesh)
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+    cb = min(M._CHUNK_BITS if n <= 31 else M._CHUNK_BITS_BIG, n - dlog)
+    nblk = 1 << (n - dlog - cb)  # blocks per device
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+    def compute(theta, beta, lnZ):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        d = jax.lax.axis_index(axis)
+        coef = M._beta_coef(mrf)
+        offset = jnp.arange(1 << cb, dtype=jnp.int32)
+        base = d.astype(jnp.int32) * nblk
+        if nblk == 1:
+            acc = M._chunk_moments(mrf, coef, lnZ[0], base, offset, cb)
+        else:
+            def step(acc, i):
+                return acc + M._chunk_moments(
+                    mrf, coef, lnZ[0], base + i, offset, cb
+                ), None
+
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros((template.dimension,), jnp.float32),
+                jnp.arange(nblk, dtype=jnp.int32),
+            )
+        return jax.lax.psum(acc, axis)
+
+    return compute
+
+
+def sharded_clique_moments(mrf: MRF, mesh: Mesh, lnZ=None) -> jax.Array:
+    """Exact model moments ``E_p[phi]`` with the streaming state sweep
+    SHARDED over the mesh — the multi-chip form of
+    :func:`qcmrf_tpu.models.moments.clique_moments_streaming` (arbitrary
+    clique structure, no 2^n array on any device, block-unit coordinates
+    past the int32 state-id limit). ``lnZ`` may be passed to skip the
+    sharded lnZ sweep."""
+    if mrf.n > moments_cap():
+        raise ValueError(
+            f"streaming moments cap at n={moments_cap()} (int32 block "
+            f"ids); got n={mrf.n}"
+        )
+    if lnZ is None:
+        lnZ = sharded_log_partition(mrf, mesh)
+    fn = _build_moments_fn(mrf.cliques, mrf.n, mesh)
+    return fn(mrf.theta, mrf.beta,
+              jnp.asarray(lnZ, jnp.float32).reshape(1))
+
+
+def moments_cap() -> int:
+    from qcmrf_tpu.models import moments as M
+
+    return M._MAX_N
+
+
+@functools.lru_cache(maxsize=128)
 def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
     """Compiled sharded streaming-MAP partials, plus the host-side id
     reconstructor for this path (the in-graph outputs stay in (value,

@@ -107,11 +107,32 @@ def main(argv: Optional[List[str]] = None) -> str:
     # past the int32 state-id ceiling, data travels as per-variable bit
     # arrays and training runs on the sufficient statistics with the
     # differentiable-elimination lnZ (exact for bounded treewidth at any
-    # n; models/elimination.py)
-    big = template.n > 30
-    if big and args.mesh:
+    # n; models/elimination.py) or, past the induced-width cap, the
+    # streaming custom-VJP lnZ (arbitrary structure; models/moments.py)
+    # QCMRF_BIG_N_THRESHOLD exists so tests can drive the big-n code
+    # path (bit-array data, moment-target training) at tiny widths
+    big = template.n > int(os.environ.get("QCMRF_BIG_N_THRESHOLD", "30"))
+    wide = False
+    if big:
+        from qcmrf_tpu.models import elimination, moments
+
+        wide = (elimination.induced_width(template.cliques, template.n)
+                > mtrain._ELIM_WIDTH_CAP)
+        if wide and template.n > moments._MAX_N:
+            raise SystemExit(
+                f"n={template.n} with induced width past the elimination "
+                f"cap needs the streaming sweep, which tops out at "
+                f"n={moments._MAX_N} (int32 block ids)")
+        if wide and not args.data:
+            raise SystemExit(
+                "synthetic ground-truth sampling past n=30 uses "
+                "perturb-and-MAP through variable elimination, which this "
+                "graph's induced width makes intractable; pass --data "
+                f"(a JSON list of {template.n}-bit 0/1 arrays)")
+    if big and args.mesh and not wide:
         raise SystemExit("--mesh is for the enumerated state table "
-                         "(n <= 30); elimination training is single-device")
+                         "(n <= 30) or wide structures (streaming sweep); "
+                         "elimination training is single-device")
     if big and args.grad == "shots":
         raise SystemExit("--grad shots needs the circuit sampler's int32 "
                          "state ids (n <= 30)")
@@ -218,7 +239,19 @@ def main(argv: Optional[List[str]] = None) -> str:
         )
         data = jnp.asarray(np.asarray(data))
 
-    if args.mesh and args.grad != "shots":
+    if big:
+        mu_hat = mtrain.empirical_moments_from_bits(template, data)
+        data = jnp.zeros((), jnp.int32)  # unused by the moment step
+        # wide structures accept --mesh: the streaming moment sweep
+        # shards its block range over the flattened device mesh
+        moment_mesh = None
+        if mesh is not None:
+            from jax.sharding import Mesh
+
+            moment_mesh = Mesh(mesh.devices.reshape(-1), ("amp",))
+        step_fn = mtrain.make_moment_train_step(
+            template, opt, mu_hat, mesh=moment_mesh)
+    elif args.mesh and args.grad != "shots":
         if template.num_states % mesh.shape["amp"]:
             raise SystemExit("amp axis must divide the state-table size")
         if data.shape[0] % mesh.shape["data"]:
@@ -237,10 +270,6 @@ def main(argv: Optional[List[str]] = None) -> str:
                 args, os.path.join(args.outdir, "train_config.json")
             )
         step_fn = mtrain.make_sharded_train_step(template, opt, mesh)
-    elif big:
-        mu_hat = mtrain.empirical_moments_from_bits(template, data)
-        data = jnp.zeros((), jnp.int32)  # unused by the moment step
-        step_fn = mtrain.make_moment_train_step(template, opt, mu_hat)
     elif args.grad == "shots":
         from qcmrf_tpu.evaluation.estimators import (
             clique_marginals_from_samples)

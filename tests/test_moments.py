@@ -87,10 +87,25 @@ def test_streaming_lnZ_jittable():
 
 
 def test_streaming_moments_width_cap():
-    with pytest.raises(ValueError, match="n=31"):
+    with pytest.raises(ValueError, match="n=47"):
         moments.clique_moments_streaming(
-            MRF.create([[0, 31]])  # n = 32
+            MRF.create([[0, 47]])  # n = 48 > the int32 block-id cap
         )
+
+
+@pytest.mark.parametrize("cb", [3, 5])
+def test_block_offset_coordinates(monkeypatch, cb):
+    """Tiny chunks force the sweep across the block cut: low-only,
+    high-only, and cut-crossing cliques all exercise the (blk, offset)
+    bit split that carries the sweep past the int32 state-id limit."""
+    monkeypatch.setattr(moments, "_CHUNK_BITS", cb)
+    mrf = _random_mrf(
+        [[0, 1, 2], [3, 4], [2, 5, 7], [6, 7], [0, 7]], seed=7, beta=1.3
+    )
+    assert mrf.n == 8
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
 def test_induced_width():
@@ -98,6 +113,32 @@ def test_induced_width():
     assert ve.induced_width(((0, 1), (1, 2), (2, 3)), 4) == 2
     assert ve.induced_width(((0, 1, 2, 3, 4), (4, 5)), 6) >= 5
     assert ve.induced_width((), 3) == 0
+
+
+def test_moment_train_step_streaming_routing(monkeypatch):
+    """make_moment_train_step (the past-n=30 sufficient-statistics path)
+    must produce the same step through the streaming custom-VJP lnZ as
+    through elimination when the width cap forces the reroute."""
+    import optax
+
+    cliques = [[0, 1, 2], [2, 3], [1, 3]]
+    mrf = _random_mrf(cliques, seed=8)
+    true = _random_mrf(cliques, seed=9)
+    mu_hat = ve.clique_marginals(true)
+
+    def one_step():
+        opt = optax.sgd(0.1)
+        step = train.make_moment_train_step(mrf, opt, mu_hat)
+        raw = train._from_theta(mrf.theta, True)
+        raw, _, loss = step(raw, opt.init(raw))
+        return np.asarray(raw), float(loss)
+
+    raw_elim, loss_elim = one_step()
+    monkeypatch.setattr(train, "_ELIM_WIDTH_CAP", 1)
+    raw_stream, loss_stream = one_step()
+
+    assert np.isclose(loss_stream, loss_elim, rtol=1e-5)
+    np.testing.assert_allclose(raw_stream, raw_elim, rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.slow

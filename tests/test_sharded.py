@@ -363,3 +363,56 @@ def test_sharded_map_state_tiny_shards(mesh8):
     got_id, got_val = sharded.sharded_map_state(mrf, mesh8)
     assert got_id == int(np.argmax(lp))
     assert abs(got_val - float(lp.max())) < 1e-5
+
+
+def test_sharded_clique_moments(mesh8):
+    """Sharded streaming moment sweep == elimination marginals ==
+    single-device streaming sweep (one block per device: n - dlog <=
+    chunk bits)."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import moments
+
+    mrf = rand_mrf([[0, 1, 2], [2, 3], [3, 4, 5], [0, 5], [1, 4]],
+                   seed=11, scale=0.7)  # n=6
+    got = np.asarray(sharded.sharded_clique_moments(mrf, mesh8))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    single = np.asarray(moments.clique_moments_streaming(mrf))
+    np.testing.assert_allclose(got, single, rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_clique_moments_scan_path(mesh8, monkeypatch):
+    """Multiple blocks per device (forced tiny chunks) exercise the
+    per-device lax.scan with global block offsets."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import moments
+
+    monkeypatch.setattr(moments, "_CHUNK_BITS", 3)
+    mrf = rand_mrf([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 6],
+                    [6, 7], [7, 8], [0, 8]], seed=12, scale=0.5)  # n=9
+    got = np.asarray(sharded.sharded_clique_moments(mrf, mesh8))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_streaming_lnZ_grad(mesh8):
+    """value_and_grad through the mesh-sharded streaming lnZ == autodiff
+    through the 2^n table (the multi-chip exact-MLE gradient)."""
+    from qcmrf_tpu.models import moments
+
+    mrf = rand_mrf([[0, 1, 2], [2, 3], [3, 4, 0]], seed=13, scale=0.6)
+
+    def stream(theta):
+        return moments.log_partition_streaming(
+            mrf.with_theta(theta), mesh=mesh8
+        )
+
+    def table(theta):
+        return mrf.with_theta(theta).log_partition()
+
+    v_got, g_got = jax.value_and_grad(stream)(mrf.theta)
+    v_want, g_want = jax.value_and_grad(table)(mrf.theta)
+    assert np.isclose(float(v_got), float(v_want), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-6
+    )

@@ -170,6 +170,62 @@ def test_big_n_guards(tmp_path):
                         "--grad", "shots", "--outdir", str(tmp_path)])
 
 
+def test_big_n_wide_structure_guards(tmp_path):
+    """Past n=30 with induced width above the elimination cap, the CLI
+    requires --data (perturb-and-MAP synthesis needs elimination) and
+    refuses widths past the streaming sweep's int32 block-id cap."""
+    import itertools
+
+    import pytest
+
+    k31 = tmp_path / "k31.json"
+    k31.write_text(json.dumps(
+        [list(p) for p in itertools.combinations(range(31), 2)]))
+    with pytest.raises(SystemExit, match="perturb-and-MAP"):
+        train_cli.main(["--graph", str(k31), "--steps", "1",
+                        "--outdir", str(tmp_path)])
+
+    k48 = tmp_path / "k48.json"
+    k48.write_text(json.dumps(
+        [list(p) for p in itertools.combinations(range(48), 2)]))
+    with pytest.raises(SystemExit, match="tops out"):
+        train_cli.main(["--graph", str(k48), "--steps", "1",
+                        "--outdir", str(tmp_path)])
+
+
+def test_big_wide_mesh_training(tmp_path, monkeypatch):
+    """The past-n=30 wide-structure path accepts --mesh: moment-target
+    training through the mesh-sharded streaming lnZ matches the
+    single-device fit exactly (driven at tiny n via QCMRF_BIG_N_THRESHOLD
+    and a lowered width cap — the big-path plumbing is scale-free)."""
+    import itertools
+
+    from qcmrf_tpu.models import train as mtrain
+
+    monkeypatch.setenv("QCMRF_BIG_N_THRESHOLD", "8")
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 3)
+    k10 = tmp_path / "k10.json"
+    k10.write_text(json.dumps(
+        [list(p) for p in itertools.combinations(range(10), 2)]))
+    rng = np.random.RandomState(3)
+    bits = (rng.rand(64, 10) < 0.4).astype(int)
+    dataf = tmp_path / "bits.json"
+    dataf.write_text(json.dumps(bits.tolist()))
+
+    common = ["--graph", str(k10), "--data", str(dataf), "--steps", "6",
+              "--lr", "0.2"]
+    out_m = train_cli.main(
+        common + ["--mesh", "4x2", "--outdir", str(tmp_path / "mesh")])
+    out_s = train_cli.main(
+        common + ["--outdir", str(tmp_path / "single")])
+    fm = json.load(open(out_m))
+    fs = json.load(open(out_s))
+    assert np.isfinite(fm["final_nll"])
+    assert np.isclose(fm["final_nll"], fs["final_nll"], rtol=1e-4)
+    np.testing.assert_allclose(fm["theta"], fs["theta"],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_empirical_moments_match_state_id_path():
     """Bit-array moments == state-id moments on a small graph (the two
     data representations must agree where both exist)."""
