@@ -566,6 +566,41 @@ def main():
         except Exception as e:
             extra["lnz_error"] = f"{type(e).__name__}: {e}"
             _recover_hbm()
+
+        try:
+            # exact-MLE training step on a structure PAST elimination's
+            # induced-width cap (K27 pairwise: width 26 > 25, and the
+            # 2^27-row table would be 537 MB): forward streaming-lnZ
+            # sweep + custom-VJP backward moments sweep, nothing 2^n
+            # ever materialized (models/moments.py — the capability the
+            # reference's exact-MLE stack has no counterpart for)
+            import optax
+
+            from qcmrf_tpu.models import train as mtrain
+            from qcmrf_tpu.models.mrf import MRF
+
+            nW = 27
+            kW = MRF.create(
+                [[i, j] for i in range(nW) for j in range(i + 1, nW)])
+            rsW = np.random.RandomState(11)
+            kW = kW.with_theta(jnp.asarray(
+                -np.abs(rsW.randn(kW.dimension)).astype(np.float32) * 0.02))
+            muW = jnp.asarray(
+                rsW.uniform(0.1, 0.5, kW.dimension), jnp.float32)
+            optW = optax.adam(5e-2)
+            rawW = mtrain._from_theta(kW.theta, True)
+            stepW = mtrain.make_moment_train_step(kW, optW, muW)
+            stW = optW.init(rawW)
+
+            def train_step(s):
+                _, _, loss = stepW(rawW + 0.0 * s, stW)
+                return loss
+
+            extra["train_wide_k27_step_ms"] = round(
+                _t(train_step, reps=3) * 1e3, 1)
+        except Exception as e:
+            extra["train_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
     except Exception as e:  # the headline must survive odd backends
         extra["extra_error"] = f"{type(e).__name__}: {e}"
 

@@ -24,10 +24,20 @@ oracle surface rather than mirroring it. The sweep is pure XLA (the
 per-chunk work is dense FMA chains XLA fuses well); the lnZ forward
 pass reuses :func:`qcmrf_tpu.ops.kernels.log_partition`, which streams
 through the Pallas block-split kernel at large n.
+
+The sweep accumulates the DEDUPLICATED BIT-MONOMIAL basis, not the
+theta-layout masks: the union of all clique subsets is downward closed,
+so every monomial costs one multiply off its parent and two FMAs (into
+the log-potential and into its weighted dot), versus per-clique
+mask-doubling plus one reduction per *theta entry* (d >= 2m on pairwise
+models) for the direct form — measured 4.2x faster on the chip (K24:
+70 ms vs 299 ms). Theta-layout moments are recovered once per sweep by
+the inverse-Moebius doubling (:func:`_masks_from_monomials`).
 """
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -65,35 +75,127 @@ def _chunk_bits(mrf: MRF, blk, offset, cb: int):
     return bits
 
 
-def _chunk_moments(mrf: MRF, coef, lnZ, blk, offset, cb: int):
-    """(d,) partial ``sum_x p(x) * phi(x)`` over one chunk.
+class _MonomialLayout(
+    collections.namedtuple(
+        "_MonomialLayout", "build cmaps sel_idx sel_gidx m cmax")):
+    """Host-side layout of the DEDUPLICATED bit-monomial basis shared by
+    every clique: the union of all subsets of all cliques (downward
+    closed, so each monomial is one multiply off a previously built one).
 
-    ``coef`` is the beta-scaled Moebius coefficient table (the FMA twin
-    of ``beta * theta^T phi``, sim/analytic.py::log_potentials_fast).
-    Per clique the 2^|C| state masks are built by a doubling recursion
-    over the slots (2 multiplies per mask; chunk-constant bits broadcast
-    as scalars), processed in REVERSED slot order so mask index == the
-    theta layout's y index (clique-major, y binary-counting, y[0]
-    slowest — utils/bits.py conventions)."""
-    cmax = max(len(C) for C in mrf.cliques)
+    * ``build[g-1] = (parent, var)``: monomial ``g`` is
+      ``mono[parent] * bit[var]`` (``parent == 0`` means a bare bit).
+    * ``cmaps[k][s]``: global monomial index of clique ``k``'s slot
+      subset ``s`` (bit ``i`` of ``s`` <-> slot ``i``, i.e. ``C[i]``).
+    * ``sel_idx``/``sel_gidx``: scatter map from the padded Moebius
+      coefficient table (``k << cmax | s`` flat layout, _beta_coef) onto
+      the (m,) global-monomial coefficient vector.
+    """
+
+
+@functools.lru_cache(maxsize=128)
+def _monomial_layout(cliques: tuple) -> _MonomialLayout:
+    import numpy as np
+
+    cmax = max(len(C) for C in cliques)
+    index = {(): 0}
+    build = []
+    cmaps = []
+    sel_idx, sel_gidx = [], []
+    for k, C in enumerate(cliques):
+        local = []
+        for s in range(1 << len(C)):
+            S = tuple(sorted(C[i] for i in range(len(C)) if (s >> i) & 1))
+            g = index.get(S)
+            if g is None:
+                g = len(index)
+                index[S] = g
+                i = (s & -s).bit_length() - 1
+                build.append((local[s ^ (1 << i)], C[i]))
+            local.append(g)
+            sel_idx.append((k << cmax) | s)
+            sel_gidx.append(g)
+        cmaps.append(tuple(local))
+    return _MonomialLayout(
+        build=tuple(build), cmaps=tuple(cmaps),
+        sel_idx=np.asarray(sel_idx, np.int32),
+        sel_gidx=np.asarray(sel_gidx, np.int32),
+        m=len(index), cmax=cmax,
+    )
+
+
+def _coef_mono(coef, layout: _MonomialLayout):
+    """(m,) log-potential coefficients on the deduplicated monomial
+    basis: subsets shared by several cliques (singletons, mostly) sum
+    their per-clique Moebius coefficients."""
+    return jnp.zeros((layout.m,), jnp.float32).at[
+        jnp.asarray(layout.sel_gidx)
+    ].add(coef[jnp.asarray(layout.sel_idx)])
+
+
+def _chunk_mono_partials(mrf: MRF, coef_mono, lnZ, blk, offset, cb: int):
+    """(m, L) LANE-RESOLVED partials ``sum_x p(x) * mono_g(x)`` over one
+    chunk (L = min(128, chunk); callers sum axis 1 once at the end of
+    the whole sweep).
+
+    Every monomial column is built with ONE multiply off its parent
+    (downward-closed basis) and consumed twice in place — an FMA into
+    the log-potential and a dot against the weight vector — so the
+    per-element cost is ~3 ops per monomial, versus ~2 per *theta
+    entry* (d >= 2m on pairwise models) plus per-clique mask doubling
+    for the old masks-then-reduce form. The theta-layout moments are
+    recovered once per SWEEP by :func:`_masks_from_monomials`, not per
+    chunk. Chunk-constant bits (variables above the block cut) ride
+    along as scalars; their dots reduce to ``scalar * lane_w``.
+
+    The dots stay LANE-RESOLVED on purpose: a scalar-output reduction
+    fused into its producer lowers to a sequential accumulation whose
+    f32 error grows ~N*eps (measured 3e-5 absolute at chunk 2^16 —
+    enough to fail the 1e-4-rtol oracle pins), while a (L,)-accumulator
+    reduction stays vectorized; the final cross-lane sum runs once on a
+    small materialized array where XLA uses the accurate tiled reduce."""
+    layout = _monomial_layout(mrf.cliques)
     bits = _chunk_bits(mrf, blk, offset, cb)
 
-    lp = jnp.zeros(offset.shape, jnp.float32)
-    for k, C in enumerate(mrf.cliques):
-        off = k << cmax
-        lp = moebius.eval_multilinear(
-            [bits[v] for v in C], len(C),
-            lambda s, off=off: coef[off + s], lp,
-        )
+    cols = [None]
+    lp = jnp.zeros(offset.shape, jnp.float32) + coef_mono[0]
+    for g, (parent, v) in enumerate(layout.build, start=1):
+        b = bits[v]
+        col = b if parent == 0 else cols[parent] * b
+        cols.append(col)
+        lp = lp + coef_mono[g] * col
     w = jnp.exp(lp - lnZ)  # p(x), exact
+    L = min(128, w.size)
+    w2 = w.reshape(-1, L)
+    lane_w = w2.sum(0)  # (L,)
+    rows = [lane_w]
+    for col in cols[1:]:
+        if getattr(col, "ndim", 1) == 0:  # all-above-the-cut subset
+            rows.append(col * lane_w)
+        else:
+            rows.append((w2 * col.reshape(-1, L)).sum(0))
+    return jnp.stack(rows)
+
+
+def _masks_from_monomials(mono, cliques: tuple):
+    """theta-layout moments ``E_p[phi]`` from monomial moments
+    ``E_p[prod b]`` by the inverse-Moebius doubling per clique: per slot
+    ``(without, with) -> (without - with, with)`` — the numerically
+    compensated form (pairwise differences of probabilities; no signed
+    2^|C|-term sums), run ONCE at the end of the sweep. The final
+    bit-reversal gather maps slot-bitmask order onto the theta layout's
+    y index (y binary-counting, y[0] slowest — utils/bits.py)."""
+    layout = _monomial_layout(cliques)
     parts = []
-    for C in mrf.cliques:
-        masks = [w]
-        for v in reversed(C):
-            b = bits[v]
-            nb = 1.0 - b
-            masks = [m * nb for m in masks] + [m * b for m in masks]
-        parts.append(jnp.stack([m.sum() for m in masks]))
+    for k, C in enumerate(cliques):
+        c = len(C)
+        tab = mono[jnp.asarray(layout.cmaps[k], jnp.int32)]
+        for i in range(c):
+            t = tab.reshape(1 << (c - 1 - i), 2, 1 << i)
+            tab = jnp.concatenate(
+                [t[:, :1] - t[:, 1:], t[:, 1:]], axis=1
+            ).reshape(-1)
+        rev = [int(format(s, f"0{c}b")[::-1], 2) for s in range(1 << c)]
+        parts.append(tab[jnp.asarray(rev, jnp.int32)])
     return jnp.concatenate(parts)
 
 
@@ -126,22 +228,25 @@ def clique_moments_streaming(mrf: MRF, lnZ=None) -> jax.Array:
         )
     if lnZ is None:
         lnZ = kernels.log_partition(mrf)
-    coef = _beta_coef(mrf)
+    layout = _monomial_layout(mrf.cliques)
+    coef_mono = _coef_mono(_beta_coef(mrf), layout)
     cb = min(_CHUNK_BITS if mrf.n <= 31 else _CHUNK_BITS_BIG, mrf.n)
     if mrf.n == cb:
-        return _chunk_moments(
-            mrf, coef, lnZ, jnp.int32(0),
+        lanes = _chunk_mono_partials(
+            mrf, coef_mono, lnZ, jnp.int32(0),
             jnp.arange(1 << cb, dtype=jnp.int32), cb,
         )
+        return _masks_from_monomials(lanes.sum(axis=1), mrf.cliques)
     offset = jnp.arange(1 << cb, dtype=jnp.int32)
     blks = jnp.arange(1 << (mrf.n - cb), dtype=jnp.int32)
 
     def step(acc, blk):
-        return acc + _chunk_moments(mrf, coef, lnZ, blk, offset, cb), None
+        return acc + _chunk_mono_partials(
+            mrf, coef_mono, lnZ, blk, offset, cb), None
 
-    acc0 = jnp.zeros((mrf.dimension,), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, blks)
-    return acc
+    acc0 = jnp.zeros((layout.m, min(128, 1 << cb)), jnp.float32)
+    lanes, _ = jax.lax.scan(step, acc0, blks)
+    return _masks_from_monomials(lanes.sum(axis=1), mrf.cliques)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))

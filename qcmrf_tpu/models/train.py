@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -35,8 +36,10 @@ from qcmrf_tpu.models.mrf import MRF
 
 #: max induced width routed through variable elimination past table
 #: widths; a wider plan's per-step 2^width factor tables stop paying off
-#: against the gather-free streaming sweep (128 MB at 25)
-_ELIM_WIDTH_CAP = 25
+#: against the gather-free streaming sweep (128 MB at 25). The env
+#: override exists to force the streaming branch from a real process
+#: (CLI verification, benchmarks) without a 2^26-state model.
+_ELIM_WIDTH_CAP = int(os.environ.get("QCMRF_ELIM_WIDTH_CAP", "25"))
 
 
 def _nll(mrf: MRF, theta: jax.Array, data: jax.Array) -> jax.Array:

@@ -234,13 +234,16 @@ def sharded_success_rate(mrf: MRF, mesh: Mesh) -> jax.Array:
 def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
     """Compiled sharded streaming-moments sweep: each device scans its
     contiguous block range of the 2**n state space in (block, offset)
-    coordinates (models/moments.py::_chunk_moments — no flat state id,
-    int32-safe past n=31) and one psum reduces the (d,) partials."""
+    coordinates (models/moments.py::_chunk_mono_partials — no flat state
+    id, int32-safe past n=31), one psum reduces the (m,) deduplicated
+    MONOMIAL partials (m < d, so less ICI than theta-layout partials
+    would cost), and the theta-layout transform runs replicated once."""
     from qcmrf_tpu.models import moments as M
 
     dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
     template = MRF.create([list(C) for C in cliques])
+    layout = M._monomial_layout(template.cliques)
     cb = min(M._CHUNK_BITS if n <= 31 else M._CHUNK_BITS_BIG, n - dlog)
     nblk = 1 << (n - dlog - cb)  # blocks per device
 
@@ -252,22 +255,25 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
     def compute(theta, beta, lnZ):
         mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
         d = jax.lax.axis_index(axis)
-        coef = M._beta_coef(mrf)
+        coef_mono = M._coef_mono(M._beta_coef(mrf), layout)
         offset = jnp.arange(1 << cb, dtype=jnp.int32)
         base = d.astype(jnp.int32) * nblk
         if nblk == 1:
-            acc = M._chunk_moments(mrf, coef, lnZ[0], base, offset, cb)
+            acc = M._chunk_mono_partials(
+                mrf, coef_mono, lnZ[0], base, offset, cb)
         else:
             def step(acc, i):
-                return acc + M._chunk_moments(
-                    mrf, coef, lnZ[0], base + i, offset, cb
+                return acc + M._chunk_mono_partials(
+                    mrf, coef_mono, lnZ[0], base + i, offset, cb
                 ), None
 
             acc, _ = jax.lax.scan(
-                step, jnp.zeros((template.dimension,), jnp.float32),
+                step,
+                jnp.zeros((layout.m, min(128, 1 << cb)), jnp.float32),
                 jnp.arange(nblk, dtype=jnp.int32),
             )
-        return jax.lax.psum(acc, axis)
+        mono = jax.lax.psum(acc.sum(axis=1), axis)
+        return M._masks_from_monomials(mono, template.cliques)
 
     return compute
 

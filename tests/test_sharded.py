@@ -378,7 +378,10 @@ def test_sharded_clique_moments(mesh8):
     want = np.asarray(ve.clique_marginals(mrf))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
     single = np.asarray(moments.clique_moments_streaming(mrf))
-    np.testing.assert_allclose(got, single, rtol=1e-6, atol=1e-8)
+    # not bit-identical: the mesh path partitions the lane accumulators
+    # per device (L = chunk/2^dlog) and psums, the single path keeps one
+    # global lane set — same algorithm, different f32 summation order
+    np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-7)
 
 
 def test_sharded_clique_moments_scan_path(mesh8, monkeypatch):
