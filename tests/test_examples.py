@@ -23,6 +23,7 @@ _EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
         ("02_reference_suite.py", None),
         ("04_training.py", None),
         ("05_hardware_emulation.py", "/tmp/success_torino.pdf"),
+        ("06_wide_structure_training.py", None),
     ],
 )
 def test_example_smoke(name, output):
