@@ -26,13 +26,16 @@ pass reuses :func:`qcmrf_tpu.ops.kernels.log_partition`, which streams
 through the Pallas block-split kernel at large n.
 
 The sweep accumulates the DEDUPLICATED BIT-MONOMIAL basis, not the
-theta-layout masks: the union of all clique subsets is downward closed,
-so every monomial costs one multiply off its parent and two FMAs (into
-the log-potential and into its weighted dot), versus per-clique
-mask-doubling plus one reduction per *theta entry* (d >= 2m on pairwise
-models) for the direct form — measured 4.2x faster on the chip (K24:
-70 ms vs 299 ms). Theta-layout moments are recovered once per sweep by
-the inverse-Moebius doubling (:func:`_masks_from_monomials`).
+theta-layout masks — and it rides the MXU: every size-1/size-2 monomial
+moment is one entry of the weighted Gram matrix ``B^T diag(w) B`` of
+the used variables' bit planes (``b^2 = b`` puts the singletons on the
+diagonal), and the log-potential is the matching pair of matmuls
+``B a + rowsum((B Q) * B)``. One systolic contraction replaces per-
+clique mask-doubling plus one reduction per theta entry — measured 6.6x
+faster on the chip (K24 complete graph: 45 ms vs 299 ms per call; a K27
+exact-MLE training step, forward lnZ + this sweep as its custom-VJP
+gradient, runs at 265 ms). Theta-layout moments are recovered once per
+sweep by the inverse-Moebius doubling (:func:`_masks_from_monomials`).
 """
 
 from __future__ import annotations
@@ -77,7 +80,7 @@ def _chunk_bits(mrf: MRF, blk, offset, cb: int):
 
 class _MonomialLayout(
     collections.namedtuple(
-        "_MonomialLayout", "build cmaps sel_idx sel_gidx m cmax")):
+        "_MonomialLayout", "build cmaps sel_idx sel_gidx m cmax subsets")):
     """Host-side layout of the DEDUPLICATED bit-monomial basis shared by
     every clique: the union of all subsets of all cliques (downward
     closed, so each monomial is one multiply off a previously built one).
@@ -119,7 +122,56 @@ def _monomial_layout(cliques: tuple) -> _MonomialLayout:
         build=tuple(build), cmaps=tuple(cmaps),
         sel_idx=np.asarray(sel_idx, np.int32),
         sel_gidx=np.asarray(sel_gidx, np.int32),
-        m=len(index), cmax=cmax,
+        m=len(index), cmax=cmax, subsets=tuple(index),
+    )
+
+
+class _GramLayout(
+    collections.namedtuple(
+        "_GramLayout",
+        "vars sing_g pair_g pair_iu pair_iv hi_g hi_cols")):
+    """Host-side split of the monomial basis by subset size, for the
+    MXU form of the sweep (:func:`_chunk_mono_partials`):
+
+    * size 0 — ``sum w`` (the lane accumulator);
+    * size 1 and 2 — ONE weighted Gram matrix ``B^T diag(w) B`` over the
+      used variables' bit planes ``B`` covers every such moment at once
+      (``E[w b_u b_v]``; the diagonal gives the singletons since
+      ``b^2 = b``). ``sing_g[i]`` is var ``vars[i]``'s singleton
+      monomial; ``(pair_g, pair_iu, pair_iv)`` index the size-2 subsets
+      (``iu == iv`` for the degenerate repeated-variable pairs).
+    * size >= 3 — ``hi_g[j]``'s column is the product of plane indices
+      ``hi_cols[j]`` (rare; per-column lane dots like the size-0 row).
+    """
+
+
+@functools.lru_cache(maxsize=128)
+def _gram_layout(cliques: tuple) -> _GramLayout:
+    import numpy as np
+
+    layout = _monomial_layout(cliques)
+    vars_ = tuple(sorted({v for C in cliques for v in C}))
+    vi = {v: i for i, v in enumerate(vars_)}
+    sing_g = np.full(len(vars_), -1, np.int32)
+    pair_g, pair_iu, pair_iv = [], [], []
+    hi_g, hi_cols = [], []
+    for g, S in enumerate(layout.subsets):
+        if len(S) == 1:
+            sing_g[vi[S[0]]] = g
+        elif len(S) == 2:
+            pair_g.append(g)
+            pair_iu.append(vi[S[0]])
+            pair_iv.append(vi[S[1]])
+        elif len(S) >= 3:
+            hi_g.append(g)
+            hi_cols.append(tuple(vi[v] for v in S))
+    assert (sing_g >= 0).all()  # every used var has a singleton subset
+    return _GramLayout(
+        vars=vars_, sing_g=sing_g,
+        pair_g=np.asarray(pair_g, np.int32),
+        pair_iu=np.asarray(pair_iu, np.int32),
+        pair_iv=np.asarray(pair_iv, np.int32),
+        hi_g=np.asarray(hi_g, np.int32), hi_cols=tuple(hi_cols),
     )
 
 
@@ -133,47 +185,84 @@ def _coef_mono(coef, layout: _MonomialLayout):
 
 
 def _chunk_mono_partials(mrf: MRF, coef_mono, lnZ, blk, offset, cb: int):
-    """(m, L) LANE-RESOLVED partials ``sum_x p(x) * mono_g(x)`` over one
-    chunk (L = min(128, chunk); callers sum axis 1 once at the end of
-    the whole sweep).
+    """Partial monomial moments ``sum_x p(x) * mono_g(x)`` over one
+    chunk, as the pytree ``(lane_w, G, extra)`` that
+    :func:`_assemble_mono` flattens to (m,) once per sweep:
 
-    Every monomial column is built with ONE multiply off its parent
-    (downward-closed basis) and consumed twice in place — an FMA into
-    the log-potential and a dot against the weight vector — so the
-    per-element cost is ~3 ops per monomial, versus ~2 per *theta
-    entry* (d >= 2m on pairwise models) plus per-clique mask doubling
-    for the old masks-then-reduce form. The theta-layout moments are
-    recovered once per SWEEP by :func:`_masks_from_monomials`, not per
-    chunk. Chunk-constant bits (variables above the block cut) ride
-    along as scalars; their dots reduce to ``scalar * lane_w``.
+    * ``lane_w`` (L,) — lane-resolved ``sum w`` (L = min(128, chunk));
+    * ``G`` (nv, nv) — the weighted Gram ``B^T diag(w) B`` of the used
+      variables' bit planes: ONE HIGHEST-precision MXU matmul yields
+      every size-1 (diagonal, ``b^2 = b``) and size-2 monomial moment;
+    * ``extra`` (n_hi, L) — lane dots of the rare size->=3 columns.
 
-    The dots stay LANE-RESOLVED on purpose: a scalar-output reduction
-    fused into its producer lowers to a sequential accumulation whose
-    f32 error grows ~N*eps (measured 3e-5 absolute at chunk 2^16 —
-    enough to fail the 1e-4-rtol oracle pins), while a (L,)-accumulator
-    reduction stays vectorized; the final cross-lane sum runs once on a
-    small materialized array where XLA uses the accurate tiled reduce."""
-    layout = _monomial_layout(mrf.cliques)
+    The log-potential rides the MXU too: ``lp = c0 + B a +
+    rowsum((B Q) * B)`` with the singleton/pair coefficients scattered
+    into ``a``/``Q`` (higher subsets FMA their product columns in).
+    This keeps the sweep off the ~m-materialized-columns form, whose
+    HBM traffic (each column written + reread for its dot) measured 5x
+    slower on-chip; per chunk only B, BQ and w ever hit HBM.
+
+    Scalar-output reductions fused into producers are AVOIDED on
+    purpose: they lower to sequential accumulations whose f32 error
+    grows ~N*eps (measured 3e-5 absolute at chunk 2^16 — enough to fail
+    the 1e-4-rtol oracle pins). lane_w/extra keep (L,) accumulators; the
+    Gram's contraction is the MXU's tiled f32 accumulation. Final sums
+    run once on small materialized arrays. Chunk-constant bits
+    (variables above the block cut) broadcast into their B columns."""
+    gram = _gram_layout(mrf.cliques)
     bits = _chunk_bits(mrf, blk, offset, cb)
+    prec = jax.lax.Precision.HIGHEST
 
-    cols = [None]
-    lp = jnp.zeros(offset.shape, jnp.float32) + coef_mono[0]
-    for g, (parent, v) in enumerate(layout.build, start=1):
-        b = bits[v]
-        col = b if parent == 0 else cols[parent] * b
-        cols.append(col)
-        lp = lp + coef_mono[g] * col
+    B = jnp.stack(
+        [jnp.broadcast_to(bits[v], offset.shape) for v in gram.vars],
+        axis=1,
+    )  # (chunk, nv)
+
+    # lp = c0 + B a + rowsum((B Q) * B) [+ size>=3 column FMAs]
+    nv = len(gram.vars)
+    cm = jnp.concatenate([coef_mono, jnp.zeros((1,), jnp.float32)])
+    a = cm[jnp.asarray(gram.sing_g)]
+    Q = jnp.zeros((nv, nv), jnp.float32).at[
+        jnp.asarray(gram.pair_iu), jnp.asarray(gram.pair_iv)
+    ].add(cm[jnp.asarray(gram.pair_g)])
+    lp = coef_mono[0] + jnp.matmul(B, a, precision=prec)
+    if gram.pair_g.size:
+        lp = lp + (jnp.matmul(B, Q, precision=prec) * B).sum(-1)
+    hi_cols = []
+    for j, idxs in enumerate(gram.hi_cols):
+        col = B[:, idxs[0]]
+        for i in idxs[1:]:
+            col = col * B[:, i]
+        hi_cols.append(col)
+        lp = lp + cm[int(gram.hi_g[j])] * col
     w = jnp.exp(lp - lnZ)  # p(x), exact
+
     L = min(128, w.size)
     w2 = w.reshape(-1, L)
     lane_w = w2.sum(0)  # (L,)
-    rows = [lane_w]
-    for col in cols[1:]:
-        if getattr(col, "ndim", 1) == 0:  # all-above-the-cut subset
-            rows.append(col * lane_w)
-        else:
-            rows.append((w2 * col.reshape(-1, L)).sum(0))
-    return jnp.stack(rows)
+    G = jnp.matmul(B.T, B * w[:, None], precision=prec)  # (nv, nv)
+    extra = (
+        jnp.stack([(w2 * c.reshape(-1, L)).sum(0) for c in hi_cols])
+        if hi_cols else jnp.zeros((0, L), jnp.float32)
+    )
+    return lane_w, G, extra
+
+
+def _assemble_mono(partials, cliques: tuple):
+    """(m,) monomial moments from the swept ``(lane_w, G, extra)``
+    pytree (sum of :func:`_chunk_mono_partials` over all chunks)."""
+    layout = _monomial_layout(cliques)
+    gram = _gram_layout(cliques)
+    lane_w, G, extra = partials
+    mono = jnp.zeros((layout.m,), jnp.float32)
+    mono = mono.at[0].set(lane_w.sum())
+    mono = mono.at[jnp.asarray(gram.sing_g)].set(jnp.diagonal(G))
+    if gram.pair_g.size:
+        mono = mono.at[jnp.asarray(gram.pair_g)].set(
+            G[jnp.asarray(gram.pair_iu), jnp.asarray(gram.pair_iv)])
+    if gram.hi_g.size:
+        mono = mono.at[jnp.asarray(gram.hi_g)].set(extra.sum(axis=1))
+    return mono
 
 
 def _masks_from_monomials(mono, cliques: tuple):
@@ -231,22 +320,20 @@ def clique_moments_streaming(mrf: MRF, lnZ=None) -> jax.Array:
     layout = _monomial_layout(mrf.cliques)
     coef_mono = _coef_mono(_beta_coef(mrf), layout)
     cb = min(_CHUNK_BITS if mrf.n <= 31 else _CHUNK_BITS_BIG, mrf.n)
-    if mrf.n == cb:
-        lanes = _chunk_mono_partials(
-            mrf, coef_mono, lnZ, jnp.int32(0),
-            jnp.arange(1 << cb, dtype=jnp.int32), cb,
-        )
-        return _masks_from_monomials(lanes.sum(axis=1), mrf.cliques)
     offset = jnp.arange(1 << cb, dtype=jnp.int32)
-    blks = jnp.arange(1 << (mrf.n - cb), dtype=jnp.int32)
+    # block 0's partials double as the scan init (pytree-shaped)
+    acc0 = _chunk_mono_partials(
+        mrf, coef_mono, lnZ, jnp.int32(0), offset, cb)
+    if mrf.n > cb:
+        blks = jnp.arange(1, 1 << (mrf.n - cb), dtype=jnp.int32)
 
-    def step(acc, blk):
-        return acc + _chunk_mono_partials(
-            mrf, coef_mono, lnZ, blk, offset, cb), None
+        def step(acc, blk):
+            new = _chunk_mono_partials(mrf, coef_mono, lnZ, blk, offset, cb)
+            return jax.tree.map(jnp.add, acc, new), None
 
-    acc0 = jnp.zeros((layout.m, min(128, 1 << cb)), jnp.float32)
-    lanes, _ = jax.lax.scan(step, acc0, blks)
-    return _masks_from_monomials(lanes.sum(axis=1), mrf.cliques)
+        acc0, _ = jax.lax.scan(step, acc0, blks)
+    return _masks_from_monomials(
+        _assemble_mono(acc0, mrf.cliques), mrf.cliques)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))

@@ -243,7 +243,6 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
     dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
     template = MRF.create([list(C) for C in cliques])
-    layout = M._monomial_layout(template.cliques)
     cb = min(M._CHUNK_BITS if n <= 31 else M._CHUNK_BITS_BIG, n - dlog)
     nblk = 1 << (n - dlog - cb)  # blocks per device
 
@@ -255,24 +254,23 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
     def compute(theta, beta, lnZ):
         mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
         d = jax.lax.axis_index(axis)
-        coef_mono = M._coef_mono(M._beta_coef(mrf), layout)
+        coef_mono = M._coef_mono(
+            M._beta_coef(mrf), M._monomial_layout(template.cliques))
         offset = jnp.arange(1 << cb, dtype=jnp.int32)
         base = d.astype(jnp.int32) * nblk
-        if nblk == 1:
-            acc = M._chunk_mono_partials(
-                mrf, coef_mono, lnZ[0], base, offset, cb)
-        else:
+        # the device's first block doubles as the scan init (pytree)
+        acc = M._chunk_mono_partials(
+            mrf, coef_mono, lnZ[0], base, offset, cb)
+        if nblk > 1:
             def step(acc, i):
-                return acc + M._chunk_mono_partials(
-                    mrf, coef_mono, lnZ[0], base + i, offset, cb
-                ), None
+                new = M._chunk_mono_partials(
+                    mrf, coef_mono, lnZ[0], base + i, offset, cb)
+                return jax.tree.map(jnp.add, acc, new), None
 
             acc, _ = jax.lax.scan(
-                step,
-                jnp.zeros((layout.m, min(128, 1 << cb)), jnp.float32),
-                jnp.arange(nblk, dtype=jnp.int32),
-            )
-        mono = jax.lax.psum(acc.sum(axis=1), axis)
+                step, acc, jnp.arange(1, nblk, dtype=jnp.int32))
+        mono = jax.lax.psum(
+            M._assemble_mono(acc, template.cliques), axis)
         return M._masks_from_monomials(mono, template.cliques)
 
     return compute
