@@ -569,7 +569,7 @@ def main():
 
         try:
             # exact-MLE training step on a structure PAST elimination's
-            # induced-width cap (K27 pairwise: width 26 > 25, and the
+            # width cap (K27 pairwise: elimination scope 27 > 25, and the
             # 2^27-row table would be 537 MB): forward streaming-lnZ
             # sweep + custom-VJP backward moments sweep, nothing 2^n
             # ever materialized (models/moments.py — the capability the

@@ -6,7 +6,7 @@ treewidth. The streaming custom-VJP lnZ (models/moments.py) has neither
 — d lnZ/d theta = beta * E_p[phi] comes from a chunked state sweep on
 the deduplicated bit-monomial basis, so exact MLE runs for ANY clique
 structure up to the n <= 47 structural cap (a K27 complete graph —
-induced width 26 — trains at ~0.5 s/step on one chip; see the README
+elimination scope 27 — trains at ~0.3 s/step on one chip; see the README
 measured table). The reference never trains at all (its exact oracle,
 kiopto_native, only evaluates fixed draws — /root/reference/eval.py:84).
 
@@ -43,7 +43,7 @@ from qcmrf_tpu.models import elimination, sample as msample, train as mtrain
 SMOKE = bool(os.environ.get("QCMRF_EXAMPLE_SMOKE"))
 
 # ground truth: a complete graph (every pair is a clique) — the worst
-# case for elimination, whose induced width here is n - 1
+# case for elimination: its per-step table scope here is all n vars
 n = 8 if SMOKE else 10
 cliques = [[i, j] for i in range(n) for j in range(i + 1, n)]
 probe = MRF.create(cliques)
@@ -51,7 +51,7 @@ rng = np.random.RandomState(0)
 truth = MRF.create(cliques, theta=-np.abs(
     rng.randn(probe.dimension)).astype(np.float32) * 0.4)
 width = elimination.induced_width(truth.cliques, truth.n)
-print(f"K{n}: {len(cliques)} cliques, induced width {width} "
+print(f"K{n}: {len(cliques)} cliques, elimination table scope {width} "
       f"(> cap {mtrain._ELIM_WIDTH_CAP} -> streaming branch)")
 
 # data reduces to its sufficient statistics once — past n=30 the CLI

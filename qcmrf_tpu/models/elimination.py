@@ -103,9 +103,13 @@ def _plan(cliques: Sequence[Tuple[int, ...]], n: int):
 
 
 def induced_width(cliques, n: int) -> int:
-    """Largest combined factor scope of the min-degree elimination plan —
-    the exponent of this module's per-step table cost (2^width). Callers
-    route high-width structures to streaming enumeration instead
+    """Largest combined factor SCOPE SIZE of the min-degree elimination
+    plan — the exponent of this module's per-step table cost (2^width).
+    NOTE: the scope includes the variable being eliminated, so this is
+    the textbook induced width PLUS ONE (K_n returns n, a chain returns
+    2); it is the table exponent that callers budget against, and
+    _ELIM_WIDTH_CAP in models/train.py is expressed in the same unit.
+    Callers route high-width structures to streaming enumeration instead
     (models.moments), since elimination's tables blow up in it."""
     steps, _ = _plan(tuple(tuple(sorted(C)) for C in cliques), n)
     return max((len(st.scope) for st in steps), default=0)

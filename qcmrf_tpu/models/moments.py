@@ -47,7 +47,6 @@ import jax
 import jax.numpy as jnp
 
 from qcmrf_tpu.models.mrf import MRF
-from qcmrf_tpu.utils import moebius
 
 #: states per sweep chunk: big enough that the per-chunk dispatch is
 #: amortized, small enough that the (chunk,)-sized intermediates (one
@@ -80,13 +79,12 @@ def _chunk_bits(mrf: MRF, blk, offset, cb: int):
 
 class _MonomialLayout(
     collections.namedtuple(
-        "_MonomialLayout", "build cmaps sel_idx sel_gidx m cmax subsets")):
+        "_MonomialLayout", "cmaps sel_idx sel_gidx m cmax subsets")):
     """Host-side layout of the DEDUPLICATED bit-monomial basis shared by
-    every clique: the union of all subsets of all cliques (downward
-    closed, so each monomial is one multiply off a previously built one).
+    every clique: the union of all subsets of all cliques.
 
-    * ``build[g-1] = (parent, var)``: monomial ``g`` is
-      ``mono[parent] * bit[var]`` (``parent == 0`` means a bare bit).
+    * ``subsets[g]``: sorted variable tuple of monomial ``g`` (index 0 is
+      the empty set; :func:`_gram_layout` splits these by size).
     * ``cmaps[k][s]``: global monomial index of clique ``k``'s slot
       subset ``s`` (bit ``i`` of ``s`` <-> slot ``i``, i.e. ``C[i]``).
     * ``sel_idx``/``sel_gidx``: scatter map from the padded Moebius
@@ -101,25 +99,19 @@ def _monomial_layout(cliques: tuple) -> _MonomialLayout:
 
     cmax = max(len(C) for C in cliques)
     index = {(): 0}
-    build = []
     cmaps = []
     sel_idx, sel_gidx = [], []
     for k, C in enumerate(cliques):
         local = []
         for s in range(1 << len(C)):
             S = tuple(sorted(C[i] for i in range(len(C)) if (s >> i) & 1))
-            g = index.get(S)
-            if g is None:
-                g = len(index)
-                index[S] = g
-                i = (s & -s).bit_length() - 1
-                build.append((local[s ^ (1 << i)], C[i]))
+            g = index.setdefault(S, len(index))
             local.append(g)
             sel_idx.append((k << cmax) | s)
             sel_gidx.append(g)
         cmaps.append(tuple(local))
     return _MonomialLayout(
-        build=tuple(build), cmaps=tuple(cmaps),
+        cmaps=tuple(cmaps),
         sel_idx=np.asarray(sel_idx, np.int32),
         sel_gidx=np.asarray(sel_gidx, np.int32),
         m=len(index), cmax=cmax, subsets=tuple(index),
@@ -219,12 +211,13 @@ def _chunk_mono_partials(mrf: MRF, coef_mono, lnZ, blk, offset, cb: int):
     )  # (chunk, nv)
 
     # lp = c0 + B a + rowsum((B Q) * B) [+ size>=3 column FMAs]
+    # (every index below is a real monomial id: _gram_layout asserts a
+    # singleton subset exists for each used variable)
     nv = len(gram.vars)
-    cm = jnp.concatenate([coef_mono, jnp.zeros((1,), jnp.float32)])
-    a = cm[jnp.asarray(gram.sing_g)]
+    a = coef_mono[jnp.asarray(gram.sing_g)]
     Q = jnp.zeros((nv, nv), jnp.float32).at[
         jnp.asarray(gram.pair_iu), jnp.asarray(gram.pair_iv)
-    ].add(cm[jnp.asarray(gram.pair_g)])
+    ].add(coef_mono[jnp.asarray(gram.pair_g)])
     lp = coef_mono[0] + jnp.matmul(B, a, precision=prec)
     if gram.pair_g.size:
         lp = lp + (jnp.matmul(B, Q, precision=prec) * B).sum(-1)
@@ -234,7 +227,7 @@ def _chunk_mono_partials(mrf: MRF, coef_mono, lnZ, blk, offset, cb: int):
         for i in idxs[1:]:
             col = col * B[:, i]
         hi_cols.append(col)
-        lp = lp + cm[int(gram.hi_g[j])] * col
+        lp = lp + coef_mono[int(gram.hi_g[j])] * col
     w = jnp.exp(lp - lnZ)  # p(x), exact
 
     L = min(128, w.size)
@@ -289,11 +282,12 @@ def _masks_from_monomials(mono, cliques: tuple):
 
 
 def _beta_coef(mrf: MRF) -> jax.Array:
-    from qcmrf_tpu.sim.analytic import _moebius_layout
+    """beta-scaled Moebius coefficients, same padded layout as the Pallas
+    kernels' (the transform is linear, so scaling commutes with it)."""
+    from qcmrf_tpu.ops import kernels
 
-    idx_map, _, cmax = _moebius_layout(mrf.cliques, mrf.n)
-    tab = (mrf.beta * mrf.theta[jnp.asarray(idx_map)]).astype(jnp.float32)
-    return moebius.transform(tab, cmax).reshape(-1)
+    return (jnp.asarray(mrf.beta, jnp.float32)
+            * kernels._moebius_coefficients(mrf))
 
 
 def clique_moments_streaming(mrf: MRF, lnZ=None) -> jax.Array:

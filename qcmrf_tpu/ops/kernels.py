@@ -611,14 +611,25 @@ def _build_map_loop_kernel(cliques: tuple, n: int, block_rows: int,
     return kernel
 
 
+def map_block_states(cliques: tuple, n: int, num_states: int) -> int:
+    """States per block of the streaming-MAP kernel — the unit of its
+    ``x0_blocks`` argument AND of the (block, row, lane) id coordinates
+    it returns, so the sharded MAP's host-side id reconstruction depends
+    on it (parallel/sharded.py::_build_map_fn). Must match
+    :func:`_map_partials_call`'s internal pick — today identical to
+    :func:`lse_block_states`, but the contract is pinned here by name so
+    a MAP-only block-size tweak cannot silently skew reconstructed ids."""
+    return _pick_loop_block_rows(cliques, n, num_states // LANE) * LANE
+
+
 def _map_partials_call(cliques: tuple, n: int, num_states: int, coef,
                        beta, x0_blocks):
     """(best value, best ABSOLUTE block, best in-block row) per lane over
-    ``num_states`` states starting at block index ``x0_blocks`` (same
-    block unit as :func:`lse_block_states`; the ICI-sharded MAP passes a
+    ``num_states`` states starting at block index ``x0_blocks`` (block
+    unit = :func:`map_block_states`; the ICI-sharded MAP passes a
     device-slice offset)."""
     rows = num_states // LANE
-    block_rows = _pick_loop_block_rows(cliques, n, rows)
+    block_rows = map_block_states(cliques, n, num_states) // LANE
     kernel = _build_map_loop_kernel(cliques, n, block_rows,
                                     rows // block_rows)
     return pl.pallas_call(

@@ -82,6 +82,20 @@ def _dlog(mesh: Mesh) -> int:
     return dlog
 
 
+@functools.lru_cache(maxsize=32)
+def _sweep_mesh(mesh: Mesh) -> Mesh:
+    """1-D view of ``mesh`` for the sweep / statevector / shot paths,
+    which all shard over a SINGLE named axis. A multi-axis mesh (e.g.
+    the train CLI's 2-D (amp, data)) must be flattened first: passed
+    through directly, every slice is sized by the TOTAL device count
+    while offsets/seeds/psums use only ``axis_names[0]``'s index — a
+    silently wrong result (a fraction of the state space swept, or
+    duplicated sample streams), not an error (round-4 review finding)."""
+    if len(mesh.axis_names) == 1:
+        return mesh
+    return Mesh(mesh.devices.reshape(-1), ("sweep",))
+
+
 def _use_slice_kernel(n: int, dlog: int) -> bool:
     """Whether the per-device-slice Pallas kernels apply (static: local
     width over the kernel floor; interpret mode only for small test
@@ -193,6 +207,7 @@ def _build_lnZ_fn(cliques: tuple, n: int, mesh: Mesh):
 
 def sharded_log_partition(mrf: MRF, mesh: Mesh) -> jax.Array:
     """``ln Z`` with the 2**n state table sharded over the mesh."""
+    mesh = _sweep_mesh(mesh)
     fn = _build_lnZ_fn(mrf.cliques, mrf.n, mesh)
     return fn(mrf.theta, mrf.beta)[0]
 
@@ -220,6 +235,7 @@ def _build_gibbs_fn(cliques: tuple, n: int, mesh: Mesh):
 
 def sharded_gibbs_probs(mrf: MRF, mesh: Mesh) -> jax.Array:
     """Exact Gibbs distribution, returned sharded over the mesh."""
+    mesh = _sweep_mesh(mesh)
     fn = _build_gibbs_fn(mrf.cliques, mrf.n, mesh)
     return fn(mrf.theta, mrf.beta)
 
@@ -283,6 +299,7 @@ def sharded_clique_moments(mrf: MRF, mesh: Mesh, lnZ=None) -> jax.Array:
     clique structure, no 2^n array on any device, block-unit coordinates
     past the int32 state-id limit). ``lnZ`` may be passed to skip the
     sharded lnZ sweep."""
+    mesh = _sweep_mesh(mesh)
     if mrf.n > moments_cap():
         raise ValueError(
             f"streaming moments cap at n={moments_cap()} (int32 block "
@@ -314,7 +331,7 @@ def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
     chunk = 1 << (n - dlog)
     use_kernel = _use_slice_kernel(n, dlog)
     if use_kernel:
-        block_rows = K.lse_block_states(cliques, n, chunk) // 128
+        block_rows = K.map_block_states(cliques, n, chunk) // 128
 
         def reconstruct(blk: int, row: int, lane: int) -> int:
             # blk is the ABSOLUTE sweep-block index (the kernel carries
@@ -368,6 +385,7 @@ def sharded_map_state(mrf: MRF, mesh: Mesh):
     single-chip :func:`qcmrf_tpu.ops.kernels.map_state_streaming`.
     Cross-device value ties resolve to the lowest device (measure-zero
     for generic theta)."""
+    mesh = _sweep_mesh(mesh)
     fn, reconstruct = _build_map_fn(mrf.cliques, mrf.n, mesh)
     out = np.asarray(fn(mrf.theta, mrf.beta))  # (D, 4)
     j = int(np.argmax(out[:, 0]))
@@ -465,6 +483,7 @@ def sharded_estimate_delta(
     tunneled chip; this path's host cost is one dispatch regardless of
     ``iters``. Returns the (iters,) acceptance rates, E = Z / 2**n.
     """
+    mesh = _sweep_mesh(mesh)
     D = mesh.devices.size
     if shots % D:
         raise ValueError(
@@ -536,6 +555,7 @@ def sharded_shot_moments(
     psum combines the (d,)-sized partials — shots never leave their
     device. Returns ``(marginals, delta_hat)``; powers mesh-parallel
     quantum-in-the-loop training (models.train.make_shots_train_step)."""
+    mesh = _sweep_mesh(mesh)
     D = mesh.devices.size
     if shots % D:
         raise ValueError(
@@ -557,6 +577,7 @@ def sharded_sample_postselected(
     all (the factorized sampler needs none). On TPU the per-device draw is
     the fused hardware-PRNG Pallas kernel.
     """
+    mesh = _sweep_mesh(mesh)
     D = mesh.devices.size
     if shots % D:
         raise ValueError(
@@ -1041,6 +1062,7 @@ def run_statevector_sharded(
     communication). Smaller shards keep the plain jnp gate-by-gate path.
     """
     global LAST_REMAP_COUNT
+    mesh = _sweep_mesh(mesh)
     n = circuit.num_qubits
     D = mesh.devices.size
     dlog = _dlog(mesh)
@@ -1239,6 +1261,7 @@ def sharded_outcome_probs(circuit: Circuit, mesh: Mesh) -> jax.Array:
     the device count keep the trivial replicated scatter + psum.
     Callers with unmeasured qubits get them marginalized out
     (deferred-measurement semantics of sim.dense.outcome_probs)."""
+    mesh = _sweep_mesh(mesh)
     axis = mesh.axis_names[0]
     nq = circuit.num_qubits
     pairs = circuit.measured_pairs

@@ -166,3 +166,25 @@ def test_nll_routes_wide_structures_through_streaming(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_stream), np.asarray(g_elim), rtol=1e-3, atol=1e-5
     )
+
+
+def test_streaming_moments_repeated_variable_cliques():
+    """Degenerate cliques repeating a variable (b^2 = b aliases half the
+    states away) exercise the Gram diagonal / (v,v)-pair branches; the
+    elimination oracle cannot even build such scopes, so the pin is
+    brute-force enumeration."""
+    cl = [[0, 0], [0, 1], [1, 2, 2]]
+    mrf = _random_mrf(cl, seed=2, beta=1.1)
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+
+    p = np.asarray(mrf.gibbs_probs(), np.float64)
+    n, x = mrf.n, np.arange(1 << mrf.n)
+    mu = np.zeros(mrf.dimension)
+    off = 0
+    for C in mrf.cliques:
+        y = np.zeros(1 << n, dtype=np.int64)
+        for v in C:
+            y = (y << 1) | ((x >> (n - 1 - v)) & 1)
+        np.add.at(mu, off + y, p)
+        off += 1 << len(C)
+    np.testing.assert_allclose(got, mu, rtol=1e-5, atol=1e-6)

@@ -419,3 +419,35 @@ def test_sharded_streaming_lnZ_grad(mesh8):
     np.testing.assert_allclose(
         np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-6
     )
+
+
+def test_multi_axis_mesh_flattened():
+    """A multi-axis mesh (the train CLI's 2-D (amp, data) shape) must
+    give the same sharded sweep results as a 1-D mesh over the same
+    devices: entry points flatten it internally (_sweep_mesh). Passed
+    through raw, slices were sized by the TOTAL device count while
+    offsets/seeds used only axis 0's index — lnZ came back silently
+    wrong (a fraction of the state space swept; round-4 review)."""
+    from jax.sharding import Mesh
+    from qcmrf_tpu.models import moments
+    from qcmrf_tpu.models import elimination as ve
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devs, ("amp", "data"))
+    mrf = rand_mrf([[0, 1, 2], [2, 3], [3, 4, 5], [0, 5]], seed=17,
+                   scale=0.6)
+
+    lnZ = float(sharded.sharded_log_partition(mrf, mesh2d))
+    assert np.isclose(lnZ, float(mrf.log_partition()), rtol=1e-5)
+
+    mu = np.asarray(sharded.sharded_clique_moments(mrf, mesh2d))
+    np.testing.assert_allclose(
+        mu, np.asarray(ve.clique_marginals(mrf)), rtol=1e-5, atol=1e-7)
+
+    sid, val = sharded.sharded_map_state(mrf, mesh2d)
+    sid1, val1 = sharded.sharded_map_state(mrf, sharded.make_mesh(8))
+    assert sid == sid1 and np.isclose(val, val1)
+
+    # the differentiable route the CLI's wide --mesh path takes
+    v = float(moments.log_partition_streaming(mrf, mesh=mesh2d))
+    assert np.isclose(v, float(mrf.log_partition()), rtol=1e-5)
