@@ -6,7 +6,7 @@ treewidth. The streaming custom-VJP lnZ (models/moments.py) has neither
 — d lnZ/d theta = beta * E_p[phi] comes from a chunked state sweep on
 the deduplicated bit-monomial basis, so exact MLE runs for ANY clique
 structure up to the n <= 47 structural cap (a K27 complete graph —
-elimination scope 27 — trains at ~0.3 s/step on one chip; see the README
+elimination scope 27 — trains at ~0.16 s/step on one chip; see the README
 measured table). The reference never trains at all (its exact oracle,
 kiopto_native, only evaluates fixed draws — /root/reference/eval.py:84).
 

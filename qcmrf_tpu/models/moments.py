@@ -29,13 +29,19 @@ The sweep accumulates the DEDUPLICATED BIT-MONOMIAL basis, not the
 theta-layout masks — and it rides the MXU: every size-1/size-2 monomial
 moment is one entry of the weighted Gram matrix ``B^T diag(w) B`` of
 the used variables' bit planes (``b^2 = b`` puts the singletons on the
-diagonal), and the log-potential is the matching pair of matmuls
-``B a + rowsum((B Q) * B)``. One systolic contraction replaces per-
-clique mask-doubling plus one reduction per theta entry — measured 6.6x
-faster on the chip (K24 complete graph: 45 ms vs 299 ms per call; a K27
-exact-MLE training step, forward lnZ + this sweep as its custom-VJP
-gradient, runs at 265 ms). Theta-layout moments are recovered once per
-sweep by the inverse-Moebius doubling (:func:`_masks_from_monomials`).
+diagonal), and the log-potential folds into the same contractions. For
+pairwise structures the whole sweep is a Pallas kernel
+(:func:`qcmrf_tpu.ops.kernels.gram_moments_call`): bit planes build
+from iota in VMEM with lane-packed state groups filling the 128-wide
+MXU tile, three systolic contractions per block, HBM traffic = one
+(128, 128) output total — measured 8.1x faster on the chip than the
+masks-then-reduce form it replaced (K24 complete graph: 37 ms vs
+299 ms per call; a K27 exact-MLE training step, forward lnZ + this
+sweep as its custom-VJP gradient, runs at ~157 ms, was 490). The XLA
+Gram sweep below (45 ms at K24) remains the general fallback
+(higher-order subsets, n past the kernel's shift guard). Theta-layout
+moments are recovered once per sweep by the inverse-Moebius doubling
+(:func:`_masks_from_monomials`).
 """
 
 from __future__ import annotations
@@ -258,6 +264,97 @@ def _assemble_mono(partials, cliques: tuple):
     return mono
 
 
+def _gram_kernel_inputs(gram: _GramLayout, coef_mono, n: int,
+                        num_states: int):
+    """(Q, lsh, grow, hsh) for
+    :func:`qcmrf_tpu.ops.kernels.gram_moments_call`.
+
+    Lane layout per :func:`qcmrf_tpu.ops.kernels.gram_geometry`: P
+    state-groups of ``width = nv + 1`` lanes (a ones lane + one lane per
+    variable). ``Q`` carries one block-diagonal copy of the coefficients
+    per group — the constant at each group's (ones, ones) entry and the
+    singleton coefficients in its ones ROW, because that lane is
+    identically one, so the whole log-potential is a single contraction.
+    ``E`` is the lane-group projector (E[l, l'] = 1 iff both lanes
+    belong to the same group) through which the kernel recovers each
+    LANE's own group's log-potential. ``lsh``/``hsh`` are the per-lane
+    in-block / block-index bit shifts (30 parks a lane at 0) and
+    ``grow`` the lane-constant part (ones lanes + each group's
+    group-index bits)."""
+    import numpy as np
+
+    from qcmrf_tpu.ops import kernels
+
+    nv = len(gram.vars)
+    logS, logP, width = kernels.gram_geometry(nv, n, num_states)
+    lsh = np.full((1, kernels.LANE), 30, np.int32)
+    hsh = np.full((1, kernels.LANE), 30, np.int32)
+    grow = np.zeros((1, kernels.LANE), np.float32)
+    E = np.zeros((kernels.LANE, kernels.LANE), np.float32)
+    for g in range(1 << logP):
+        base = g * width
+        grow[0, base] = 1.0  # this group's constant-1 lane
+        E[base:base + width, base:base + width] = 1.0
+        for j, v in enumerate(gram.vars):
+            p = n - 1 - v
+            lane = base + 1 + j
+            if p < logS:
+                lsh[0, lane] = p
+            elif p < logS + logP:
+                grow[0, lane] = float((g >> (p - logS)) & 1)
+            else:
+                hsh[0, lane] = p - logS - logP
+    Q = jnp.zeros((kernels.LANE, kernels.LANE), jnp.float32)
+    sing = coef_mono[jnp.asarray(gram.sing_g)]
+    for g in range(1 << logP):
+        b = g * width
+        Q = Q.at[b, b].set(coef_mono[0])
+        Q = Q.at[b, b + 1 + jnp.arange(nv)].set(sing)
+        if gram.pair_g.size:
+            Q = Q.at[
+                b + 1 + jnp.asarray(gram.pair_iu),
+                b + 1 + jnp.asarray(gram.pair_iv)
+            ].add(coef_mono[jnp.asarray(gram.pair_g)])
+    return (Q, jnp.asarray(E), jnp.asarray(lsh), jnp.asarray(grow),
+            jnp.asarray(hsh))
+
+
+def _mono_from_G(G, gram: _GramLayout, m: int, n: int, num_states: int):
+    """(m,) monomial moments from the kernel's (128, 128) weighted Gram:
+    the P diagonal width x width sub-blocks (one per packed state-group)
+    SUM to the true Gram — cross-group entries are never read — whose
+    (0, 0) is ``sum w``, row 0 the singletons and (1+iu, 1+iv) the pairs
+    (a LINEAR map, so sharded callers may psum either side)."""
+    from qcmrf_tpu.ops import kernels
+
+    nv = len(gram.vars)
+    _, logP, width = kernels.gram_geometry(nv, n, num_states)
+    Gs = G[:width, :width]
+    for g in range(1, 1 << logP):
+        b = g * width
+        Gs = Gs + G[b:b + width, b:b + width]
+    mono = jnp.zeros((m,), jnp.float32)
+    mono = mono.at[0].set(Gs[0, 0])
+    mono = mono.at[jnp.asarray(gram.sing_g)].set(
+        Gs[0, 1 + jnp.arange(nv)])
+    if gram.pair_g.size:
+        mono = mono.at[jnp.asarray(gram.pair_g)].set(
+            Gs[1 + jnp.asarray(gram.pair_iu),
+               1 + jnp.asarray(gram.pair_iv)])
+    return mono
+
+
+def _use_gram_kernel(gram: _GramLayout, n: int, num_states: int) -> bool:
+    """Route through the Pallas weighted-Gram kernel when the structure
+    is pairwise-only (no size>=3 subsets) and the kernel's lane/width
+    gates pass; the XLA sweep below remains the general path."""
+    from qcmrf_tpu.ops import kernels
+
+    return (gram.hi_g.size == 0
+            and n >= kernels._MIN_KERNEL_N
+            and kernels.gram_kernel_applies(len(gram.vars), n, num_states))
+
+
 def _masks_from_monomials(mono, cliques: tuple):
     """theta-layout moments ``E_p[phi]`` from monomial moments
     ``E_p[prod b]`` by the inverse-Moebius doubling per clique: per slot
@@ -313,6 +410,17 @@ def clique_moments_streaming(mrf: MRF, lnZ=None) -> jax.Array:
         lnZ = kernels.log_partition(mrf)
     layout = _monomial_layout(mrf.cliques)
     coef_mono = _coef_mono(_beta_coef(mrf), layout)
+    gram = _gram_layout(mrf.cliques)
+    if _use_gram_kernel(gram, mrf.n, 1 << mrf.n):
+        Q, E, lsh, grow, hsh = _gram_kernel_inputs(
+            gram, coef_mono, mrf.n, 1 << mrf.n)
+        G = kernels.gram_moments_call(
+            len(gram.vars), mrf.n, Q, E,
+            jnp.asarray(lnZ, jnp.float32).reshape(1),
+            1 << mrf.n, jnp.zeros((1,), jnp.int32), lsh, grow, hsh)
+        return _masks_from_monomials(
+            _mono_from_G(G, gram, layout.m, mrf.n, 1 << mrf.n),
+            mrf.cliques)
     cb = min(_CHUNK_BITS if mrf.n <= 31 else _CHUNK_BITS_BIG, mrf.n)
     offset = jnp.arange(1 << cb, dtype=jnp.int32)
     # block 0's partials double as the scan init (pytree-shaped)

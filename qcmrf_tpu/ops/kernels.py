@@ -703,6 +703,141 @@ def _combine_lse(m: jax.Array, s: jax.Array) -> jax.Array:
     return M + jnp.log(jnp.sum(s * jnp.exp(m - M)))
 
 
+#: log2 in-block states per lane-GROUP of the streaming Gram kernel:
+#: three live (S, 128) f32 arrays at S=2^12 stay ~6 MB inside Mosaic's
+#: 16 MB VMEM
+_GRAM_LOG_BLOCK = 12
+
+
+def gram_geometry(nv: int, n: int, num_states: int):
+    """(logS, logP, width) of the Gram-kernel sweep — THE single source
+    for its lane packing and block unit (host prep, the kernel builder
+    and the sharded id arithmetic must all agree on it).
+
+    ``width = nv + 1`` lanes per state-group (a ones lane + one lane per
+    variable); ``P = 2^logP`` groups pack side by side so the 128-lane
+    MXU tile is ~fully useful instead of 1/5 useful at typical nv (the
+    Gram contributions of different groups ADD, and only the P diagonal
+    width x width sub-blocks are ever read, so the cross-group entries
+    are free garbage). One kernel block sweeps ``2^(logS+logP)`` states:
+    group g holds states ``blk*2^(logS+logP) + g*2^logS + q``."""
+    width = nv + 1
+    logP = max(0, (LANE // width).bit_length() - 1)
+    logS = min(_GRAM_LOG_BLOCK,
+               max(3, num_states.bit_length() - 1 - logP))
+    logP = min(logP, max(0, num_states.bit_length() - 1 - logS))
+    return logS, logP, width
+
+
+def gram_kernel_applies(nv: int, n: int, num_states: int) -> bool:
+    """Whether the weighted-Gram moments kernel covers this sweep: one
+    ones-lane + ``nv`` variable lanes must fit the 128-lane tile, the
+    block index must stay under the 2^30 shift guard, and off-TPU the
+    interpreted sweep must be small enough for the unit suite."""
+    if nv + 1 > LANE or num_states < (1 << 3):
+        return False
+    logS, logP, _ = gram_geometry(nv, n, num_states)
+    if n - (logS + logP) > 30:
+        return False
+    if jax.default_backend() != "tpu" and n > 16:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=256)
+def _build_gram_loop_kernel(logS: int, num_blocks: int):
+    """Streaming weighted-Gram sweep: ONE (128, 128) matrix holds every
+    monomial moment of a pairwise structure (models/moments.py).
+
+    State bits live on LANES here, not rows: each block materializes the
+    bit-plane matrix ``B`` of ``S = 2^logS`` rows x 128 lanes, where the
+    lanes hold P side-by-side state-groups of ``width = nv + 1`` lanes
+    each (per group: a constant-1 lane + one lane per variable — see
+    :func:`gram_geometry`). Three per-lane rows drive the build in fully
+    vectorized ops: ``lsh`` shifts the in-block row index into the
+    low state bits (shift 30 parks a lane at 0), ``grow`` adds the
+    lane-constant part (the ones lanes and each group's group-index
+    bits), and ``hsh`` shifts the running block index into the high
+    bits. The log-potential is then ONE systolic contraction — linear
+    and constant coefficients fold into each group's ones row of the
+    block-diagonal coefficient matrix ``Q`` — ``lp = rowsum((B Q) *
+    B)`` — and the moment accumulation is a second one,
+    ``G += B^T (w * B)``, whose P diagonal width x width sub-blocks sum
+    to the monomial moments (entry (0,0) = sum w, row 0 = singletons,
+    (i,j) = pairs). Everything derives from iota in VMEM: the sweep's
+    HBM traffic is the kernel arguments plus one (128, 128) output,
+    total, regardless of 2^n."""
+    S = 1 << logS
+    # Mosaic dots support DEFAULT | HIGHEST only; HIGHEST keeps the
+    # sweep's w exact to f32. (B and E are exactly bf16-representable
+    # 0/1 matrices, so a manual 2-3-term bf16 split of the OTHER
+    # operand could emulate ~f32 in fewer passes than HIGHEST's 6 —
+    # a known further ~2x on the MXU-bound part, unexploited.)
+    prec = jax.lax.Precision.HIGHEST
+
+    def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, lnz_ref,
+               x0b_ref, out_ref):
+        qs = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+        Binv = ((qs >> lsh_ref[:]) & 1).astype(jnp.float32) + grow_ref[:]
+        Q = q_ref[:]
+        E = e_ref[:]  # group projector: E[l, l'] = [group(l)==group(l')]
+        hsh = hsh_ref[:]
+
+        def step(i, G):
+            blk = x0b_ref[0] + i
+            hrow = ((blk >> hsh) & 1).astype(jnp.float32)  # (1, LANE)
+            B = Binv + hrow  # block-constant lanes broadcast in
+            bq = jax.lax.dot_general(
+                B, Q, (((1,), (0,)), ((), ())), precision=prec)
+            # per-LANE log-potential of the lane's own group's state (a
+            # plain row-sum would mix the P packed states of each row)
+            lpl = jax.lax.dot_general(
+                bq * B, E, (((1,), (0,)), ((), ())), precision=prec)
+            W = jnp.exp(lpl - lnz_ref[0])  # (S, LANE), w per lane-group
+            return G + jax.lax.dot_general(
+                B, B * W, (((0,), (0,)), ((), ())), precision=prec)
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, num_blocks, step, jnp.zeros((LANE, LANE), jnp.float32))
+
+    return kernel
+
+
+def gram_block_states(nv: int, n: int, num_states: int) -> int:
+    """States per kernel block of the Gram sweep — the unit of its
+    ``x0b`` argument (sharded callers divide their device-slice start by
+    this). Derived from :func:`gram_geometry` so it cannot drift from
+    the kernel's own packing."""
+    logS, logP, _ = gram_geometry(nv, n, num_states)
+    return 1 << (logS + logP)
+
+
+def gram_moments_call(nv: int, n: int, Q, E, lnz, num_states: int,
+                      x0_blocks, lsh, grow, hsh):
+    """(128, 128) weighted-Gram moment partials over ``num_states``
+    states starting at block index ``x0_blocks``; see
+    :func:`_build_gram_loop_kernel` for the layout and
+    ``models/moments.py`` for the host-side Q / projector / lane-row
+    prep."""
+    logS, logP, _ = gram_geometry(nv, n, num_states)
+    kernel = _build_gram_loop_kernel(logS, num_states >> (logS + logP))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((LANE, LANE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Q (128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # E (128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lsh (1, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # grow (1, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hsh (1, 128)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lnZ (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0_blocks (1,)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(Q, E, lsh, grow, hsh, lnz, x0_blocks)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _log_partition_fused(cliques: tuple, n: int, coef, beta):
     m, s = _lse_partials_call(cliques, n, 1 << n, coef, beta,

@@ -259,8 +259,12 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
     dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
     template = MRF.create([list(C) for C in cliques])
+    chunk = 1 << (n - dlog)  # states per device
+    layout = M._monomial_layout(template.cliques)
+    gram = M._gram_layout(template.cliques)
+    use_gram = M._use_gram_kernel(gram, n, chunk)
     cb = min(M._CHUNK_BITS if n <= 31 else M._CHUNK_BITS_BIG, n - dlog)
-    nblk = 1 << (n - dlog - cb)  # blocks per device
+    nblk = 1 << (n - dlog - cb)  # XLA-path blocks per device
 
     @jax.jit
     @functools.partial(
@@ -270,8 +274,20 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
     def compute(theta, beta, lnZ):
         mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
         d = jax.lax.axis_index(axis)
-        coef_mono = M._coef_mono(
-            M._beta_coef(mrf), M._monomial_layout(template.cliques))
+        coef_mono = M._coef_mono(M._beta_coef(mrf), layout)
+        if use_gram:
+            # Gram-kernel sweep of this device's slice: x0 in the
+            # kernel's block units (absolute, so the shared shift rows
+            # read block-level bits correctly on any device)
+            Q, E, lsh, grow, hsh = M._gram_kernel_inputs(
+                gram, coef_mono, n, chunk)
+            nblkS = chunk // K.gram_block_states(len(gram.vars), n, chunk)
+            x0b = (d.astype(jnp.int32) * nblkS)[None]
+            G = K.gram_moments_call(len(gram.vars), n, Q, E, lnZ, chunk,
+                                    x0b, lsh, grow, hsh)
+            mono = jax.lax.psum(
+                M._mono_from_G(G, gram, layout.m, n, chunk), axis)
+            return M._masks_from_monomials(mono, template.cliques)
         offset = jnp.arange(1 << cb, dtype=jnp.int32)
         base = d.astype(jnp.int32) * nblk
         # the device's first block doubles as the scan init (pytree)

@@ -188,3 +188,46 @@ def test_streaming_moments_repeated_variable_cliques():
         np.add.at(mu, off + y, p)
         off += 1 << len(C)
     np.testing.assert_allclose(got, mu, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_kernel_path_matches_elimination(monkeypatch):
+    """Pairwise structures route through the Pallas weighted-Gram kernel
+    (interpreted on CPU): n=14 spans 4 kernel blocks with 2 block-level
+    bits, so both the in-block and block-index shift rows are live. The
+    XLA sweep (the wide/higher-order fallback) must agree exactly."""
+    cl = ([[i, (i + 1) % 14] for i in range(14)]
+          + [[0, 7], [3, 10], [5, 12]])
+    mrf = _random_mrf(cl, seed=11, beta=1.2)
+    gram = moments._gram_layout(mrf.cliques)
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << mrf.n)
+
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    monkeypatch.setattr(moments, "_use_gram_kernel",
+                        lambda *a, **k: False)
+    xla = np.asarray(moments.clique_moments_streaming(mrf))
+    np.testing.assert_allclose(got, xla, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_kernel_grad_through_custom_vjp():
+    """The kernel-backed moment sweep is the custom-VJP gradient of the
+    streaming lnZ: value and grad must match autodiff through the 2^n
+    table at a kernel-eligible width."""
+    cl = [[i, i + 1] for i in range(11)] + [[0, 11]]
+    mrf = _random_mrf(cl, seed=12, beta=0.9)
+    gram = moments._gram_layout(mrf.cliques)
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << mrf.n)
+
+    def stream(theta):
+        return moments.log_partition_streaming(mrf.with_theta(theta))
+
+    def table(theta):
+        return mrf.with_theta(theta).log_partition()
+
+    v_got, g_got = jax.value_and_grad(stream)(mrf.theta)
+    v_want, g_want = jax.value_and_grad(table)(mrf.theta)
+    assert np.isclose(float(v_got), float(v_want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-4, atol=1e-6)

@@ -451,3 +451,23 @@ def test_multi_axis_mesh_flattened():
     # the differentiable route the CLI's wide --mesh path takes
     v = float(moments.log_partition_streaming(mrf, mesh=mesh2d))
     assert np.isclose(v, float(mrf.log_partition()), rtol=1e-5)
+
+
+def test_sharded_clique_moments_gram_kernel_path(mesh8):
+    """A kernel-eligible pairwise model over the 8-device mesh: each
+    device sweeps its slice with the weighted-Gram kernel (device bits
+    arrive through the block-index shift row) and one psum combines the
+    monomial partials. Must match elimination and the single-chip sweep."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import moments
+
+    cl = [[i, (i + 1) % 12] for i in range(12)] + [[0, 6]]
+    mrf = rand_mrf(cl, seed=19, scale=0.5)
+    gram = moments._gram_layout(mrf.cliques)
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << (mrf.n - 3))
+
+    got = np.asarray(sharded.sharded_clique_moments(mrf, mesh8))
+    np.testing.assert_allclose(
+        got, np.asarray(ve.clique_marginals(mrf)), rtol=1e-5, atol=1e-6)
+    single = np.asarray(moments.clique_moments_streaming(mrf))
+    np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-6)
