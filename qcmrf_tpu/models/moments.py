@@ -35,13 +35,18 @@ pairwise structures the whole sweep is a Pallas kernel
 from iota in VMEM with lane-packed state groups filling the 128-wide
 MXU tile, three systolic contractions per block, HBM traffic = one
 (128, 128) output total — measured 8.1x faster on the chip than the
-masks-then-reduce form it replaced (K24 complete graph: 37 ms vs
-299 ms per call; a K27 exact-MLE training step, forward lnZ + this
-sweep as its custom-VJP gradient, runs at ~157 ms, was 490). The XLA
-Gram sweep below (45 ms at K24) remains the general fallback
-(higher-order subsets, n past the kernel's shift guard). Theta-layout
-moments are recovered once per sweep by the inverse-Moebius doubling
-(:func:`_masks_from_monomials`).
+masks-then-reduce form it replaced. Two further measured steps: the
+contractions split only the INEXACT dot operand into 3 bf16 terms
+(ops/kernels.py::_dot_exact; B and E are exact 0/1, so the result is
+HIGHEST-identical in half the MXU passes — 17.9 -> 13.3 ms per K24
+n=24 sweep), and under differentiation the forward lnZ and the
+gradient's moments come from ONE fused running-max sweep
+(:func:`lnz_and_moments_streaming`) instead of two — a K27
+complete-graph exact-MLE training step runs at ~93 ms (was 157 with
+two separate sweeps, 490 at round start). The XLA Gram sweep below
+remains the general fallback (higher-order subsets, n past the
+kernel's shift guard). Theta-layout moments are recovered once per
+sweep by the inverse-Moebius doubling (:func:`_masks_from_monomials`).
 """
 
 from __future__ import annotations
@@ -266,7 +271,7 @@ def _assemble_mono(partials, cliques: tuple):
 
 def _gram_kernel_inputs(gram: _GramLayout, coef_mono, n: int,
                         num_states: int):
-    """(Q, lsh, grow, hsh) for
+    """(Q, E, lsh, grow, hsh) for
     :func:`qcmrf_tpu.ops.kernels.gram_moments_call`.
 
     Lane layout per :func:`qcmrf_tpu.ops.kernels.gram_geometry`: P
@@ -286,7 +291,7 @@ def _gram_kernel_inputs(gram: _GramLayout, coef_mono, n: int,
     from qcmrf_tpu.ops import kernels
 
     nv = len(gram.vars)
-    logS, logP, width = kernels.gram_geometry(nv, n, num_states)
+    logS, logP, width = kernels.gram_geometry(nv, num_states)
     lsh = np.full((1, kernels.LANE), 30, np.int32)
     hsh = np.full((1, kernels.LANE), 30, np.int32)
     grow = np.zeros((1, kernels.LANE), np.float32)
@@ -319,7 +324,7 @@ def _gram_kernel_inputs(gram: _GramLayout, coef_mono, n: int,
             jnp.asarray(hsh))
 
 
-def _mono_from_G(G, gram: _GramLayout, m: int, n: int, num_states: int):
+def _mono_from_G(G, gram: _GramLayout, m: int, num_states: int):
     """(m,) monomial moments from the kernel's (128, 128) weighted Gram:
     the P diagonal width x width sub-blocks (one per packed state-group)
     SUM to the true Gram — cross-group entries are never read — whose
@@ -328,7 +333,7 @@ def _mono_from_G(G, gram: _GramLayout, m: int, n: int, num_states: int):
     from qcmrf_tpu.ops import kernels
 
     nv = len(gram.vars)
-    _, logP, width = kernels.gram_geometry(nv, n, num_states)
+    _, logP, width = kernels.gram_geometry(nv, num_states)
     Gs = G[:width, :width]
     for g in range(1, 1 << logP):
         b = g * width
@@ -415,11 +420,11 @@ def clique_moments_streaming(mrf: MRF, lnZ=None) -> jax.Array:
         Q, E, lsh, grow, hsh = _gram_kernel_inputs(
             gram, coef_mono, mrf.n, 1 << mrf.n)
         G = kernels.gram_moments_call(
-            len(gram.vars), mrf.n, Q, E,
+            len(gram.vars), Q, E,
             jnp.asarray(lnZ, jnp.float32).reshape(1),
             1 << mrf.n, jnp.zeros((1,), jnp.int32), lsh, grow, hsh)
         return _masks_from_monomials(
-            _mono_from_G(G, gram, layout.m, mrf.n, 1 << mrf.n),
+            _mono_from_G(G, gram, layout.m, 1 << mrf.n),
             mrf.cliques)
     cb = min(_CHUNK_BITS if mrf.n <= 31 else _CHUNK_BITS_BIG, mrf.n)
     offset = jnp.arange(1 << cb, dtype=jnp.int32)
@@ -427,15 +432,40 @@ def clique_moments_streaming(mrf: MRF, lnZ=None) -> jax.Array:
     acc0 = _chunk_mono_partials(
         mrf, coef_mono, lnZ, jnp.int32(0), offset, cb)
     if mrf.n > cb:
-        blks = jnp.arange(1, 1 << (mrf.n - cb), dtype=jnp.int32)
-
-        def step(acc, blk):
+        # fori_loop, not scan-over-arange: near the n<=47 cap the
+        # block-index xs array alone would be hundreds of MB of HBM
+        def step(blk, acc):
             new = _chunk_mono_partials(mrf, coef_mono, lnZ, blk, offset, cb)
-            return jax.tree.map(jnp.add, acc, new), None
+            return jax.tree.map(jnp.add, acc, new)
 
-        acc0, _ = jax.lax.scan(step, acc0, blks)
+        acc0 = jax.lax.fori_loop(1, 1 << (mrf.n - cb), step, acc0)
     return _masks_from_monomials(
         _assemble_mono(acc0, mrf.cliques), mrf.cliques)
+
+
+def lnz_and_moments_streaming(mrf: MRF):
+    """``(lnZ, E_p[phi])`` in ONE streaming sweep when the Gram kernel
+    covers the structure (pairwise; flash-style running-max accumulation,
+    :func:`qcmrf_tpu.ops.kernels._build_gram_lse_loop_kernel`) —
+    otherwise the two-sweep fallback (lnZ sweep, then the moment sweep
+    it normalizes). Halves the sweep count of an exact-MLE training
+    step, whose NLL needs lnZ forward and the moments as its gradient."""
+    from qcmrf_tpu.ops import kernels
+
+    layout = _monomial_layout(mrf.cliques)
+    gram = _gram_layout(mrf.cliques)
+    if not _use_gram_kernel(gram, mrf.n, 1 << mrf.n):
+        lnZ = kernels.log_partition(mrf)
+        return lnZ, clique_moments_streaming(mrf, lnZ)
+    coef_mono = _coef_mono(_beta_coef(mrf), layout)
+    Q, E, lsh, grow, hsh = _gram_kernel_inputs(
+        gram, coef_mono, mrf.n, 1 << mrf.n)
+    G, M = kernels.gram_lse_moments_call(
+        len(gram.vars), Q, E, 1 << mrf.n, jnp.zeros((1,), jnp.int32),
+        lsh, grow, hsh)
+    mono = _mono_from_G(G, gram, layout.m, 1 << mrf.n)
+    Z = mono[0]  # sum over groups of the ones*ones entry = Z * exp(-M)
+    return M + jnp.log(Z), _masks_from_monomials(mono / Z, mrf.cliques)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -447,14 +477,15 @@ def _lnZ_streaming(cliques: tuple, n: int, beta: float, theta):
 
 
 def _lnZ_fwd(cliques, n, beta, theta):
-    lnZ = _lnZ_streaming(cliques, n, beta, theta)
-    return lnZ, (theta, lnZ)
-
-
-def _lnZ_bwd(cliques, n, beta, res, g):
-    theta, lnZ = res
+    # under differentiation the fused sweep computes lnZ AND the
+    # gradient's moments together; value-only callers run the primal
+    # body above (one plain lnZ sweep) instead
     m = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
-    mu = clique_moments_streaming(m, lnZ)
+    lnZ, mu = lnz_and_moments_streaming(m)
+    return lnZ, mu
+
+
+def _lnZ_bwd(cliques, n, beta, mu, g):
     return (beta * mu * g,)
 
 
@@ -471,16 +502,14 @@ def _lnZ_streaming_sharded(cliques: tuple, n: int, beta: float, mesh,
 
 
 def _lnZ_sharded_fwd(cliques, n, beta, mesh, theta):
-    lnZ = _lnZ_streaming_sharded(cliques, n, beta, mesh, theta)
-    return lnZ, (theta, lnZ)
-
-
-def _lnZ_sharded_bwd(cliques, n, beta, mesh, res, g):
     from qcmrf_tpu.parallel import sharded
 
-    theta, lnZ = res
     m = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
-    mu = sharded.sharded_clique_moments(m, mesh, lnZ)
+    lnZ, mu = sharded.sharded_lnz_and_moments(m, mesh)
+    return lnZ, mu
+
+
+def _lnZ_sharded_bwd(cliques, n, beta, mesh, mu, g):
     return (beta * mu * g,)
 
 

@@ -229,7 +229,8 @@ def make_shots_train_step(
     Stochastic-gradient noise ~ 1/sqrt(delta * shots), so scale ``shots``
     with ``2**n / Z``.
 
-    With ``mesh`` (a 1-D mesh of any size dividing ``shots``), the shot
+    With ``mesh`` (any mesh whose device count divides ``shots``;
+    multi-axis meshes are flattened by the sharded entry point), the shot
     draw and moment accumulation shard over the devices with one (d,)
     psum per step (parallel.sharded.sharded_shot_moments) — mesh-parallel
     quantum-in-the-loop training.

@@ -667,8 +667,9 @@ def map_state_streaming(mrf: MRF):
     coef = _moebius_coefficients(mrf)
     beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
     out = np.asarray(_map_partials(mrf.cliques, mrf.n, coef, beta))
-    block_rows = _pick_loop_block_rows(mrf.cliques, mrf.n,
-                                       (1 << mrf.n) // LANE)
+    # id reconstruction MUST use the pinned block-unit contract (same
+    # rule as the sharded reconstructor, parallel/sharded.py::_build_map_fn)
+    block_rows = map_block_states(mrf.cliques, mrf.n, 1 << mrf.n) // LANE
     lane = int(np.argmax(out[0]))
     state = ((int(out[1, lane]) * block_rows + int(out[2, lane])) * LANE
              + lane)
@@ -709,10 +710,13 @@ def _combine_lse(m: jax.Array, s: jax.Array) -> jax.Array:
 _GRAM_LOG_BLOCK = 12
 
 
-def gram_geometry(nv: int, n: int, num_states: int):
+def gram_geometry(nv: int, num_states: int):
     """(logS, logP, width) of the Gram-kernel sweep — THE single source
     for its lane packing and block unit (host prep, the kernel builder
-    and the sharded id arithmetic must all agree on it).
+    and the sharded id arithmetic must all agree on it). Depends only on
+    the variable count and the swept state count, NOT on the global
+    width ``n`` — sharded callers pass their per-device slice size and
+    get the same packing on every device.
 
     ``width = nv + 1`` lanes per state-group (a ones lane + one lane per
     variable); ``P = 2^logP`` groups pack side by side so the 128-lane
@@ -736,12 +740,41 @@ def gram_kernel_applies(nv: int, n: int, num_states: int) -> bool:
     interpreted sweep must be small enough for the unit suite."""
     if nv + 1 > LANE or num_states < (1 << 3):
         return False
-    logS, logP, _ = gram_geometry(nv, n, num_states)
+    logS, logP, _ = gram_geometry(nv, num_states)
     if n - (logS + logP) > 30:
         return False
     if jax.default_backend() != "tpu" and n > 16:
         return False
     return True
+
+
+# One dot operand is ALWAYS exactly bf16-representable in the Gram-sweep
+# kernels (B and E are 0/1 matrices), so a HIGHEST f32 dot — Mosaic's
+# 6-pass bf16x6 expansion over 3-term splits of BOTH operands — wastes
+# half its passes on terms that are identically zero. Splitting only the
+# inexact operand into the same 3 bf16 terms and running 3 DEFAULT bf16
+# dots (f32 accumulate) computes the identical sum of products in half
+# the MXU work.
+def _bf16_terms3(a):
+    h1 = a.astype(jnp.bfloat16)
+    r1 = a - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    return h1, h2, (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dot_exact(x01, a_terms, dims, flip=False):
+    """dot(x01, a) (or dot(a, x01) when ``flip``) with ``x01`` exactly
+    bf16-representable and ``a`` pre-split by :func:`_bf16_terms3` —
+    HIGHEST-f32-identical in 3 MXU passes."""
+    acc = None
+    for t in a_terms:
+        p = (jax.lax.dot_general(t, x01, dims,
+                                 preferred_element_type=jnp.float32)
+             if flip else
+             jax.lax.dot_general(x01, t, dims,
+                                 preferred_element_type=jnp.float32))
+        acc = p if acc is None else acc + p
+    return acc
 
 
 @functools.lru_cache(maxsize=256)
@@ -768,34 +801,29 @@ def _build_gram_loop_kernel(logS: int, num_blocks: int):
     HBM traffic is the kernel arguments plus one (128, 128) output,
     total, regardless of 2^n."""
     S = 1 << logS
-    # Mosaic dots support DEFAULT | HIGHEST only; HIGHEST keeps the
-    # sweep's w exact to f32. (B and E are exactly bf16-representable
-    # 0/1 matrices, so a manual 2-3-term bf16 split of the OTHER
-    # operand could emulate ~f32 in fewer passes than HIGHEST's 6 —
-    # a known further ~2x on the MXU-bound part, unexploited.)
-    prec = jax.lax.Precision.HIGHEST
 
     def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, lnz_ref,
                x0b_ref, out_ref):
         qs = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
         Binv = ((qs >> lsh_ref[:]) & 1).astype(jnp.float32) + grow_ref[:]
-        Q = q_ref[:]
-        E = e_ref[:]  # group projector: E[l, l'] = [group(l)==group(l')]
+        # loop-invariant split/casts hoist out of the block loop
+        Qt = _bf16_terms3(q_ref[:])
+        Eb = e_ref[:].astype(jnp.bfloat16)  # exact: 0/1 group projector
         hsh = hsh_ref[:]
 
         def step(i, G):
             blk = x0b_ref[0] + i
             hrow = ((blk >> hsh) & 1).astype(jnp.float32)  # (1, LANE)
             B = Binv + hrow  # block-constant lanes broadcast in
-            bq = jax.lax.dot_general(
-                B, Q, (((1,), (0,)), ((), ())), precision=prec)
+            Bb = B.astype(jnp.bfloat16)  # exact: B is 0/1
+            bq = _dot_exact(Bb, Qt, (((1,), (0,)), ((), ())))
             # per-LANE log-potential of the lane's own group's state (a
             # plain row-sum would mix the P packed states of each row)
-            lpl = jax.lax.dot_general(
-                bq * B, E, (((1,), (0,)), ((), ())), precision=prec)
+            lpl = _dot_exact(Eb, _bf16_terms3(bq * B),
+                             (((1,), (0,)), ((), ())), flip=True)
             W = jnp.exp(lpl - lnz_ref[0])  # (S, LANE), w per lane-group
-            return G + jax.lax.dot_general(
-                B, B * W, (((0,), (0,)), ((), ())), precision=prec)
+            return G + _dot_exact(Bb, _bf16_terms3(B * W),
+                                  (((0,), (0,)), ((), ())))
 
         out_ref[:] = jax.lax.fori_loop(
             0, num_blocks, step, jnp.zeros((LANE, LANE), jnp.float32))
@@ -803,23 +831,23 @@ def _build_gram_loop_kernel(logS: int, num_blocks: int):
     return kernel
 
 
-def gram_block_states(nv: int, n: int, num_states: int) -> int:
+def gram_block_states(nv: int, num_states: int) -> int:
     """States per kernel block of the Gram sweep — the unit of its
     ``x0b`` argument (sharded callers divide their device-slice start by
     this). Derived from :func:`gram_geometry` so it cannot drift from
     the kernel's own packing."""
-    logS, logP, _ = gram_geometry(nv, n, num_states)
+    logS, logP, _ = gram_geometry(nv, num_states)
     return 1 << (logS + logP)
 
 
-def gram_moments_call(nv: int, n: int, Q, E, lnz, num_states: int,
+def gram_moments_call(nv: int, Q, E, lnz, num_states: int,
                       x0_blocks, lsh, grow, hsh):
     """(128, 128) weighted-Gram moment partials over ``num_states``
     states starting at block index ``x0_blocks``; see
     :func:`_build_gram_loop_kernel` for the layout and
     ``models/moments.py`` for the host-side Q / projector / lane-row
     prep."""
-    logS, logP, _ = gram_geometry(nv, n, num_states)
+    logS, logP, _ = gram_geometry(nv, num_states)
     kernel = _build_gram_loop_kernel(logS, num_states >> (logS + logP))
     return pl.pallas_call(
         kernel,
@@ -836,6 +864,90 @@ def gram_moments_call(nv: int, n: int, Q, E, lnz, num_states: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(Q, E, lsh, grow, hsh, lnz, x0_blocks)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_gram_lse_loop_kernel(logS: int, num_blocks: int):
+    """Fused streaming (lnZ, weighted-Gram) sweep: ONE pass over the
+    state space yields BOTH the log-partition and every monomial moment
+    of a pairwise structure, by flash-style running-max accumulation —
+    the per-block weights are ``exp(lp - M)`` against the running max
+    ``M`` instead of a precomputed ``exp(lp - lnZ)``, and the Gram
+    accumulator is rescaled by ``exp(M_old - M_new)`` whenever the max
+    advances. Layout and contractions are identical to
+    :func:`_build_gram_loop_kernel`; outputs are the SCALED Gram ``G``
+    (whose group-summed (0, 0) entry is ``Z * exp(-M)``) and ``M``, so
+    ``lnZ = M + log(G_sum[0, 0])`` and moments = sub-blocks / G_sum[0,0].
+    Parked lanes (outside every group) are masked to -inf so they can
+    neither win the max nor contribute weight. This halves exact-MLE
+    training's sweep count: the NLL forward pass gets lnZ and its
+    custom-VJP gradient's moments from the same sweep
+    (models/moments.py::lnz_and_moments_streaming)."""
+    S = 1 << logS
+
+    def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, x0b_ref,
+               g_ref, m_ref):
+        qs = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+        Binv = ((qs >> lsh_ref[:]) & 1).astype(jnp.float32) + grow_ref[:]
+        E = e_ref[:]
+        # loop-invariant split/casts hoist out of the block loop
+        Qt = _bf16_terms3(q_ref[:])
+        Eb = E.astype(jnp.bfloat16)
+        # a lane is live iff it belongs to a group (its E column is
+        # nonzero); parked lanes' lpl would otherwise read as 0
+        live = jnp.sum(E, axis=0, keepdims=True) > 0.0  # (1, LANE)
+        hsh = hsh_ref[:]
+
+        def step(i, carry):
+            M, G = carry
+            blk = x0b_ref[0] + i
+            hrow = ((blk >> hsh) & 1).astype(jnp.float32)  # (1, LANE)
+            B = Binv + hrow
+            Bb = B.astype(jnp.bfloat16)  # exact: B is 0/1
+            bq = _dot_exact(Bb, Qt, (((1,), (0,)), ((), ())))
+            lpl = _dot_exact(Eb, _bf16_terms3(bq * B),
+                             (((1,), (0,)), ((), ())), flip=True)
+            lpl = jnp.where(live, lpl, -jnp.inf)
+            M2 = jnp.maximum(M, jnp.max(lpl))
+            W = jnp.exp(lpl - M2)  # parked lanes: exp(-inf) = 0
+            G2 = G * jnp.exp(M - M2) + _dot_exact(
+                Bb, _bf16_terms3(B * W), (((0,), (0,)), ((), ())))
+            return M2, G2
+
+        M, G = jax.lax.fori_loop(
+            0, num_blocks, step,
+            (jnp.float32(-jnp.inf), jnp.zeros((LANE, LANE), jnp.float32)))
+        g_ref[:] = G
+        m_ref[:] = jnp.full((8, LANE), M, jnp.float32)
+
+    return kernel
+
+
+def gram_lse_moments_call(nv: int, Q, E, num_states: int, x0_blocks,
+                          lsh, grow, hsh):
+    """(scaled Gram (128, 128), running max M) over ``num_states`` states
+    starting at block index ``x0_blocks`` — the fused lnZ+moments sweep
+    (:func:`_build_gram_lse_loop_kernel`). Sharded callers combine
+    per-device partials as ``G_d * exp(M_d - max_d M_d)`` summed."""
+    logS, logP, _ = gram_geometry(nv, num_states)
+    kernel = _build_gram_lse_loop_kernel(logS, num_states >> (logS + logP))
+    G, M = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((LANE, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((8, LANE), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Q (128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # E (128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lsh (1, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # grow (1, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hsh (1, 128)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0_blocks (1,)
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=_interpret(),
+    )(Q, E, lsh, grow, hsh, x0_blocks)
+    return G, M[0, 0]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -281,12 +281,12 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
             # read block-level bits correctly on any device)
             Q, E, lsh, grow, hsh = M._gram_kernel_inputs(
                 gram, coef_mono, n, chunk)
-            nblkS = chunk // K.gram_block_states(len(gram.vars), n, chunk)
+            nblkS = chunk // K.gram_block_states(len(gram.vars), chunk)
             x0b = (d.astype(jnp.int32) * nblkS)[None]
-            G = K.gram_moments_call(len(gram.vars), n, Q, E, lnZ, chunk,
+            G = K.gram_moments_call(len(gram.vars), Q, E, lnZ, chunk,
                                     x0b, lsh, grow, hsh)
             mono = jax.lax.psum(
-                M._mono_from_G(G, gram, layout.m, n, chunk), axis)
+                M._mono_from_G(G, gram, layout.m, chunk), axis)
             return M._masks_from_monomials(mono, template.cliques)
         offset = jnp.arange(1 << cb, dtype=jnp.int32)
         base = d.astype(jnp.int32) * nblk
@@ -294,13 +294,14 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
         acc = M._chunk_mono_partials(
             mrf, coef_mono, lnZ[0], base, offset, cb)
         if nblk > 1:
-            def step(acc, i):
+            # fori_loop, not scan-over-arange: near the n<=47 cap the
+            # block-index xs array alone would be hundreds of MB
+            def step(i, acc):
                 new = M._chunk_mono_partials(
                     mrf, coef_mono, lnZ[0], base + i, offset, cb)
-                return jax.tree.map(jnp.add, acc, new), None
+                return jax.tree.map(jnp.add, acc, new)
 
-            acc, _ = jax.lax.scan(
-                step, acc, jnp.arange(1, nblk, dtype=jnp.int32))
+            acc = jax.lax.fori_loop(1, nblk, step, acc)
         mono = jax.lax.psum(
             M._assemble_mono(acc, template.cliques), axis)
         return M._masks_from_monomials(mono, template.cliques)
@@ -332,6 +333,74 @@ def moments_cap() -> int:
     from qcmrf_tpu.models import moments as M
 
     return M._MAX_N
+
+
+@functools.lru_cache(maxsize=128)
+def _build_lnz_moments_fn(cliques: tuple, n: int, mesh: Mesh):
+    """Compiled sharded FUSED (lnZ, moments) sweep: each device runs the
+    flash-style running-max Gram kernel over its contiguous block range
+    (ops/kernels.py::_build_gram_lse_loop_kernel), then one pmax aligns
+    the per-device maxima, one psum combines the rescaled Gram partials
+    (``G_d * exp(M_d - M*)``), and the replicated combine recovers lnZ
+    and the theta-layout moments — the whole exact-MLE gradient in a
+    single pass over the state space."""
+    from qcmrf_tpu.models import moments as M
+
+    dlog = _dlog(mesh)
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+    chunk = 1 << (n - dlog)  # states per device
+    layout = M._monomial_layout(template.cliques)
+    gram = M._gram_layout(template.cliques)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    def compute(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        d = jax.lax.axis_index(axis)
+        coef_mono = M._coef_mono(M._beta_coef(mrf), layout)
+        Q, E, lsh, grow, hsh = M._gram_kernel_inputs(
+            gram, coef_mono, n, chunk)
+        nblkS = chunk // K.gram_block_states(len(gram.vars), chunk)
+        x0b = (d.astype(jnp.int32) * nblkS)[None]
+        G_d, M_d = K.gram_lse_moments_call(
+            len(gram.vars), Q, E, chunk, x0b, lsh, grow, hsh)
+        M_star = jax.lax.pmax(M_d, axis)
+        G = jax.lax.psum(G_d * jnp.exp(M_d - M_star), axis)
+        mono = M._mono_from_G(G, gram, layout.m, chunk)
+        Z = mono[0]  # sum w over the whole space, scaled by exp(-M*)
+        lnZ = M_star + jnp.log(Z)
+        mu = M._masks_from_monomials(mono / Z, template.cliques)
+        return lnZ, mu
+
+    return compute
+
+
+def sharded_lnz_and_moments(mrf: MRF, mesh: Mesh):
+    """``(lnZ, E_p[phi])`` in ONE sharded streaming sweep — the
+    multi-chip form of
+    :func:`qcmrf_tpu.models.moments.lnz_and_moments_streaming` (devices
+    split the block range; one pmax + one psum). Structures the Gram
+    kernel does not cover fall back to the two-sweep pair
+    (:func:`sharded_log_partition` then :func:`sharded_clique_moments`)."""
+    from qcmrf_tpu.models import moments as M
+
+    mesh = _sweep_mesh(mesh)
+    if mrf.n > moments_cap():
+        raise ValueError(
+            f"streaming moments cap at n={moments_cap()} (int32 block "
+            f"ids); got n={mrf.n}"
+        )
+    gram = M._gram_layout(mrf.cliques)
+    chunk = (1 << mrf.n) // mesh.devices.size
+    if not M._use_gram_kernel(gram, mrf.n, chunk):
+        lnZ = sharded_log_partition(mrf, mesh)
+        return lnZ, sharded_clique_moments(mrf, mesh, lnZ)
+    fn = _build_lnz_moments_fn(mrf.cliques, mrf.n, mesh)
+    return fn(mrf.theta, mrf.beta)
 
 
 @functools.lru_cache(maxsize=128)

@@ -243,14 +243,11 @@ def main(argv: Optional[List[str]] = None) -> str:
         mu_hat = mtrain.empirical_moments_from_bits(template, data)
         data = jnp.zeros((), jnp.int32)  # unused by the moment step
         # wide structures accept --mesh: the streaming moment sweep
-        # shards its block range over the flattened device mesh
-        moment_mesh = None
-        if mesh is not None:
-            from jax.sharding import Mesh
-
-            moment_mesh = Mesh(mesh.devices.reshape(-1), ("amp",))
+        # shards its block range over the device mesh (a multi-axis
+        # AxB mesh is flattened inside the sharded sweep entry points,
+        # parallel.sharded._sweep_mesh)
         step_fn = mtrain.make_moment_train_step(
-            template, opt, mu_hat, mesh=moment_mesh)
+            template, opt, mu_hat, mesh=mesh)
     elif args.mesh and args.grad != "shots":
         if template.num_states % mesh.shape["amp"]:
             raise SystemExit("amp axis must divide the state-table size")
@@ -274,24 +271,21 @@ def main(argv: Optional[List[str]] = None) -> str:
         from qcmrf_tpu.evaluation.estimators import (
             clique_marginals_from_samples)
 
-        shot_mesh = None
         if mesh is not None:
-            # shot parallelism wants every mesh device, whatever the AxB
-            # split: flatten to a 1-D mesh (pure data parallelism — one
-            # (d,)-sized psum per step; parallel.sharded_shot_moments)
-            from jax.sharding import Mesh
-
+            # shot parallelism uses every mesh device, whatever the AxB
+            # split (parallel.sharded_shot_moments flattens multi-axis
+            # meshes itself — pure data parallelism, one (d,)-sized psum
+            # per step)
             n_dev = mesh.devices.size
             if args.grad_shots % n_dev:
                 raise SystemExit(
                     f"--grad-shots ({args.grad_shots}) must be divisible "
                     f"by the mesh size ({n_dev})"
                 )
-            shot_mesh = Mesh(mesh.devices.reshape(-1), ("amp",))
         data_marg = clique_marginals_from_samples(template,
                                                   np.asarray(data))
         shots_step = mtrain.make_shots_train_step(
-            template, opt, args.grad_shots, data_marg, mesh=shot_mesh)
+            template, opt, args.grad_shots, data_marg, mesh=mesh)
 
         def step_fn(raw, opt_state, _data, _key=[jax.random.PRNGKey(
                 args.data_seed + 1)]):

@@ -211,6 +211,36 @@ def test_gram_kernel_path_matches_elimination(monkeypatch):
     np.testing.assert_allclose(got, xla, rtol=1e-5, atol=1e-6)
 
 
+def test_fused_lnz_and_moments_matches_two_sweep():
+    """The single-sweep (lnZ, moments) kernel (flash-style running-max
+    accumulation) must match the two-sweep pair on a Gram-eligible
+    pairwise structure, and fall back to it for higher-order cliques."""
+    from qcmrf_tpu.ops import kernels as K
+
+    cl = [[i, (i + 1) % 12] for i in range(12)] + [[2, 9]]
+    mrf = _random_mrf(cl, seed=13, beta=1.4)
+    gram = moments._gram_layout(mrf.cliques)
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << mrf.n)
+
+    lnZ_ref = float(K.log_partition(mrf))
+    mu_ref = np.asarray(moments.clique_moments_streaming(mrf))
+    lnZ, mu = moments.lnz_and_moments_streaming(mrf)
+    assert np.isclose(float(lnZ), lnZ_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref,
+                               rtol=1e-5, atol=1e-6)
+
+    # higher-order structure: same API through the two-sweep fallback
+    cl3 = [[0, 1, 2], [2, 3], [3, 4, 5]]
+    mrf3 = _random_mrf(cl3, seed=14)
+    assert not moments._use_gram_kernel(
+        moments._gram_layout(mrf3.cliques), mrf3.n, 1 << mrf3.n)
+    lnZ3, mu3 = moments.lnz_and_moments_streaming(mrf3)
+    assert np.isclose(float(lnZ3), float(mrf3.log_partition()), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mu3), np.asarray(ve.clique_marginals(mrf3)),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_gram_kernel_grad_through_custom_vjp():
     """The kernel-backed moment sweep is the custom-VJP gradient of the
     streaming lnZ: value and grad must match autodiff through the 2^n

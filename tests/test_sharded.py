@@ -471,3 +471,44 @@ def test_sharded_clique_moments_gram_kernel_path(mesh8):
         got, np.asarray(ve.clique_marginals(mrf)), rtol=1e-5, atol=1e-6)
     single = np.asarray(moments.clique_moments_streaming(mrf))
     np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_lnz_and_moments(mesh8):
+    """The FUSED sharded (lnZ, moments) sweep — per-device running-max
+    Gram kernel, one pmax + one psum of rescaled partials — must match
+    the two-sweep references and the single-chip fused sweep; the
+    sharded lnZ gradient must route through it."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import moments
+    from qcmrf_tpu.ops import kernels as K
+
+    cl = [[i, (i + 1) % 12] for i in range(12)] + [[0, 6], [3, 9]]
+    mrf = rand_mrf(cl, seed=23, scale=0.6)
+    gram = moments._gram_layout(mrf.cliques)
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << (mrf.n - 3))
+
+    lnZ, mu = sharded.sharded_lnz_and_moments(mrf, mesh8)
+    assert np.isclose(float(lnZ), float(K.log_partition(mrf)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.asarray(ve.clique_marginals(mrf)),
+        rtol=1e-5, atol=1e-6)
+
+    lnZ_1, mu_1 = moments.lnz_and_moments_streaming(mrf)
+    assert np.isclose(float(lnZ), float(lnZ_1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_1),
+                               rtol=1e-5, atol=1e-6)
+
+    g = jax.grad(
+        lambda th: moments.log_partition_streaming(
+            mrf.with_theta(th), mesh8)
+    )(mrf.theta)
+    np.testing.assert_allclose(
+        np.asarray(g), mrf.beta * np.asarray(mu), rtol=1e-5, atol=1e-6)
+
+    # higher-order cliques: same API through the two-sweep fallback
+    mrf3 = rand_mrf([[0, 1, 2], [2, 3], [3, 4, 5]], seed=24)
+    lnZ3, mu3 = sharded.sharded_lnz_and_moments(mrf3, mesh8)
+    assert np.isclose(float(lnZ3), float(mrf3.log_partition()), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mu3), np.asarray(ve.clique_marginals(mrf3)),
+        rtol=1e-5, atol=1e-6)
