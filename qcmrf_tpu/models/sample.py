@@ -100,3 +100,59 @@ def sample_pam(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
 def map_state(mrf: MRF) -> jax.Array:
     """Exact MAP state id (argmax of the Gibbs distribution)."""
     return jnp.argmax(mrf.all_log_potentials()).astype(jnp.int32)
+
+
+def sample_pam_streaming(key: jax.Array, mrf: MRF,
+                         num_samples: int) -> jax.Array:
+    """Low-order perturb-and-MAP samples as bit arrays (num, n) for
+    ARBITRARY clique structure past table widths and treewidth bounds.
+
+    Completes the PAM surface: :func:`sample_pam` argmaxes an enumerated
+    ``2**n`` table (small n), ``models.elimination.sample_pam`` runs
+    max-product elimination (any n, bounded treewidth) — this one runs
+    the streaming argmax sweep of
+    :func:`qcmrf_tpu.ops.kernels.map_state_streaming` on each
+    Gumbel-perturbed model, so no ``2**n`` array ever materializes and
+    the structure is unconstrained (cost: one full state sweep per
+    sample; ``lax.scan`` over samples keeps it one kernel compile).
+    Same perturbation semantics as the table sampler (IID Gumbel on
+    every clique-state weight of ``beta * theta``), so with the same key
+    the two return identical samples where both apply. Bit order:
+    column v = variable v (utils/bits.py)."""
+    import numpy as np
+
+    from qcmrf_tpu.ops import kernels as K
+
+    n = mrf.n
+    if n < K._MIN_KERNEL_N:  # below the kernel floor the table is tiny
+        ids = np.asarray(sample_pam(key, mrf, num_samples), np.int64)
+        return jnp.asarray(
+            (ids[:, None] >> (n - 1 - np.arange(n))) & 1, jnp.int32)
+
+    @jax.jit
+    def sweep_all(theta, keys):
+        def step(_, k):
+            g = jax.random.gumbel(k, (mrf.dimension,), jnp.float32)
+            pm = MRF(theta=mrf.beta * theta + g, beta=1.0,
+                     cliques=mrf.cliques, n=n)
+            coef = K._moebius_coefficients(pm)
+            out = K._map_partials_call(
+                mrf.cliques, n, 1 << n, coef,
+                jnp.ones((1,), jnp.float32), jnp.zeros((1,), jnp.int32))
+            return 0, out
+
+        return jax.lax.scan(step, 0, keys)[1]
+
+    outs = np.asarray(
+        sweep_all(mrf.theta, jax.random.split(key, num_samples)))
+    # id reconstruction host-side in int64 (the kernel's (value, block,
+    # row) carry stays f32-exact; flat ids can exceed int32 past n=31),
+    # through the pinned block-unit contract
+    block_rows = K.map_block_states(mrf.cliques, n, 1 << n) // 128
+    bits = np.zeros((num_samples, n), np.int32)
+    for i, out in enumerate(outs):
+        lane = int(np.argmax(out[0]))
+        state = ((int(out[1, lane]) * block_rows + int(out[2, lane]))
+                 * 128 + lane)
+        bits[i] = (state >> (n - 1 - np.arange(n))) & 1
+    return jnp.asarray(bits)

@@ -710,37 +710,38 @@ def _combine_lse(m: jax.Array, s: jax.Array) -> jax.Array:
 _GRAM_LOG_BLOCK = 12
 
 
-def gram_geometry(nv: int, num_states: int):
-    """(logS, logP, width) of the Gram-kernel sweep — THE single source
-    for its lane packing and block unit (host prep, the kernel builder
-    and the sharded id arithmetic must all agree on it). Depends only on
-    the variable count and the swept state count, NOT on the global
-    width ``n`` — sharded callers pass their per-device slice size and
-    get the same packing on every device.
+def gram_geometry(width: int, num_states: int):
+    """(logS, logP) of the Gram-kernel sweep — THE single source for its
+    lane packing and block unit (host prep, the kernel builder and the
+    sharded id arithmetic must all agree on it). Depends only on the
+    lanes-per-group ``width`` and the swept state count, NOT on the
+    global width ``n`` — sharded callers pass their per-device slice
+    size and get the same packing on every device.
 
-    ``width = nv + 1`` lanes per state-group (a ones lane + one lane per
-    variable); ``P = 2^logP`` groups pack side by side so the 128-lane
-    MXU tile is ~fully useful instead of 1/5 useful at typical nv (the
-    Gram contributions of different groups ADD, and only the P diagonal
+    ``width`` lanes per state-group: a ones lane + one lane per variable
+    (+ one per PRODUCT lane for size-3/4 monomials, models/moments.py);
+    ``P = 2^logP`` groups pack side by side so the 128-lane MXU tile is
+    ~fully useful instead of 1/5 useful at typical widths (the Gram
+    contributions of different groups ADD, and only the P diagonal
     width x width sub-blocks are ever read, so the cross-group entries
     are free garbage). One kernel block sweeps ``2^(logS+logP)`` states:
     group g holds states ``blk*2^(logS+logP) + g*2^logS + q``."""
-    width = nv + 1
     logP = max(0, (LANE // width).bit_length() - 1)
     logS = min(_GRAM_LOG_BLOCK,
                max(3, num_states.bit_length() - 1 - logP))
     logP = min(logP, max(0, num_states.bit_length() - 1 - logS))
-    return logS, logP, width
+    return logS, logP
 
 
-def gram_kernel_applies(nv: int, n: int, num_states: int) -> bool:
-    """Whether the weighted-Gram moments kernel covers this sweep: one
-    ones-lane + ``nv`` variable lanes must fit the 128-lane tile, the
-    block index must stay under the 2^30 shift guard, and off-TPU the
-    interpreted sweep must be small enough for the unit suite."""
-    if nv + 1 > LANE or num_states < (1 << 3):
+def gram_kernel_applies(width: int, n: int, num_states: int) -> bool:
+    """Whether the weighted-Gram moments kernel covers this sweep: the
+    ``width`` group lanes (ones + variables + product lanes) must fit
+    the 128-lane tile, the block index must stay under the 2^30 shift
+    guard, and off-TPU the interpreted sweep must be small enough for
+    the unit suite."""
+    if width > LANE or num_states < (1 << 3):
         return False
-    logS, logP, _ = gram_geometry(nv, num_states)
+    logS, logP = gram_geometry(width, num_states)
     if n - (logS + logP) > 30:
         return False
     if jax.default_backend() != "tpu" and n > 16:
@@ -777,35 +778,70 @@ def _dot_exact(x01, a_terms, dims, flip=False):
     return acc
 
 
+def _gram_lane_maker(S: int, lsh, grow, s1b, s2b):
+    """Shared per-block lane build of the Gram-sweep kernels: bit planes
+    from iota + the three shift rows, then (when ``s1b``/``s2b`` selector
+    matrices are present) the PRODUCT-lane relayout ``B' = (B S1) *
+    (B S2)`` — each selector column is one-hot onto a source lane, so
+    variable/ones lanes select themselves (``b^2 = b``) and product
+    lanes become the product of their two factor lanes, covering size-3
+    and size-4 monomials as plain Gram entries. Selection matrices are
+    exact 0/1, so the relayout is 2 exact DEFAULT-bf16 MXU passes and
+    ``B'`` stays exactly 0/1."""
+    qs = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+    Binv = ((qs >> lsh) & 1).astype(jnp.float32) + grow
+
+    def make(hrow):
+        B = Binv + hrow  # block-constant lanes broadcast in
+        if s1b is not None:
+            Bb0 = B.astype(jnp.bfloat16)  # exact: B is 0/1
+            dims = (((1,), (0,)), ((), ()))
+            B = (jax.lax.dot_general(
+                    Bb0, s1b, dims, preferred_element_type=jnp.float32)
+                 * jax.lax.dot_general(
+                    Bb0, s2b, dims, preferred_element_type=jnp.float32))
+        return B, B.astype(jnp.bfloat16)  # exact: B' is 0/1
+
+    return make
+
+
 @functools.lru_cache(maxsize=256)
-def _build_gram_loop_kernel(logS: int, num_blocks: int):
+def _build_gram_loop_kernel(logS: int, num_blocks: int, relayout: bool):
     """Streaming weighted-Gram sweep: ONE (128, 128) matrix holds every
-    monomial moment of a pairwise structure (models/moments.py).
+    monomial moment of a structure with cliques of <= 4 variables
+    (models/moments.py).
 
     State bits live on LANES here, not rows: each block materializes the
     bit-plane matrix ``B`` of ``S = 2^logS`` rows x 128 lanes, where the
-    lanes hold P side-by-side state-groups of ``width = nv + 1`` lanes
-    each (per group: a constant-1 lane + one lane per variable — see
-    :func:`gram_geometry`). Three per-lane rows drive the build in fully
-    vectorized ops: ``lsh`` shifts the in-block row index into the
-    low state bits (shift 30 parks a lane at 0), ``grow`` adds the
-    lane-constant part (the ones lanes and each group's group-index
-    bits), and ``hsh`` shifts the running block index into the high
-    bits. The log-potential is then ONE systolic contraction — linear
-    and constant coefficients fold into each group's ones row of the
-    block-diagonal coefficient matrix ``Q`` — ``lp = rowsum((B Q) *
+    lanes hold P side-by-side state-groups of ``width`` lanes each (per
+    group: a constant-1 lane, one lane per variable, and — for
+    structures with size-3/4 cliques — one lane per PRODUCT of two
+    variables, built by the ``relayout`` selection matmuls of
+    :func:`_gram_lane_maker`; see :func:`gram_geometry`). Three per-lane
+    rows drive the build in fully vectorized ops: ``lsh`` shifts the
+    in-block row index into the low state bits (shift 30 parks a lane
+    at 0), ``grow`` adds the lane-constant part (the ones lanes and each
+    group's group-index bits), and ``hsh`` shifts the running block
+    index into the high bits. The log-potential is then ONE systolic
+    contraction — every monomial's coefficient sits at its lane-pair
+    entry of the block-diagonal matrix ``Q`` — ``lp = rowsum((B Q) *
     B)`` — and the moment accumulation is a second one,
     ``G += B^T (w * B)``, whose P diagonal width x width sub-blocks sum
     to the monomial moments (entry (0,0) = sum w, row 0 = singletons,
-    (i,j) = pairs). Everything derives from iota in VMEM: the sweep's
-    HBM traffic is the kernel arguments plus one (128, 128) output,
-    total, regardless of 2^n."""
+    (i,j) = pairs, product-lane rows = size-3/4 subsets). Everything
+    derives from iota in VMEM: the sweep's HBM traffic is the kernel
+    arguments plus one (128, 128) output, total, regardless of 2^n."""
     S = 1 << logS
 
-    def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, lnz_ref,
-               x0b_ref, out_ref):
-        qs = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
-        Binv = ((qs >> lsh_ref[:]) & 1).astype(jnp.float32) + grow_ref[:]
+    def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, *rest):
+        if relayout:
+            s1_ref, s2_ref, lnz_ref, x0b_ref, out_ref = rest
+            s1b = s1_ref[:].astype(jnp.bfloat16)
+            s2b = s2_ref[:].astype(jnp.bfloat16)
+        else:
+            lnz_ref, x0b_ref, out_ref = rest
+            s1b = s2b = None
+        make_B = _gram_lane_maker(S, lsh_ref[:], grow_ref[:], s1b, s2b)
         # loop-invariant split/casts hoist out of the block loop
         Qt = _bf16_terms3(q_ref[:])
         Eb = e_ref[:].astype(jnp.bfloat16)  # exact: 0/1 group projector
@@ -814,8 +850,7 @@ def _build_gram_loop_kernel(logS: int, num_blocks: int):
         def step(i, G):
             blk = x0b_ref[0] + i
             hrow = ((blk >> hsh) & 1).astype(jnp.float32)  # (1, LANE)
-            B = Binv + hrow  # block-constant lanes broadcast in
-            Bb = B.astype(jnp.bfloat16)  # exact: B is 0/1
+            B, Bb = make_B(hrow)
             bq = _dot_exact(Bb, Qt, (((1,), (0,)), ((), ())))
             # per-LANE log-potential of the lane's own group's state (a
             # plain row-sum would mix the P packed states of each row)
@@ -831,46 +866,48 @@ def _build_gram_loop_kernel(logS: int, num_blocks: int):
     return kernel
 
 
-def gram_block_states(nv: int, num_states: int) -> int:
+def gram_block_states(width: int, num_states: int) -> int:
     """States per kernel block of the Gram sweep — the unit of its
     ``x0b`` argument (sharded callers divide their device-slice start by
     this). Derived from :func:`gram_geometry` so it cannot drift from
     the kernel's own packing."""
-    logS, logP, _ = gram_geometry(nv, num_states)
+    logS, logP = gram_geometry(width, num_states)
     return 1 << (logS + logP)
 
 
-def gram_moments_call(nv: int, Q, E, lnz, num_states: int,
-                      x0_blocks, lsh, grow, hsh):
+def _gram_in_specs(relayout: bool, n_smem: int):
+    return ([pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 if relayout else 5)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem)
+
+
+def gram_moments_call(width: int, Q, E, lnz, num_states: int,
+                      x0_blocks, lsh, grow, hsh, s1=None, s2=None):
     """(128, 128) weighted-Gram moment partials over ``num_states``
     states starting at block index ``x0_blocks``; see
     :func:`_build_gram_loop_kernel` for the layout and
-    ``models/moments.py`` for the host-side Q / projector / lane-row
-    prep."""
-    logS, logP, _ = gram_geometry(nv, num_states)
-    kernel = _build_gram_loop_kernel(logS, num_states >> (logS + logP))
+    ``models/moments.py`` for the host-side Q / projector / lane-row /
+    selector prep."""
+    logS, logP = gram_geometry(width, num_states)
+    relayout = s1 is not None
+    kernel = _build_gram_loop_kernel(
+        logS, num_states >> (logS + logP), relayout)
+    sel = (s1, s2) if relayout else ()
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((LANE, LANE), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Q (128, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # E (128, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lsh (1, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # grow (1, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hsh (1, 128)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lnZ (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0_blocks (1,)
-        ],
+        in_specs=_gram_in_specs(relayout, 2),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(Q, E, lsh, grow, hsh, lnz, x0_blocks)
+    )(Q, E, lsh, grow, hsh, *sel, lnz, x0_blocks)
 
 
 @functools.lru_cache(maxsize=256)
-def _build_gram_lse_loop_kernel(logS: int, num_blocks: int):
+def _build_gram_lse_loop_kernel(logS: int, num_blocks: int,
+                                relayout: bool):
     """Fused streaming (lnZ, weighted-Gram) sweep: ONE pass over the
     state space yields BOTH the log-partition and every monomial moment
-    of a pairwise structure, by flash-style running-max accumulation —
+    of a structure with cliques of <= 4 variables, by flash-style
+    running-max accumulation —
     the per-block weights are ``exp(lp - M)`` against the running max
     ``M`` instead of a precomputed ``exp(lp - lnZ)``, and the Gram
     accumulator is rescaled by ``exp(M_old - M_new)`` whenever the max
@@ -885,10 +922,15 @@ def _build_gram_lse_loop_kernel(logS: int, num_blocks: int):
     (models/moments.py::lnz_and_moments_streaming)."""
     S = 1 << logS
 
-    def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, x0b_ref,
-               g_ref, m_ref):
-        qs = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
-        Binv = ((qs >> lsh_ref[:]) & 1).astype(jnp.float32) + grow_ref[:]
+    def kernel(q_ref, e_ref, lsh_ref, grow_ref, hsh_ref, *rest):
+        if relayout:
+            s1_ref, s2_ref, x0b_ref, g_ref, m_ref = rest
+            s1b = s1_ref[:].astype(jnp.bfloat16)
+            s2b = s2_ref[:].astype(jnp.bfloat16)
+        else:
+            x0b_ref, g_ref, m_ref = rest
+            s1b = s2b = None
+        make_B = _gram_lane_maker(S, lsh_ref[:], grow_ref[:], s1b, s2b)
         E = e_ref[:]
         # loop-invariant split/casts hoist out of the block loop
         Qt = _bf16_terms3(q_ref[:])
@@ -902,8 +944,7 @@ def _build_gram_lse_loop_kernel(logS: int, num_blocks: int):
             M, G = carry
             blk = x0b_ref[0] + i
             hrow = ((blk >> hsh) & 1).astype(jnp.float32)  # (1, LANE)
-            B = Binv + hrow
-            Bb = B.astype(jnp.bfloat16)  # exact: B is 0/1
+            B, Bb = make_B(hrow)
             bq = _dot_exact(Bb, Qt, (((1,), (0,)), ((), ())))
             lpl = _dot_exact(Eb, _bf16_terms3(bq * B),
                              (((1,), (0,)), ((), ())), flip=True)
@@ -923,30 +964,26 @@ def _build_gram_lse_loop_kernel(logS: int, num_blocks: int):
     return kernel
 
 
-def gram_lse_moments_call(nv: int, Q, E, num_states: int, x0_blocks,
-                          lsh, grow, hsh):
+def gram_lse_moments_call(width: int, Q, E, num_states: int, x0_blocks,
+                          lsh, grow, hsh, s1=None, s2=None):
     """(scaled Gram (128, 128), running max M) over ``num_states`` states
     starting at block index ``x0_blocks`` — the fused lnZ+moments sweep
     (:func:`_build_gram_lse_loop_kernel`). Sharded callers combine
     per-device partials as ``G_d * exp(M_d - max_d M_d)`` summed."""
-    logS, logP, _ = gram_geometry(nv, num_states)
-    kernel = _build_gram_lse_loop_kernel(logS, num_states >> (logS + logP))
+    logS, logP = gram_geometry(width, num_states)
+    relayout = s1 is not None
+    kernel = _build_gram_lse_loop_kernel(
+        logS, num_states >> (logS + logP), relayout)
+    sel = (s1, s2) if relayout else ()
     G, M = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((LANE, LANE), jnp.float32),
                    jax.ShapeDtypeStruct((8, LANE), jnp.float32)),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Q (128, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # E (128, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lsh (1, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # grow (1, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hsh (1, 128)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0_blocks (1,)
-        ],
+        in_specs=_gram_in_specs(relayout, 1),
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=_interpret(),
-    )(Q, E, lsh, grow, hsh, x0_blocks)
+    )(Q, E, lsh, grow, hsh, *sel, x0_blocks)
     return G, M[0, 0]
 
 

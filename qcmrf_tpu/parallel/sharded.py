@@ -279,12 +279,12 @@ def _build_moments_fn(cliques: tuple, n: int, mesh: Mesh):
             # Gram-kernel sweep of this device's slice: x0 in the
             # kernel's block units (absolute, so the shared shift rows
             # read block-level bits correctly on any device)
-            Q, E, lsh, grow, hsh = M._gram_kernel_inputs(
+            Q, E, lsh, grow, hsh, S1, S2 = M._gram_kernel_inputs(
                 gram, coef_mono, n, chunk)
-            nblkS = chunk // K.gram_block_states(len(gram.vars), chunk)
+            nblkS = chunk // K.gram_block_states(gram.width, chunk)
             x0b = (d.astype(jnp.int32) * nblkS)[None]
-            G = K.gram_moments_call(len(gram.vars), Q, E, lnZ, chunk,
-                                    x0b, lsh, grow, hsh)
+            G = K.gram_moments_call(gram.width, Q, E, lnZ, chunk,
+                                    x0b, lsh, grow, hsh, S1, S2)
             mono = jax.lax.psum(
                 M._mono_from_G(G, gram, layout.m, chunk), axis)
             return M._masks_from_monomials(mono, template.cliques)
@@ -362,12 +362,12 @@ def _build_lnz_moments_fn(cliques: tuple, n: int, mesh: Mesh):
         mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
         d = jax.lax.axis_index(axis)
         coef_mono = M._coef_mono(M._beta_coef(mrf), layout)
-        Q, E, lsh, grow, hsh = M._gram_kernel_inputs(
+        Q, E, lsh, grow, hsh, S1, S2 = M._gram_kernel_inputs(
             gram, coef_mono, n, chunk)
-        nblkS = chunk // K.gram_block_states(len(gram.vars), chunk)
+        nblkS = chunk // K.gram_block_states(gram.width, chunk)
         x0b = (d.astype(jnp.int32) * nblkS)[None]
         G_d, M_d = K.gram_lse_moments_call(
-            len(gram.vars), Q, E, chunk, x0b, lsh, grow, hsh)
+            gram.width, Q, E, chunk, x0b, lsh, grow, hsh, S1, S2)
         M_star = jax.lax.pmax(M_d, axis)
         G = jax.lax.psum(G_d * jnp.exp(M_d - M_star), axis)
         mono = M._mono_from_G(G, gram, layout.m, chunk)
@@ -476,6 +476,90 @@ def sharded_map_state(mrf: MRF, mesh: Mesh):
     j = int(np.argmax(out[:, 0]))
     val, blk, row, lane = out[j]
     return reconstruct(int(blk), int(row), int(lane)), float(val)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_pam_fn(cliques: tuple, n: int, mesh: Mesh):
+    """Compiled sharded perturb-and-MAP partials: a ``lax.scan`` over
+    sample keys of the per-device streaming-MAP sweep, each iteration on
+    a freshly Gumbel-perturbed model. Keys arrive replicated, so every
+    device perturbs IDENTICALLY and sweeps its own slice of the same
+    perturbed model; the host combines (value, block, row, lane) rows
+    per sample. Same id-reconstruction contract as
+    :func:`_build_map_fn`."""
+    dlog = _dlog(mesh)
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+    chunk = 1 << (n - dlog)
+    use_kernel = _use_slice_kernel(n, dlog)
+    if use_kernel:
+        block_rows = K.map_block_states(cliques, n, chunk) // 128
+
+        def reconstruct(blk: int, row: int, lane: int) -> int:
+            return (blk * block_rows + row) * 128 + lane
+    else:
+        def reconstruct(blk: int, row: int, lane: int) -> int:
+            return blk * chunk + row * 128 + lane
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=P(axis), check_vma=False,
+    )
+    def compute(theta, beta, keys):
+        d = jax.lax.axis_index(axis)
+
+        def step(_, k):
+            g = jax.random.gumbel(
+                k, (template.dimension,), jnp.float32)
+            pm = MRF(theta=beta * theta + g, beta=1.0,
+                     cliques=template.cliques, n=n)
+            if use_kernel:
+                coef = K._moebius_coefficients(pm)
+                x0b = (d.astype(jnp.int32)
+                       * (chunk // (block_rows * 128)))[None]
+                out = K._map_partials_call(
+                    template.cliques, n, chunk, coef,
+                    jnp.ones((1,), jnp.float32), x0b)
+                lane = jnp.argmax(out[0])
+                val, blk, row = out[0, lane], out[1, lane], out[2, lane]
+            else:
+                lp = _local_log_potentials(pm, dlog, axis)
+                i = jnp.argmax(lp)
+                val = lp[i]
+                blk = d.astype(jnp.float32)
+                row = (i // 128).astype(jnp.float32)
+                lane = i % 128
+            return 0, jnp.stack([val, blk, row,
+                                 lane.astype(jnp.float32)])
+
+        rows = jax.lax.scan(step, 0, keys)[1]  # (num, 4)
+        return rows[None]
+
+    return compute, reconstruct
+
+
+def sharded_sample_pam(key: jax.Array, mrf: MRF, mesh: Mesh,
+                       num_samples: int) -> jax.Array:
+    """Low-order perturb-and-MAP samples as bit arrays (num, n) with the
+    per-sample MAP sweep SHARDED over the mesh — the multi-chip form of
+    :func:`qcmrf_tpu.models.sample.sample_pam_streaming` (arbitrary
+    clique structure, no 2^n array on any device; same perturbation
+    semantics, so with the same key it returns the single-chip sampler's
+    exact samples)."""
+    mesh = _sweep_mesh(mesh)
+    fn, reconstruct = _build_pam_fn(mrf.cliques, mrf.n, mesh)
+    rows = np.asarray(fn(
+        mrf.theta, jnp.asarray(mrf.beta, jnp.float32),
+        jax.random.split(key, num_samples)))  # (D, num, 4)
+    n = mrf.n
+    bits = np.zeros((num_samples, n), np.int32)
+    for i in range(num_samples):
+        j = int(np.argmax(rows[:, i, 0]))
+        _, blk, row, lane = rows[j, i]
+        state = reconstruct(int(blk), int(row), int(lane))
+        bits[i] = (state >> (n - 1 - np.arange(n))) & 1
+    return jnp.asarray(bits)
 
 
 @functools.lru_cache(maxsize=128)

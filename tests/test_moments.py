@@ -211,6 +211,73 @@ def test_gram_kernel_path_matches_elimination(monkeypatch):
     np.testing.assert_allclose(got, xla, rtol=1e-5, atol=1e-6)
 
 
+def test_gram_kernel_higher_order_cliques(monkeypatch):
+    """Size-3/4 cliques route through the Gram kernel via PRODUCT lanes
+    (the in-kernel selector relayout B' = (B S1) * (B S2)): every
+    monomial of <= 4 distinct variables is one Gram entry of the
+    augmented lanes. Pinned against elimination and against the XLA
+    fallback; > 4 distinct variables must set kernel_ok = False and
+    still compute through the fallback."""
+    cl = ([[i, i + 1] for i in range(13)]
+          + [[0, 5, 9], [2, 7, 11], [1, 4, 8, 12]])
+    mrf = _random_mrf(cl, seed=15, beta=1.2)
+    gram = moments._gram_layout(mrf.cliques)
+    assert gram.kernel_ok and len(gram.prod_src) > 0
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << mrf.n)
+
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    lnZ, mu = moments.lnz_and_moments_streaming(mrf)
+    assert np.isclose(float(lnZ), float(mrf.log_partition()), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu), want, rtol=1e-5, atol=1e-6)
+
+    monkeypatch.setattr(moments, "_use_gram_kernel",
+                        lambda *a, **k: False)
+    xla = np.asarray(moments.clique_moments_streaming(mrf))
+    np.testing.assert_allclose(got, xla, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_kernel_repeated_vars_in_higher_order_clique():
+    """A 4-slot clique with a repeated variable ([0, 1, 1, 2]) collapses
+    to 3 distinct variables (b^2 = b) — still kernel-expressible through
+    one product lane; oracle is brute-force enumeration (elimination
+    cannot build repeated-variable scopes)."""
+    cl = ([[0, 1, 1, 2], [2, 3], [3, 4, 4]]
+          + [[i, i + 1] for i in range(4, 13)])
+    mrf = _random_mrf(cl, seed=16, beta=1.1)
+    gram = moments._gram_layout(mrf.cliques)
+    assert gram.kernel_ok
+    assert moments._use_gram_kernel(gram, mrf.n, 1 << mrf.n)
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+
+    p = np.asarray(mrf.gibbs_probs(), np.float64)
+    n, x = mrf.n, np.arange(1 << mrf.n)
+    mu = np.zeros(mrf.dimension)
+    off = 0
+    for C in mrf.cliques:
+        y = np.zeros(1 << n, dtype=np.int64)
+        for v in C:
+            y = (y << 1) | ((x >> (n - 1 - v)) & 1)
+        np.add.at(mu, off + y, p)
+        off += 1 << len(C)
+    np.testing.assert_allclose(got, mu, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_layout_kernel_ok_gate():
+    """5+ distinct variables in one clique cannot factor into two lanes:
+    kernel_ok goes False and the sweep still computes via the fallback."""
+    gram = moments._gram_layout(((0, 1, 2, 3, 4),))
+    assert not gram.kernel_ok
+    mrf = _random_mrf([[0, 1, 2, 3, 4], [4, 5], [5, 6]], seed=17)
+    assert not moments._use_gram_kernel(
+        moments._gram_layout(mrf.cliques), mrf.n, 1 << mrf.n)
+    got = np.asarray(moments.clique_moments_streaming(mrf))
+    want = np.asarray(ve.clique_marginals(mrf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_fused_lnz_and_moments_matches_two_sweep():
     """The single-sweep (lnZ, moments) kernel (flash-style running-max
     accumulation) must match the two-sweep pair on a Gram-eligible

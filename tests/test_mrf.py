@@ -155,6 +155,30 @@ def test_map_state():
     assert int(msample.map_state(mrf)) == 0
 
 
+def test_sample_pam_streaming_matches_table():
+    """Streaming PAM (per-sample MAP by the block-split argmax kernel,
+    arbitrary structure past table widths) uses the SAME perturbation
+    semantics as the table sampler, so with the same key the samples
+    are bit-identical where both apply — at a kernel-eligible width and
+    through the small-n fallback."""
+    rng = np.random.RandomState(11)
+    cl = [[i, i + 1] for i in range(13)] + [[0, 6], [3, 10]]
+    probe = MRF.create(cl)
+    mrf = MRF.create(
+        cl, theta=-np.abs(rng.randn(probe.dimension)) * 0.6, beta=1.3)
+    key = jax.random.PRNGKey(7)
+    ids = np.asarray(msample.sample_pam(key, mrf, 6), np.int64)
+    ref = (ids[:, None] >> (mrf.n - 1 - np.arange(mrf.n))) & 1
+    got = np.asarray(msample.sample_pam_streaming(key, mrf, 6))
+    np.testing.assert_array_equal(got, ref)
+
+    small = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    ids_s = np.asarray(msample.sample_pam(key, small, 12), np.int64)
+    ref_s = (ids_s[:, None] >> (small.n - 1 - np.arange(small.n))) & 1
+    np.testing.assert_array_equal(
+        np.asarray(msample.sample_pam_streaming(key, small, 12)), ref_s)
+
+
 def test_nll_gradient_is_moment_difference():
     rng = np.random.RandomState(9)
     mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))

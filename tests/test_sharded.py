@@ -505,10 +505,46 @@ def test_sharded_fused_lnz_and_moments(mesh8):
     np.testing.assert_allclose(
         np.asarray(g), mrf.beta * np.asarray(mu), rtol=1e-5, atol=1e-6)
 
-    # higher-order cliques: same API through the two-sweep fallback
-    mrf3 = rand_mrf([[0, 1, 2], [2, 3], [3, 4, 5]], seed=24)
+    # size-3 cliques at kernel-eligible width: the product-lane relayout
+    # runs inside each device's kernel sweep
+    cl3 = [[i, (i + 1) % 12] for i in range(12)] + [[0, 4, 8], [1, 5, 9]]
+    mrf3 = rand_mrf(cl3, seed=24, scale=0.5)
+    gram3 = moments._gram_layout(mrf3.cliques)
+    assert gram3.kernel_ok and len(gram3.prod_src) > 0
+    assert moments._use_gram_kernel(gram3, mrf3.n, 1 << (mrf3.n - 3))
     lnZ3, mu3 = sharded.sharded_lnz_and_moments(mrf3, mesh8)
-    assert np.isclose(float(lnZ3), float(mrf3.log_partition()), rtol=1e-5)
+    assert np.isclose(float(lnZ3), float(K.log_partition(mrf3)),
+                      rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(mu3), np.asarray(ve.clique_marginals(mrf3)),
         rtol=1e-5, atol=1e-6)
+
+    # > 4 distinct vars: same API through the two-sweep fallback
+    mrf5 = rand_mrf([[0, 1, 2, 3, 4], [4, 5], [5, 6]], seed=25)
+    lnZ5, mu5 = sharded.sharded_lnz_and_moments(mrf5, mesh8)
+    assert np.isclose(float(lnZ5), float(mrf5.log_partition()), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mu5), np.asarray(ve.clique_marginals(mrf5)),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_sample_pam(mesh8):
+    """Sharded perturb-and-MAP: keys replicate so every device perturbs
+    identically and sweeps its slice; samples must be bit-identical to
+    the single-chip streaming sampler (kernel path) and to the table
+    sampler (small-chunk fallback path)."""
+    from qcmrf_tpu.models import sample as msample
+
+    cl = [[i, i + 1] for i in range(13)] + [[0, 6], [3, 10]]
+    mrf = rand_mrf(cl, seed=26, scale=0.6)
+    key = jax.random.PRNGKey(9)
+    single = np.asarray(msample.sample_pam_streaming(key, mrf, 5))
+    got = np.asarray(sharded.sharded_sample_pam(key, mrf, mesh8, 5))
+    np.testing.assert_array_equal(got, single)
+
+    small = rand_mrf([[i, i + 1] for i in range(8)], seed=27)  # n=9
+    ids = np.asarray(msample.sample_pam(key, small, 10), np.int64)
+    ref = (ids[:, None] >> (small.n - 1 - np.arange(small.n))) & 1
+    np.testing.assert_array_equal(
+        np.asarray(sharded.sharded_sample_pam(key, small, mesh8, 10)),
+        ref)
