@@ -102,6 +102,31 @@ def map_state(mrf: MRF) -> jax.Array:
     return jnp.argmax(mrf.all_log_potentials()).astype(jnp.int32)
 
 
+@functools.lru_cache(maxsize=64)
+def _pam_sweep_fn(cliques: tuple, n: int, dim: int, beta: float):
+    """Compiled scan-over-samples of the streaming-MAP sweep on
+    Gumbel-perturbed models — cached so repeated
+    :func:`sample_pam_streaming` calls don't re-trace (a fresh jit
+    closure per call cost ~90 ms/sample in re-trace overhead alone)."""
+    from qcmrf_tpu.ops import kernels as K
+
+    @jax.jit
+    def sweep_all(theta, keys):
+        def step(_, k):
+            g = jax.random.gumbel(k, (dim,), jnp.float32)
+            pm = MRF(theta=beta * theta + g, beta=1.0,
+                     cliques=cliques, n=n)
+            coef = K._moebius_coefficients(pm)
+            out = K._map_partials_call(
+                cliques, n, 1 << n, coef,
+                jnp.ones((1,), jnp.float32), jnp.zeros((1,), jnp.int32))
+            return 0, out
+
+        return jax.lax.scan(step, 0, keys)[1]
+
+    return sweep_all
+
+
 def sample_pam_streaming(key: jax.Array, mrf: MRF,
                          num_samples: int) -> jax.Array:
     """Low-order perturb-and-MAP samples as bit arrays (num, n) for
@@ -129,20 +154,8 @@ def sample_pam_streaming(key: jax.Array, mrf: MRF,
         return jnp.asarray(
             (ids[:, None] >> (n - 1 - np.arange(n))) & 1, jnp.int32)
 
-    @jax.jit
-    def sweep_all(theta, keys):
-        def step(_, k):
-            g = jax.random.gumbel(k, (mrf.dimension,), jnp.float32)
-            pm = MRF(theta=mrf.beta * theta + g, beta=1.0,
-                     cliques=mrf.cliques, n=n)
-            coef = K._moebius_coefficients(pm)
-            out = K._map_partials_call(
-                mrf.cliques, n, 1 << n, coef,
-                jnp.ones((1,), jnp.float32), jnp.zeros((1,), jnp.int32))
-            return 0, out
-
-        return jax.lax.scan(step, 0, keys)[1]
-
+    sweep_all = _pam_sweep_fn(mrf.cliques, n, mrf.dimension,
+                              float(mrf.beta))
     outs = np.asarray(
         sweep_all(mrf.theta, jax.random.split(key, num_samples)))
     # id reconstruction host-side in int64 (the kernel's (value, block,
