@@ -601,6 +601,49 @@ def main():
         except Exception as e:
             extra["train_error"] = f"{type(e).__name__}: {e}"
             _recover_hbm()
+
+        try:
+            # streaming moment sweep alone (the K27 step's gradient
+            # cost center): K24 complete graph through the split-dot
+            # Gram kernel (models/moments.py)
+            from qcmrf_tpu.models import moments as mmo
+
+            nK = 24
+            kM = MRF.create(
+                [[i, j] for i in range(nK) for j in range(i + 1, nK)])
+            kM = kM.with_theta(jnp.asarray(
+                -np.abs(np.random.RandomState(11).randn(kM.dimension))
+                .astype(np.float32) * 0.02))
+            lnZ_k = kernels.log_partition(kM)
+
+            def msweep(s):
+                return mmo.clique_moments_streaming(kM, lnZ_k + 0.0 * s)
+
+            extra["moments_k24_ms"] = round(
+                _t(jax.jit(msweep), reps=5) * 1e3, 2)
+
+            # perturb-and-MAP for arbitrary structure (chain + size-3
+            # cliques at n=24): per-sample exact MAP of a
+            # Gumbel-perturbed model by the streaming argmax sweep
+            from qcmrf_tpu.models import sample as msample
+
+            cl_p = ([[i, i + 1] for i in range(23)]
+                    + [[3 * i, 3 * i + 1, 3 * i + 2] for i in range(6)])
+            pr = MRF.create(cl_p)
+            mp = MRF.create(cl_p, theta=-np.abs(
+                np.random.RandomState(7).randn(pr.dimension)
+            ).astype(np.float32) * 0.5)
+            msample.sample_pam_streaming(jax.random.PRNGKey(0), mp, 16)
+            best_p = float("inf")
+            for t_i in range(3):
+                t0 = time.perf_counter()
+                msample.sample_pam_streaming(
+                    jax.random.PRNGKey(t_i), mp, 16)
+                best_p = min(best_p, time.perf_counter() - t0)
+            extra["pam_n24_ms_per_sample"] = round(best_p * 1e3 / 16, 2)
+        except Exception as e:
+            extra["pam_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
     except Exception as e:  # the headline must survive odd backends
         extra["extra_error"] = f"{type(e).__name__}: {e}"
 
