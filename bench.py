@@ -621,7 +621,11 @@ def main():
 
             extra["moments_k24_ms"] = round(
                 _t(jax.jit(msweep), reps=5) * 1e3, 2)
+        except Exception as e:
+            extra["moments_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
 
+        try:
             # perturb-and-MAP for arbitrary structure (chain + size-3
             # cliques at n=24): per-sample exact MAP of a
             # Gumbel-perturbed model by the streaming argmax sweep

@@ -103,15 +103,19 @@ def map_state(mrf: MRF) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=64)
-def _pam_sweep_fn(cliques: tuple, n: int, dim: int, beta: float):
+def _pam_sweep_fn(cliques: tuple, n: int):
     """Compiled scan-over-samples of the streaming-MAP sweep on
     Gumbel-perturbed models — cached so repeated
     :func:`sample_pam_streaming` calls don't re-trace (a fresh jit
-    closure per call cost ~90 ms/sample in re-trace overhead alone)."""
+    closure per call cost ~90 ms/sample in re-trace overhead alone).
+    ``beta`` is a traced argument, so sweeping it (annealed PAM) hits
+    the same executable."""
     from qcmrf_tpu.ops import kernels as K
 
+    dim = MRF.create([list(C) for C in cliques]).dimension
+
     @jax.jit
-    def sweep_all(theta, keys):
+    def sweep_all(theta, beta, keys):
         def step(_, k):
             g = jax.random.gumbel(k, (dim,), jnp.float32)
             pm = MRF(theta=beta * theta + g, beta=1.0,
@@ -154,18 +158,13 @@ def sample_pam_streaming(key: jax.Array, mrf: MRF,
         return jnp.asarray(
             (ids[:, None] >> (n - 1 - np.arange(n))) & 1, jnp.int32)
 
-    sweep_all = _pam_sweep_fn(mrf.cliques, n, mrf.dimension,
-                              float(mrf.beta))
-    outs = np.asarray(
-        sweep_all(mrf.theta, jax.random.split(key, num_samples)))
-    # id reconstruction host-side in int64 (the kernel's (value, block,
-    # row) carry stays f32-exact; flat ids can exceed int32 past n=31),
-    # through the pinned block-unit contract
-    block_rows = K.map_block_states(mrf.cliques, n, 1 << n) // 128
+    sweep_all = _pam_sweep_fn(mrf.cliques, n)
+    outs = np.asarray(sweep_all(
+        mrf.theta, jnp.asarray(mrf.beta, jnp.float32),
+        jax.random.split(key, num_samples)))
     bits = np.zeros((num_samples, n), np.int32)
     for i, out in enumerate(outs):
-        lane = int(np.argmax(out[0]))
-        state = ((int(out[1, lane]) * block_rows + int(out[2, lane]))
-                 * 128 + lane)
+        # shared block-unit decode (int64-safe past n=31)
+        state, _ = K.map_partials_decode(mrf.cliques, n, 1 << n, out)
         bits[i] = (state >> (n - 1 - np.arange(n))) & 1
     return jnp.asarray(bits)

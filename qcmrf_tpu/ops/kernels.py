@@ -615,11 +615,25 @@ def map_block_states(cliques: tuple, n: int, num_states: int) -> int:
     """States per block of the streaming-MAP kernel — the unit of its
     ``x0_blocks`` argument AND of the (block, row, lane) id coordinates
     it returns, so the sharded MAP's host-side id reconstruction depends
-    on it (parallel/sharded.py::_build_map_fn). Must match
+    on it (parallel/sharded.py::_map_slice_parts). Must match
     :func:`_map_partials_call`'s internal pick — today identical to
     :func:`lse_block_states`, but the contract is pinned here by name so
     a MAP-only block-size tweak cannot silently skew reconstructed ids."""
     return _pick_loop_block_rows(cliques, n, num_states // LANE) * LANE
+
+
+def map_partials_decode(cliques: tuple, n: int, num_states: int, out):
+    """(state_id, value) from one (8, LANE) MAP-partials output — THE
+    host-side inverse of the kernel's (value, block, row, lane)
+    coordinates, pinned next to :func:`map_block_states` so every
+    full-sweep decoder (single-chip MAP, streaming PAM) shares it.
+    ``state_id`` is a host int (int64-safe past n=31)."""
+    out = np.asarray(out)
+    block_rows = map_block_states(cliques, n, num_states) // LANE
+    lane = int(np.argmax(out[0]))
+    state = ((int(out[1, lane]) * block_rows + int(out[2, lane])) * LANE
+             + lane)
+    return state, float(out[0, lane])
 
 
 def _map_partials_call(cliques: tuple, n: int, num_states: int, coef,
@@ -666,14 +680,8 @@ def map_state_streaming(mrf: MRF):
         return i, float(lp[i])
     coef = _moebius_coefficients(mrf)
     beta = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32), (1,))
-    out = np.asarray(_map_partials(mrf.cliques, mrf.n, coef, beta))
-    # id reconstruction MUST use the pinned block-unit contract (same
-    # rule as the sharded reconstructor, parallel/sharded.py::_build_map_fn)
-    block_rows = map_block_states(mrf.cliques, mrf.n, 1 << mrf.n) // LANE
-    lane = int(np.argmax(out[0]))
-    state = ((int(out[1, lane]) * block_rows + int(out[2, lane])) * LANE
-             + lane)
-    return state, float(out[0, lane])
+    out = _map_partials(mrf.cliques, mrf.n, coef, beta)
+    return map_partials_decode(mrf.cliques, mrf.n, 1 << mrf.n, out)
 
 
 def _lse_partials_call(cliques: tuple, n: int, num_states: int, coef,

@@ -403,47 +403,41 @@ def sharded_lnz_and_moments(mrf: MRF, mesh: Mesh):
     return fn(mrf.theta, mrf.beta)
 
 
-@functools.lru_cache(maxsize=128)
-def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
-    """Compiled sharded streaming-MAP partials, plus the host-side id
-    reconstructor for this path (the in-graph outputs stay in (value,
-    block, row, lane) coordinates because a flat id can exceed
-    int32/f32-exact range past n=31 — same convention as the single-chip
-    kernels.map_state_streaming)."""
+def _map_slice_parts(cliques: tuple, n: int, mesh: Mesh):
+    """(per-device MAP-partials fn, host id reconstructor) shared by the
+    sharded MAP and PAM paths — the block-unit id contract is pinned
+    HERE, once, for both (a MAP-only block-size tweak that updated one
+    caller but not the other would silently decode wrong states).
+
+    The partials fn maps (mrf, device_index) to a (value, block, row,
+    lane) f32 row for that device's slice; coordinates stay split
+    because a flat id can exceed int32/f32-exact range past n=31 — same
+    convention as the single-chip kernels.map_state_streaming. ``blk``
+    is the ABSOLUTE sweep-block index on the kernel path (the kernel
+    carries x0_blocks + i) and the DEVICE coordinate on the table
+    fallback (valid for any chunk size, including shards smaller than
+    one 128-lane row)."""
     dlog = _dlog(mesh)
     axis = mesh.axis_names[0]
-    template = MRF.create([list(C) for C in cliques])
     chunk = 1 << (n - dlog)
     use_kernel = _use_slice_kernel(n, dlog)
     if use_kernel:
         block_rows = K.map_block_states(cliques, n, chunk) // 128
 
         def reconstruct(blk: int, row: int, lane: int) -> int:
-            # blk is the ABSOLUTE sweep-block index (the kernel carries
-            # x0_blocks + i)
             return (blk * block_rows + row) * 128 + lane
     else:
-        # table fallback: blk is the DEVICE coordinate and (row, lane)
-        # split the local argmax index — valid for any chunk size,
-        # including shards smaller than one 128-lane row
         def reconstruct(blk: int, row: int, lane: int) -> int:
             return blk * chunk + row * 128 + lane
 
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(axis),
-        check_vma=False,
-    )
-    def compute(theta, beta):
-        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
-        d = jax.lax.axis_index(axis)
+    def device_partials(mrf: MRF, d):
         if use_kernel:
             coef = K._moebius_coefficients(mrf)
             beta32 = jnp.reshape(jnp.asarray(mrf.beta, jnp.float32),
                                  (1,))
             x0b = (d.astype(jnp.int32)
                    * (chunk // (block_rows * 128)))[None]
-            out = K._map_partials_call(template.cliques, n, chunk, coef,
+            out = K._map_partials_call(cliques, n, chunk, coef,
                                        beta32, x0b)
             lane = jnp.argmax(out[0])
             val, blk, row = out[0, lane], out[1, lane], out[2, lane]
@@ -454,7 +448,27 @@ def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
             blk = d.astype(jnp.float32)
             row = (i // 128).astype(jnp.float32)
             lane = i % 128
-        return jnp.stack([val, blk, row, lane.astype(jnp.float32)])[None]
+        return jnp.stack([val, blk, row, lane.astype(jnp.float32)])
+
+    return device_partials, reconstruct
+
+
+@functools.lru_cache(maxsize=128)
+def _build_map_fn(cliques: tuple, n: int, mesh: Mesh):
+    """Compiled sharded streaming-MAP partials, plus the host-side id
+    reconstructor (both from :func:`_map_slice_parts`)."""
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+    device_partials, reconstruct = _map_slice_parts(cliques, n, mesh)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+    def compute(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        return device_partials(mrf, jax.lax.axis_index(axis))[None]
 
     return compute, reconstruct
 
@@ -485,21 +499,11 @@ def _build_pam_fn(cliques: tuple, n: int, mesh: Mesh):
     a freshly Gumbel-perturbed model. Keys arrive replicated, so every
     device perturbs IDENTICALLY and sweeps its own slice of the same
     perturbed model; the host combines (value, block, row, lane) rows
-    per sample. Same id-reconstruction contract as
-    :func:`_build_map_fn`."""
-    dlog = _dlog(mesh)
+    per sample. Partials body and id-reconstruction contract shared with
+    the sharded MAP through :func:`_map_slice_parts`."""
     axis = mesh.axis_names[0]
     template = MRF.create([list(C) for C in cliques])
-    chunk = 1 << (n - dlog)
-    use_kernel = _use_slice_kernel(n, dlog)
-    if use_kernel:
-        block_rows = K.map_block_states(cliques, n, chunk) // 128
-
-        def reconstruct(blk: int, row: int, lane: int) -> int:
-            return (blk * block_rows + row) * 128 + lane
-    else:
-        def reconstruct(blk: int, row: int, lane: int) -> int:
-            return blk * chunk + row * 128 + lane
+    device_partials, reconstruct = _map_slice_parts(cliques, n, mesh)
 
     @jax.jit
     @functools.partial(
@@ -514,24 +518,7 @@ def _build_pam_fn(cliques: tuple, n: int, mesh: Mesh):
                 k, (template.dimension,), jnp.float32)
             pm = MRF(theta=beta * theta + g, beta=1.0,
                      cliques=template.cliques, n=n)
-            if use_kernel:
-                coef = K._moebius_coefficients(pm)
-                x0b = (d.astype(jnp.int32)
-                       * (chunk // (block_rows * 128)))[None]
-                out = K._map_partials_call(
-                    template.cliques, n, chunk, coef,
-                    jnp.ones((1,), jnp.float32), x0b)
-                lane = jnp.argmax(out[0])
-                val, blk, row = out[0, lane], out[1, lane], out[2, lane]
-            else:
-                lp = _local_log_potentials(pm, dlog, axis)
-                i = jnp.argmax(lp)
-                val = lp[i]
-                blk = d.astype(jnp.float32)
-                row = (i // 128).astype(jnp.float32)
-                lane = i % 128
-            return 0, jnp.stack([val, blk, row,
-                                 lane.astype(jnp.float32)])
+            return 0, device_partials(pm, d)
 
         rows = jax.lax.scan(step, 0, keys)[1]  # (num, 4)
         return rows[None]
