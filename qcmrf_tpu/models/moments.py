@@ -575,3 +575,105 @@ def log_partition_streaming(mrf: MRF, mesh=None) -> jax.Array:
             mrf.cliques, mrf.n, float(mrf.beta), mesh, mrf.theta
         )
     return _lnZ_streaming(mrf.cliques, mrf.n, float(mrf.beta), mrf.theta)
+
+
+# --------------------------------------------------------------------------
+# Conditional inference for arbitrary structure: clamp evidence by exact
+# clique-table reduction, then any lnZ backend covers the free variables.
+# --------------------------------------------------------------------------
+
+
+def reduce_evidence(mrf: MRF, evidence: dict):
+    """(reduced MRF over the free variables, clamped log-potential
+    constant) — EXACT evidence clamping by clique-table slicing.
+
+    Each clique slot carrying an evidence variable is sliced to its
+    observed value (theta layout: y binary-counting, slot 0 slowest —
+    utils/bits.py), cliques fully determined by evidence fold into the
+    returned constant, and the surviving scopes relabel onto the free
+    variables in ascending order (free variable ``free[i]`` becomes
+    variable ``i``). Identity: ``ln sum_{x ~ e} e^{beta theta^T phi(x)}
+    = beta * const + lnZ(reduced)``. Host-side structure surgery only —
+    theta stays traced, so the reduction composes with jit/grad. The
+    multi-chip counterpart of elimination's clamped pass
+    (models/elimination.py::_build_lnZ_clamped) with no treewidth bound:
+    the reduced model runs through any lnZ backend, including the
+    streaming kernels and the sharded sweeps."""
+    from qcmrf_tpu.models import elimination as _ve
+
+    _ve._validate_evidence(mrf.n, evidence)
+    ev = {int(v): int(b) for v, b in evidence.items()}
+    free = [v for v in range(mrf.n) if v not in ev]
+    rank = {v: i for i, v in enumerate(free)}
+    const = jnp.zeros((), mrf.theta.dtype)
+    new_cliques, new_thetas = [], []
+    off = 0
+    for C in mrf.cliques:
+        c = len(C)
+        tab = mrf.theta[off: off + (1 << c)].reshape((2,) * c)
+        idx = tuple(ev[v] if v in ev else slice(None) for v in C)
+        tab = tab[idx]
+        scope = [rank[v] for v in C if v not in ev]
+        if scope:
+            new_cliques.append(scope)
+            new_thetas.append(tab.reshape(-1))
+        else:
+            const = const + tab.reshape(())
+        off += 1 << c
+    if not new_cliques:
+        # every variable observed (free vars always survive in >= 1
+        # clique, so empty scopes imply empty free set)
+        return None, const
+    red = MRF.create(new_cliques, theta=jnp.concatenate(new_thetas),
+                     beta=mrf.beta)
+    return red, const
+
+
+def log_partition_clamped_streaming(mrf: MRF, evidence: dict,
+                                    mesh=None) -> jax.Array:
+    """Unnormalized log-mass of the evidence for ARBITRARY structure:
+    ``ln sum_{x ~ e} e^{beta theta^T phi(x)}`` by exact clique-table
+    reduction (:func:`reduce_evidence`) + a streaming lnZ sweep of the
+    free-variable model — same contract as
+    ``models.elimination.log_partition_clamped`` without its treewidth
+    bound. With ``mesh`` the sweep shards over the devices."""
+    from qcmrf_tpu.ops import kernels
+
+    red, const = reduce_evidence(mrf, evidence)
+    if red is None:
+        return mrf.beta * const
+    if mesh is not None:
+        from qcmrf_tpu.parallel import sharded
+
+        return mrf.beta * const + sharded.sharded_log_partition(red, mesh)
+    return mrf.beta * const + kernels.log_partition(red)
+
+
+def conditional_prob_streaming(mrf: MRF, v: int, value: int,
+                               evidence: dict = None,
+                               mesh=None) -> jax.Array:
+    """Exact ``P(x_v = value | evidence)`` for arbitrary structure by
+    two clamped streaming sweeps (mirrors
+    ``models.elimination.conditional_prob``, which needs bounded
+    treewidth; this needs only sweepable width). Conflicting evidence on
+    ``v`` itself short-circuits to 0 or 1."""
+    from qcmrf_tpu.models import elimination as _ve
+    from qcmrf_tpu.ops import kernels
+
+    evidence = dict(evidence or {})
+    _ve._validate_evidence(mrf.n, {**evidence, v: value})
+    if int(v) in {int(u) for u in evidence}:
+        agree = int(evidence[[u for u in evidence
+                              if int(u) == int(v)][0]]) == int(value)
+        return jnp.asarray(1.0 if agree else 0.0, mrf.theta.dtype)
+    num = log_partition_clamped_streaming(
+        mrf, {**evidence, v: value}, mesh)
+    if evidence:
+        den = log_partition_clamped_streaming(mrf, evidence, mesh)
+    elif mesh is not None:
+        from qcmrf_tpu.parallel import sharded
+
+        den = sharded.sharded_log_partition(mrf, mesh)
+    else:
+        den = kernels.log_partition(mrf)
+    return jnp.exp(num - den)

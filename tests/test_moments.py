@@ -308,6 +308,59 @@ def test_fused_lnz_and_moments_matches_two_sweep():
         rtol=1e-5, atol=1e-6)
 
 
+def test_clamped_streaming_matches_elimination():
+    """Evidence clamping by exact clique-table reduction + streaming lnZ
+    (the arbitrary-structure counterpart of elimination's clamped pass):
+    clamped mass, conditionals (with/without extra evidence), the
+    conflict short-circuit, and the all-evidence corner must match
+    elimination / direct log-potentials."""
+    mrf = _random_mrf(
+        [[i, i + 1] for i in range(13)] + [[0, 5, 9], [2, 7, 11]],
+        seed=18, beta=1.2)
+    ev = {0: 1, 5: 0, 9: 1}
+    got = float(moments.log_partition_clamped_streaming(mrf, ev))
+    want = float(ve.log_partition_clamped(mrf, ev))
+    assert np.isclose(got, want, rtol=1e-6)
+
+    p = float(moments.conditional_prob_streaming(mrf, 3, 1, {0: 1, 7: 0}))
+    assert np.isclose(
+        p, float(ve.conditional_prob(mrf, 3, 1, {0: 1, 7: 0})), rtol=1e-5)
+    p0 = float(moments.conditional_prob_streaming(mrf, 2, 0))
+    assert np.isclose(p0, float(ve.conditional_prob(mrf, 2, 0)),
+                      rtol=1e-5)
+    assert float(moments.conditional_prob_streaming(
+        mrf, 0, 1, {0: 1})) == 1.0
+    assert float(moments.conditional_prob_streaming(
+        mrf, 0, 0, {0: 1})) == 0.0
+
+    full = {v: (v * 7 + 1) % 2 for v in range(mrf.n)}
+    xid = 0
+    for v in range(mrf.n):
+        xid = (xid << 1) | full[v]
+    mass = float(moments.log_partition_clamped_streaming(mrf, full))
+    lp = float(mrf.beta * mrf.all_log_potentials()[xid])
+    assert np.isclose(mass, lp, rtol=1e-5)
+
+
+def test_clamped_streaming_degenerate_clique():
+    """Evidence on a variable that repeats within a clique slot-slices
+    every occurrence consistently (oracle: masked brute-force mass)."""
+    mrf = _random_mrf([[0, 0, 1], [1, 2], [2, 3]], seed=19)
+    got = float(moments.log_partition_clamped_streaming(mrf, {0: 1}))
+    lps = np.asarray(mrf.beta * mrf.all_log_potentials(), np.float64)
+    mask = ((np.arange(1 << mrf.n) >> (mrf.n - 1)) & 1) == 1
+    want = float(np.log(np.exp(lps[mask]).sum()))
+    assert np.isclose(got, want, rtol=1e-5)
+
+
+def test_clamped_streaming_validates_evidence():
+    mrf = _random_mrf([[0, 1], [1, 2]], seed=20)
+    with pytest.raises(ValueError, match="out of range"):
+        moments.log_partition_clamped_streaming(mrf, {7: 1})
+    with pytest.raises(ValueError, match="binary"):
+        moments.conditional_prob_streaming(mrf, 1, 2)
+
+
 def test_gram_kernel_grad_through_custom_vjp():
     """The kernel-backed moment sweep is the custom-VJP gradient of the
     streaming lnZ: value and grad must match autodiff through the 2^n

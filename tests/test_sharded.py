@@ -528,6 +528,23 @@ def test_sharded_fused_lnz_and_moments(mesh8):
         rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_clamped_conditional(mesh8):
+    """Evidence-clamped mass and conditionals with the free-variable
+    sweep sharded over the mesh must match the single-chip values."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import moments
+
+    mrf = rand_mrf([[i, i + 1] for i in range(12)] + [[0, 5, 9]],
+                   seed=28, scale=0.5)
+    ev = {0: 1, 5: 0}
+    got = float(moments.log_partition_clamped_streaming(mrf, ev, mesh8))
+    assert np.isclose(got, float(ve.log_partition_clamped(mrf, ev)),
+                      rtol=1e-6)
+    p = float(moments.conditional_prob_streaming(mrf, 3, 1, ev, mesh8))
+    assert np.isclose(p, float(ve.conditional_prob(mrf, 3, 1, ev)),
+                      rtol=1e-5)
+
+
 def test_sharded_sample_pam(mesh8):
     """Sharded perturb-and-MAP: keys replicate so every device perturbs
     identically and sweeps its slice; samples must be bit-identical to
