@@ -18,6 +18,7 @@ C++ Aer backend, which cannot run this workload at all — see BASELINE.md).
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -161,7 +162,14 @@ def _gate_level_subprocess(nn: int, timeout: float = 900.0) -> dict:
             out_f.seek(0)
             err_f.seek(0)
             if p.returncode != 0:
-                tail = err_f.read().strip().splitlines()[-1:]
+                # The last stderr line is often JAX's traceback-filter
+                # banner; pick the last line that names an actual
+                # exception so the artifact is diagnosable.
+                lines = err_f.read().strip().splitlines()
+                errs = [ln for ln in lines
+                        if re.search(r"\w+(Error|Exception|EXHAUSTED)",
+                                     ln)]
+                tail = (errs or lines)[-1:]
                 return {f"qcmrf{w}_error": f"child rc={p.returncode}: "
                                            f"{' '.join(tail)[:200]}"}
             return json.loads(out_f.read().strip().splitlines()[-1])
@@ -203,6 +211,12 @@ def main():
     # so the chip is empty (any other client's live GBs starve it) and a
     # w=30 OOM cannot poison the parent's allocator for later sections.
     w30 = _gate_level_subprocess(15)
+    if "qcmrf30_error" in w30 and "left running" not in str(
+            w30["qcmrf30_error"]):
+        # Transient child failures happen (remote-compile hiccups, a
+        # stray client holding HBM); one retry is cheap — the compile
+        # cache is warm — and a real failure reproduces.
+        w30 = _gate_level_subprocess(15)
 
     import jax
     import jax.numpy as jnp

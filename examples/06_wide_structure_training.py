@@ -79,6 +79,17 @@ d = float(kl(np.asarray(truth.gibbs_probs(), np.float64),
 print(f"KL(truth || fitted) = {d:.5f}")
 assert d < (0.15 if SMOKE else 0.05)
 
+# conditional queries on the fitted model use the same streaming
+# machinery: evidence is clamped by exact clique-table reduction, so
+# P(x_v | evidence) never needs elimination's bounded treewidth
+from qcmrf_tpu.models import moments
+
+ev = {0: 1, 3: 0}
+p = float(moments.conditional_prob_streaming(fitted, 1, 1, ev))
+p_true = float(elimination.conditional_prob(truth, 1, 1, ev))
+print(f"P(x1=1 | x0=1, x3=0): fitted {p:.4f}, truth {p_true:.4f}")
+assert abs(p - p_true) < (0.15 if SMOKE else 0.05)
+
 # the same step shards over a device mesh (per-device block-range
 # sweeps, one psum per gradient): pass mesh=... here, or --mesh AxB to
 # `python -m qcmrf_tpu train --graph k27.json --data bits.json`
