@@ -168,3 +168,98 @@ def sample_pam_streaming(key: jax.Array, mrf: MRF,
         state, _ = K.map_partials_decode(mrf.cliques, n, 1 << n, out)
         bits[i] = (state >> (n - 1 - np.arange(n))) & 1
     return jnp.asarray(bits)
+
+
+# --------------------------------------------------------------------------
+# Evidence-conditioned MAP and sampling: clamp by exact clique-table
+# reduction (models.moments.reduce_evidence), run any backend on the
+# free-variable model, re-embed the evidence bits.
+# --------------------------------------------------------------------------
+
+
+def map_state_clamped(mrf: MRF, evidence: dict, mesh=None):
+    """Exact evidence-constrained MAP (MPE): the argmax over all states
+    consistent with ``evidence``, for ARBITRARY clique structure.
+
+    Evidence clamps by exact clique-table reduction
+    (:func:`qcmrf_tpu.models.moments.reduce_evidence`); the free-variable
+    model runs the streaming argmax sweep
+    (:func:`qcmrf_tpu.ops.kernels.map_state_streaming`, or the
+    mesh-sharded sweep when ``mesh`` is given); the winner's bits
+    re-embed around the evidence. Returns ``(state_id, beta_logpot)`` as
+    host values (int64-safe past n=31), exactly like the unconditioned
+    streaming MAP. The MPE analog of the reference oracle's
+    ``px.infer(b, task="map")`` with observed variables
+    (/root/reference/eval.py:95-113 exercises only the unconditioned
+    form; this completes the standard query set)."""
+    from qcmrf_tpu.models import moments
+    from qcmrf_tpu.ops import kernels as K
+
+    red, const = moments.reduce_evidence(mrf, evidence)
+    ev = {int(v): int(b) for v, b in evidence.items()}
+    n = mrf.n
+    base = 0
+    for v, b in ev.items():
+        base |= b << (n - 1 - v)
+    offset = float(mrf.beta) * float(const)
+    if red is None:
+        return base, offset
+    if mesh is not None:
+        from qcmrf_tpu.parallel import sharded
+
+        rid, val = sharded.sharded_map_state(red, mesh)
+    else:
+        rid, val = K.map_state_streaming(red)
+    free = [v for v in range(n) if v not in ev]
+    nf = len(free)
+    for j, v in enumerate(free):
+        base |= ((int(rid) >> (nf - 1 - j)) & 1) << (n - 1 - v)
+    return base, float(val) + offset
+
+
+def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
+                       evidence: dict, method: str = "exact",
+                       mesh=None) -> jax.Array:
+    """Samples of ``p(x_free | evidence)`` as bit arrays ``(num, n)``
+    with the evidence columns clamped (column v = variable v).
+
+    The evidence reduces the model exactly
+    (:func:`qcmrf_tpu.models.moments.reduce_evidence`), the reduced
+    model runs the chosen sampler, and the free bits land back in their
+    original columns:
+
+    - ``"exact"`` — IID table-exact conditional draws (table widths);
+    - ``"gibbs"`` — systematic-scan Gibbs chain (table-free energies);
+    - ``"pam"``   — streaming perturb-and-MAP (arbitrary width; with
+      ``mesh`` each per-sample argmax sweep shards over the devices).
+    """
+    import numpy as np
+
+    from qcmrf_tpu.models import moments
+
+    red, _ = moments.reduce_evidence(mrf, evidence)
+    ev = {int(v): int(b) for v, b in evidence.items()}
+    n = mrf.n
+    bits = np.zeros((num_samples, n), np.int32)
+    for v, b in ev.items():
+        bits[:, v] = b
+    if red is None:
+        return jnp.asarray(bits)
+    free = np.asarray([v for v in range(n) if v not in ev])
+    if method == "pam":
+        if mesh is not None:
+            from qcmrf_tpu.parallel import sharded
+
+            rbits = np.asarray(
+                sharded.sharded_sample_pam(key, red, mesh, num_samples))
+        else:
+            rbits = np.asarray(sample_pam_streaming(key, red, num_samples))
+    elif method in ("exact", "gibbs"):
+        fn = sample_exact if method == "exact" else sample_gibbs
+        ids = np.asarray(fn(key, red, num_samples), np.int64)
+        rbits = (ids[:, None] >> (red.n - 1 - np.arange(red.n))) & 1
+    else:
+        raise ValueError(f"unknown method {method!r}; expected "
+                         "'exact', 'gibbs', or 'pam'")
+    bits[:, free] = rbits
+    return jnp.asarray(bits)

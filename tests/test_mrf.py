@@ -179,6 +179,85 @@ def test_sample_pam_streaming_matches_table():
         np.asarray(msample.sample_pam_streaming(key, small, 12)), ref_s)
 
 
+def test_map_state_clamped_matches_masked_argmax():
+    """Evidence-constrained MAP (clique-table reduction + streaming
+    argmax + bit re-embed) vs brute-force masked argmax, plus the
+    all-evidence and empty-evidence corners."""
+    rng = np.random.RandomState(5)
+    cl = [[i, i + 1] for i in range(7)] + [[0, 3, 6]]
+    probe = MRF.create(cl)
+    mrf = MRF.create(cl, theta=-np.abs(rng.randn(probe.dimension)),
+                     beta=1.3)
+    n = mrf.n
+    lps = np.asarray(mrf.beta * mrf.all_log_potentials(), np.float64)
+    ids = np.arange(1 << n)
+
+    ev = {1: 1, 4: 0}
+    mask = (((ids >> (n - 2)) & 1) == 1) & (((ids >> (n - 5)) & 1) == 0)
+    want = int(np.flatnonzero(mask)[np.argmax(lps[mask])])
+    got_id, got_val = msample.map_state_clamped(mrf, ev)
+    assert got_id == want
+    assert np.isclose(got_val, lps[want], rtol=1e-5)
+
+    full = {v: v % 2 for v in range(n)}
+    xid = 0
+    for v in range(n):
+        xid = (xid << 1) | full[v]
+    fid, fval = msample.map_state_clamped(mrf, full)
+    assert fid == xid and np.isclose(fval, lps[xid], rtol=1e-5)
+
+    eid, _ = msample.map_state_clamped(mrf, {})
+    assert eid == int(np.argmax(lps))
+
+
+def test_sample_conditional_matches_true_conditional():
+    """Conditional samples clamp the evidence columns exactly, and the
+    free-variable empirical marginals match elimination's conditionals
+    for every method; PAM re-embeds the reduced model's streaming
+    samples bit-identically under the same key."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import moments
+
+    rng = np.random.RandomState(5)
+    cl = [[i, i + 1] for i in range(7)] + [[0, 3, 6]]
+    probe = MRF.create(cl)
+    mrf = MRF.create(cl, theta=-np.abs(rng.randn(probe.dimension)),
+                     beta=1.3)
+    n, ev = mrf.n, {1: 1, 4: 0}
+
+    bits = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(0), mrf, 20_000, ev))
+    assert (bits[:, 1] == 1).all() and (bits[:, 4] == 0).all()
+    for v in (0, 3, 7):
+        true = float(ve.conditional_prob(mrf, v, 1, ev))
+        assert abs(bits[:, v].mean() - true) < 0.015
+
+    bits_g = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(1), mrf, 4_000, ev, method="gibbs"))
+    assert (bits_g[:, 1] == 1).all() and (bits_g[:, 4] == 0).all()
+    true0 = float(ve.conditional_prob(mrf, 0, 1, ev))
+    assert abs(bits_g[:, 0].mean() - true0) < 0.05
+
+    red, _ = moments.reduce_evidence(mrf, ev)
+    rb = np.asarray(msample.sample_pam_streaming(
+        jax.random.PRNGKey(2), red, 8))
+    pb = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(2), mrf, 8, ev, method="pam"))
+    free = [v for v in range(n) if v not in ev]
+    np.testing.assert_array_equal(pb[:, free], rb)
+    assert (pb[:, 1] == 1).all() and (pb[:, 4] == 0).all()
+
+    all_ev = {v: v % 2 for v in range(n)}
+    ab = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(3), mrf, 3, all_ev))
+    np.testing.assert_array_equal(
+        ab, np.tile([v % 2 for v in range(n)], (3, 1)))
+
+    with pytest.raises(ValueError, match="unknown method"):
+        msample.sample_conditional(
+            jax.random.PRNGKey(0), mrf, 4, ev, method="bogus")
+
+
 def test_nll_gradient_is_moment_difference():
     rng = np.random.RandomState(9)
     mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))

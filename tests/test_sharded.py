@@ -545,6 +545,27 @@ def test_sharded_clamped_conditional(mesh8):
                       rtol=1e-5)
 
 
+def test_sharded_clamped_map_and_sampling(mesh8):
+    """Evidence-constrained MAP and conditional PAM with the reduced
+    model's sweep sharded over the mesh are bit-identical to the
+    single-chip paths."""
+    from qcmrf_tpu.models import sample as msample
+
+    mrf = rand_mrf([[i, i + 1] for i in range(12)] + [[0, 5, 9]],
+                   seed=28, scale=0.5)
+    ev = {0: 1, 5: 0}
+    sid, sval = msample.map_state_clamped(mrf, ev)
+    gid, gval = msample.map_state_clamped(mrf, ev, mesh8)
+    assert gid == sid and np.isclose(gval, sval, rtol=1e-5)
+
+    key = jax.random.PRNGKey(11)
+    single = np.asarray(msample.sample_conditional(
+        key, mrf, 4, ev, method="pam"))
+    got = np.asarray(msample.sample_conditional(
+        key, mrf, 4, ev, method="pam", mesh=mesh8))
+    np.testing.assert_array_equal(got, single)
+
+
 def test_sharded_sample_pam(mesh8):
     """Sharded perturb-and-MAP: keys replicate so every device perturbs
     identically and sweeps its slice; samples must be bit-identical to
