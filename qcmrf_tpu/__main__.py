@@ -6,6 +6,8 @@ Commands:
     whisker   success-rate figures (reference whisker.py)
     bench     kernel/sampling micro-benchmarks
     train     fit an MRF to samples by exact MLE
+    infer     serve queries on a model: lnz / prob / map / marginals /
+              sample, with evidence clamping and --mesh sharding
 """
 
 from __future__ import annotations
@@ -37,6 +39,10 @@ def main(argv=None) -> int:
         m(rest)
     elif cmd == "train":
         from qcmrf_tpu.runners.train_cli import main as m
+
+        m(rest)
+    elif cmd == "infer":
+        from qcmrf_tpu.runners.infer_cli import main as m
 
         m(rest)
     else:

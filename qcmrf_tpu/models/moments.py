@@ -677,3 +677,77 @@ def conditional_prob_streaming(mrf: MRF, v: int, value: int,
     else:
         den = kernels.log_partition(mrf)
     return jnp.exp(num - den)
+
+
+def clique_marginals_clamped_streaming(mrf: MRF, evidence: dict = None,
+                                       mesh=None) -> jax.Array:
+    """Conditional clique marginals ``E_p[phi | evidence]`` in the
+    ORIGINAL theta layout, for arbitrary structure.
+
+    The evidence reduces the model exactly (:func:`reduce_evidence`),
+    the free-variable model's moments come from the streaming sweep
+    (:func:`clique_moments_streaming`; with ``mesh`` the sharded
+    sweep), and each clique's reduced table re-embeds at its
+    evidence-consistent rows — evidence-inconsistent rows are exactly
+    zero, and fully-determined cliques are one-hot at the observed row.
+    With no evidence this is exactly the unconditioned moment sweep.
+    The conditional form of the reference oracle's marginal task
+    (models/elimination.py::clique_marginals covers bounded treewidth;
+    this has no width bound)."""
+    import numpy as np
+
+    from qcmrf_tpu.models import elimination as _ve
+
+    evidence = dict(evidence or {})
+    if not evidence:
+        if mesh is not None:
+            from qcmrf_tpu.parallel import sharded
+
+            return sharded.sharded_clique_moments(mrf, mesh)
+        return clique_moments_streaming(mrf)
+    _ve._validate_evidence(mrf.n, evidence)
+    red, _ = reduce_evidence(mrf, evidence)
+    if red is None:
+        rmom = np.zeros((0,), np.float64)
+    elif mesh is not None:
+        from qcmrf_tpu.parallel import sharded
+
+        rmom = np.asarray(
+            sharded.sharded_clique_moments(red, mesh), np.float64)
+    else:
+        rmom = np.asarray(clique_moments_streaming(red), np.float64)
+    return embed_clamped_marginals(mrf, evidence, rmom)
+
+
+def embed_clamped_marginals(mrf: MRF, evidence: dict,
+                            red_moments) -> jax.Array:
+    """Re-embed the evidence-reduced model's moment vector (theta
+    layout of ``reduce_evidence``'s model, any backend) into the
+    ORIGINAL theta layout: reduced rows land at their
+    evidence-consistent indices, other rows are zero, fully-determined
+    cliques are one-hot at the observed row."""
+    import numpy as np
+
+    ev = {int(v): int(b) for v, b in evidence.items()}
+    rmom = np.asarray(red_moments, np.float64)
+    out = np.zeros((mrf.dimension,), np.float64)
+    off = roff = 0
+    for C in mrf.cliques:
+        c = len(C)
+        surv = [s for s, v in enumerate(C) if int(v) not in ev]
+        base = 0
+        for s, v in enumerate(C):
+            if int(v) in ev:
+                base |= ev[int(v)] << (c - 1 - s)
+        if not surv:
+            out[off + base] = 1.0
+        else:
+            m = len(surv)
+            for j in range(1 << m):
+                idx = base
+                for t, s in enumerate(surv):
+                    idx |= ((j >> (m - 1 - t)) & 1) << (c - 1 - s)
+                out[off + idx] = rmom[roff + j]
+            roff += 1 << m
+        off += 1 << c
+    return jnp.asarray(out, mrf.theta.dtype)

@@ -1,0 +1,235 @@
+"""``python -m qcmrf_tpu infer`` — serve inference queries on a model.
+
+The serving counterpart of the reference oracle's query API
+(``px.infer(b, task=...)`` / ``px.sample(b)``, exercised at
+/root/reference/eval.py:92-113): load a model — typically the train
+CLI's ``fitted_model.json`` — and answer the standard query set:
+
+    lnz        log-partition (or evidence log-mass with ``--evidence``)
+    prob       P(x_v = b | evidence)         (``--of v=b``)
+    map        evidence-constrained MAP/MPE state
+    marginals  clique-marginal tables E[phi | evidence] (theta layout)
+    sample     conditional samples as bit rows (exact / gibbs / pam)
+
+Backends route by structure, mirroring the training stack: bounded
+induced width goes through differentiable variable elimination (any n);
+wide structures go through the streaming sweeps (structural cap
+n <= 47), which also shard over a device mesh with ``--mesh AxB``.
+Output is one JSON object on stdout (plus ``--out`` to write a file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _parse_assignments(spec: str) -> dict:
+    """'0=1,5=0' -> {0: 1, 5: 0} (also accepts ';' separators)."""
+    out = {}
+    for part in spec.replace(";", ",").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        v, _, b = part.partition("=")
+        try:
+            out[int(v)] = int(b)
+        except ValueError:
+            raise SystemExit(
+                f"bad assignment {part!r}: expected var=bit, e.g. 0=1")
+    return out
+
+
+def _bits_to_id(bits) -> int:
+    """Variable-0-as-MSB state id from a bit row (arbitrary precision)."""
+    x = 0
+    for b in bits:
+        x = (x << 1) | int(b)
+    return x
+
+
+def _logpot_from_bits(mrf, bits) -> float:
+    """beta * theta^T phi(bits) on the host — id-width-free (n > 63 ok)."""
+    total, off = 0.0, 0
+    theta = np.asarray(mrf.theta, np.float64)
+    for C in mrf.cliques:
+        c = len(C)
+        y = 0
+        for s, v in enumerate(C):
+            y |= int(bits[int(v)]) << (c - 1 - s)
+        total += theta[off + y]
+        off += 1 << c
+    return float(mrf.beta) * total
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    parser = argparse.ArgumentParser(prog="qcmrf_tpu infer")
+    parser.add_argument("--model", type=str, default=None,
+                        help="model JSON with {'cliques', 'theta'} — the "
+                             "train CLI's fitted_model.json loads directly")
+    parser.add_argument("--graph", type=str, default=None,
+                        help="alternative to --model: 'chain:N' | "
+                             "'grid:RxC' | clique-list JSON (theta "
+                             "defaults to zeros unless --theta is given)")
+    parser.add_argument("--theta", type=str, default=None,
+                        help="JSON list of theta values (with --graph)")
+    parser.add_argument("--beta", type=float, default=None,
+                        help="inverse temperature (default: model file's "
+                             "value or 1.0)")
+    parser.add_argument("--query", type=str, default="lnz",
+                        choices=["lnz", "prob", "map", "marginals",
+                                 "sample"])
+    parser.add_argument("--evidence", type=str, default="",
+                        help="clamped variables, e.g. '0=1,5=0'")
+    parser.add_argument("--of", type=str, default=None,
+                        help="the queried assignment for --query prob, "
+                             "e.g. '3=1'")
+    parser.add_argument("--num-samples", type=int, default=100)
+    parser.add_argument("--method", type=str, default="exact",
+                        choices=["exact", "gibbs", "pam"],
+                        help="sampler for --query sample")
+    parser.add_argument("--sample-seed", type=int, default=0)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="AxB: shard the streaming sweeps over a "
+                             "device mesh")
+    parser.add_argument("--out", type=str, default=None,
+                        help="also write the result JSON to this path")
+    parser.add_argument("--platform", type=str, default="default",
+                        choices=["cpu", "tpu", "default"])
+    from qcmrf_tpu.utils.config import parse_with_config
+    args = parse_with_config(parser, argv)
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+
+    from qcmrf_tpu.models import elimination, moments
+    from qcmrf_tpu.models import sample as msample
+    from qcmrf_tpu.models import train as mtrain
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.runners.train_cli import _make_mesh, parse_graph
+
+    # ---- model -----------------------------------------------------------
+    beta = args.beta
+    if args.model:
+        with open(args.model) as f:
+            spec = json.load(f)
+        cliques = spec["cliques"]
+        theta = np.asarray(spec["theta"], np.float64)
+        if beta is None:
+            beta = float(spec.get("beta", 1.0))
+    elif args.graph:
+        cliques = parse_graph(args.graph)
+        probe = MRF.create(cliques)
+        theta = (np.asarray(json.load(open(args.theta)), np.float64)
+                 if args.theta else np.zeros((probe.dimension,)))
+        if beta is None:
+            beta = 1.0
+    else:
+        raise SystemExit("pass --model fitted_model.json or --graph ...")
+    mrf = MRF.create(cliques, theta=theta, beta=beta)
+
+    evidence = _parse_assignments(args.evidence)
+    elimination._validate_evidence(mrf.n, evidence)
+    mesh = _make_mesh(args.mesh) if args.mesh else None
+
+    # ---- backend routing (mirrors models.train._nll) ----------------------
+    width = elimination.induced_width(mrf.cliques, mrf.n)
+    wide = width > mtrain._ELIM_WIDTH_CAP
+    if (wide or mesh is not None) and mrf.n > moments._MAX_N:
+        raise SystemExit(
+            f"n={mrf.n} needs the streaming sweep (induced width {width} "
+            f"> elimination cap {mtrain._ELIM_WIDTH_CAP}, or --mesh), "
+            f"which caps at n={moments._MAX_N}")
+    use_streaming = wide or mesh is not None
+
+    result = {"query": args.query, "n": mrf.n,
+              "num_cliques": mrf.num_cliques, "beta": float(beta),
+              "evidence": {str(v): b for v, b in evidence.items()},
+              "backend": "streaming" if use_streaming else "elimination"}
+
+    if args.query == "lnz":
+        if use_streaming:
+            val = moments.log_partition_clamped_streaming(
+                mrf, evidence, mesh)
+        else:
+            val = elimination.log_partition_clamped(mrf, evidence)
+        result["lnz" if not evidence else "log_mass"] = float(val)
+    elif args.query == "prob":
+        if not args.of:
+            raise SystemExit("--query prob needs --of v=b")
+        of = _parse_assignments(args.of)
+        if len(of) != 1:
+            raise SystemExit("--of takes exactly one assignment")
+        (v, b), = of.items()
+        fn = (moments.conditional_prob_streaming if use_streaming
+              else elimination.conditional_prob)
+        p = (fn(mrf, v, b, evidence, mesh) if use_streaming
+             else fn(mrf, v, b, evidence))
+        result["of"] = f"{v}={b}"
+        result["prob"] = float(p)
+    elif args.query == "map":
+        if use_streaming:
+            sid, val = msample.map_state_clamped(mrf, evidence, mesh)
+            bits = [(sid >> (mrf.n - 1 - v)) & 1 for v in range(mrf.n)]
+        else:
+            red, _ = moments.reduce_evidence(mrf, evidence)
+            bits = [0] * mrf.n
+            for v, b in evidence.items():
+                bits[int(v)] = int(b)
+            if red is not None:
+                free = [v for v in range(mrf.n) if v not in
+                        {int(u) for u in evidence}]
+                rbits = np.asarray(elimination.map_state_bits(red))
+                for j, v in enumerate(free):
+                    bits[v] = int(rbits[j])
+            sid, val = _bits_to_id(bits), _logpot_from_bits(mrf, bits)
+        result["state_id"] = sid
+        result["state_bits"] = bits
+        result["beta_logpot"] = float(val)
+    elif args.query == "marginals":
+        if use_streaming:
+            mu = moments.clique_marginals_clamped_streaming(
+                mrf, evidence, mesh)
+        elif evidence:
+            # elimination route: clamp exactly, then bounded-treewidth
+            # marginals on the reduced model, re-embedded the same way
+            red, _ = moments.reduce_evidence(mrf, evidence)
+            rmom = (elimination.clique_marginals(red)
+                    if red is not None else np.zeros((0,)))
+            mu = moments.embed_clamped_marginals(mrf, evidence, rmom)
+        else:
+            mu = elimination.clique_marginals(mrf)
+        result["marginals"] = np.asarray(mu, np.float64).tolist()
+    elif args.query == "sample":
+        key = jax.random.PRNGKey(args.sample_seed)
+        method = args.method
+        if use_streaming and method == "exact":
+            method = "pam"  # no table past elimination widths
+            result["note"] = ("method 'exact' needs the state table; "
+                              "wide structure routed to 'pam'")
+        bits = msample.sample_conditional(
+            key, mrf, args.num_samples, evidence, method=method,
+            mesh=mesh if method == "pam" else None)
+        result["method"] = method
+        result["samples"] = np.asarray(bits, np.int32).tolist()
+
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,128 @@
+"""Infer CLI: query routing, evidence clamping, mesh sharding, model IO.
+
+The serving surface over the inference stack (the reference oracle's
+``px.infer``/``px.sample`` query set, /root/reference/eval.py:92-113).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from qcmrf_tpu.models import elimination as ve
+from qcmrf_tpu.models import moments
+from qcmrf_tpu.models import sample as msample
+from qcmrf_tpu.models import train as mtrain
+from qcmrf_tpu.models.mrf import MRF
+from qcmrf_tpu.runners import infer_cli
+
+CLIQUES = [[i, i + 1] for i in range(5)] + [[0, 3]]
+
+
+@pytest.fixture()
+def model_file(tmp_path):
+    rng = np.random.RandomState(3)
+    probe = MRF.create(CLIQUES)
+    theta = -np.abs(rng.randn(probe.dimension))
+    path = tmp_path / "fitted_model.json"
+    with open(path, "w") as f:
+        json.dump({"cliques": CLIQUES, "theta": theta.tolist()}, f)
+    return str(path), MRF.create(CLIQUES, theta=theta)
+
+
+def _run(model_path, *extra):
+    return infer_cli.main(["--model", model_path, *extra])
+
+
+def test_infer_queries_match_library(model_file, capsys):
+    path, mrf = model_file
+    r = _run(path, "--query", "lnz")
+    assert r["backend"] == "elimination"
+    assert np.isclose(r["lnz"], float(ve.log_partition(mrf)), rtol=1e-6)
+    # stdout carries the same JSON line (the serving contract)
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]
+                      )["lnz"] == r["lnz"]
+
+    r = _run(path, "--query", "lnz", "--evidence", "0=1,3=0")
+    assert np.isclose(r["log_mass"],
+                      float(ve.log_partition_clamped(mrf, {0: 1, 3: 0})),
+                      rtol=1e-6)
+
+    r = _run(path, "--query", "prob", "--of", "2=1", "--evidence", "0=1")
+    assert np.isclose(r["prob"],
+                      float(ve.conditional_prob(mrf, 2, 1, {0: 1})),
+                      rtol=1e-5)
+
+    r = _run(path, "--query", "map", "--evidence", "1=1")
+    sid, val = msample.map_state_clamped(mrf, {1: 1})
+    assert r["state_id"] == sid
+    assert np.isclose(r["beta_logpot"], val, rtol=1e-5)
+    assert r["state_bits"][1] == 1
+
+    r = _run(path, "--query", "marginals", "--evidence", "0=1")
+    want = np.asarray(moments.clique_marginals_clamped_streaming(
+        mrf, {0: 1}), np.float64)
+    np.testing.assert_allclose(np.asarray(r["marginals"]), want, atol=2e-5)
+
+    r = _run(path, "--query", "sample", "--num-samples", "6",
+             "--evidence", "4=0", "--method", "exact")
+    s = np.asarray(r["samples"])
+    assert s.shape == (6, mrf.n) and (s[:, 4] == 0).all()
+    want = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(0), mrf, 6, {4: 0}))
+    np.testing.assert_array_equal(s, want)
+
+
+def test_infer_wide_routes_to_streaming(model_file, monkeypatch):
+    """Induced width past the elimination cap routes every query through
+    the streaming backend, with identical answers."""
+    path, mrf = model_file
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)
+    r = _run(path, "--query", "lnz")
+    assert r["backend"] == "streaming"
+    assert np.isclose(r["lnz"], float(ve.log_partition(mrf)), rtol=1e-6)
+
+    r = _run(path, "--query", "sample", "--num-samples", "3",
+             "--evidence", "0=1")
+    assert r["method"] == "pam" and "note" in r
+    assert (np.asarray(r["samples"])[:, 0] == 1).all()
+
+
+def test_infer_mesh_matches_single_device(model_file):
+    path, mrf = model_file
+    r = _run(path, "--query", "lnz", "--mesh", "4x2")
+    assert r["backend"] == "streaming"
+    assert np.isclose(r["lnz"], float(ve.log_partition(mrf)), rtol=1e-5)
+    r = _run(path, "--query", "marginals", "--mesh", "4x2",
+             "--evidence", "2=1")
+    want = np.asarray(moments.clique_marginals_clamped_streaming(
+        mrf, {2: 1}), np.float64)
+    np.testing.assert_allclose(np.asarray(r["marginals"]), want, atol=2e-5)
+
+
+def test_infer_graph_theta_and_out(tmp_path):
+    rng = np.random.RandomState(1)
+    theta_path = tmp_path / "theta.json"
+    with open(theta_path, "w") as f:
+        json.dump((-np.abs(rng.randn(16))).tolist(), f)
+    out_path = tmp_path / "result.json"
+    r = infer_cli.main(["--graph", "chain:5", "--theta", str(theta_path),
+                        "--query", "map", "--out", str(out_path)])
+    with open(out_path) as f:
+        assert json.load(f)["state_id"] == r["state_id"]
+
+
+def test_infer_argument_errors(model_file):
+    path, _ = model_file
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--query", "lnz"])  # no model/graph
+    with pytest.raises(SystemExit):
+        _run(path, "--query", "prob")  # missing --of
+    with pytest.raises(SystemExit):
+        _run(path, "--query", "prob", "--of", "1=1,2=0")
+    with pytest.raises(SystemExit):
+        _run(path, "--query", "lnz", "--evidence", "0:1")
+    with pytest.raises(ValueError, match="out of range"):
+        _run(path, "--query", "lnz", "--evidence", "99=1")

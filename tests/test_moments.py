@@ -353,6 +353,52 @@ def test_clamped_streaming_degenerate_clique():
     assert np.isclose(got, want, rtol=1e-5)
 
 
+def test_clamped_marginals_match_brute_force():
+    """Conditional clique marginals E[phi | e] (evidence reduction +
+    streaming moments + re-embed) vs the masked-table conditional;
+    no-evidence must equal elimination's marginals; all-evidence must be
+    the one-hot phi of the observed state."""
+    mrf = _random_mrf([[i, i + 1] for i in range(7)] + [[0, 3, 6]],
+                      seed=21, beta=1.2)
+    n = mrf.n
+    ids = np.arange(1 << n)
+    p = np.asarray(mrf.gibbs_probs(), np.float64)
+
+    def phi_rows(xids):
+        out = np.zeros((len(xids), mrf.dimension))
+        off = 0
+        for C in mrf.cliques:
+            y = np.zeros(len(xids), np.int64)
+            for v in C:
+                y = (y << 1) | ((xids >> (n - 1 - v)) & 1)
+            out[np.arange(len(xids)), off + y] = 1.0
+            off += 1 << len(C)
+        return out
+
+    ev = {1: 1, 4: 0}
+    mask = ((((ids >> (n - 2)) & 1) == 1)
+            & (((ids >> (n - 5)) & 1) == 0))
+    pc = p * mask
+    pc /= pc.sum()
+    want = pc @ phi_rows(ids)
+    got = np.asarray(
+        moments.clique_marginals_clamped_streaming(mrf, ev), np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    got0 = np.asarray(
+        moments.clique_marginals_clamped_streaming(mrf), np.float64)
+    np.testing.assert_allclose(
+        got0, np.asarray(ve.clique_marginals(mrf), np.float64), atol=2e-6)
+
+    full = {v: (v * 3 + 1) % 2 for v in range(n)}
+    xid = 0
+    for v in range(n):
+        xid = (xid << 1) | full[v]
+    np.testing.assert_allclose(
+        np.asarray(moments.clique_marginals_clamped_streaming(mrf, full)),
+        phi_rows(np.array([xid]))[0], atol=1e-7)
+
+
 def test_clamped_streaming_validates_evidence():
     mrf = _random_mrf([[0, 1], [1, 2]], seed=20)
     with pytest.raises(ValueError, match="out of range"):
