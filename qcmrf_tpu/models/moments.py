@@ -620,12 +620,23 @@ def reduce_evidence(mrf: MRF, evidence: dict):
         else:
             const = const + tab.reshape(())
         off += 1 << c
+    nf = len(free)
     if not new_cliques:
-        # every variable observed (free vars always survive in >= 1
-        # clique, so empty scopes imply empty free set)
-        return None, const
+        if nf == 0:
+            # every variable observed
+            return None, const
+        # every clique folded into the constant, but free variables
+        # remain: they are isolated (in no clique) in the original
+        # model, so the free-variable distribution is uniform — keep it
+        # representable with one zero-potential clique
+        new_cliques = [[0]]
+        new_thetas = [jnp.zeros((2,), mrf.theta.dtype)]
+    # n=nf explicitly: a free variable that was isolated in the
+    # original model appears in no reduced clique, and inferring n from
+    # the cliques would silently drop it (losing ln2 per variable in
+    # lnZ and misaligning sample/MAP bit re-embedding)
     red = MRF.create(new_cliques, theta=jnp.concatenate(new_thetas),
-                     beta=mrf.beta)
+                     beta=mrf.beta, n=nf)
     return red, const
 
 
@@ -636,17 +647,14 @@ def log_partition_clamped_streaming(mrf: MRF, evidence: dict,
     reduction (:func:`reduce_evidence`) + a streaming lnZ sweep of the
     free-variable model — same contract as
     ``models.elimination.log_partition_clamped`` without its treewidth
-    bound. With ``mesh`` the sweep shards over the devices."""
-    from qcmrf_tpu.ops import kernels
-
+    bound. With ``mesh`` the sweep shards over the devices.
+    Differentiable w.r.t. ``mrf.theta`` (the reduced tables are slices
+    of theta and the lnZ sweep carries the moment-sweep VJP of
+    :func:`log_partition_streaming`)."""
     red, const = reduce_evidence(mrf, evidence)
     if red is None:
         return mrf.beta * const
-    if mesh is not None:
-        from qcmrf_tpu.parallel import sharded
-
-        return mrf.beta * const + sharded.sharded_log_partition(red, mesh)
-    return mrf.beta * const + kernels.log_partition(red)
+    return mrf.beta * const + log_partition_streaming(red, mesh)
 
 
 def conditional_prob_streaming(mrf: MRF, v: int, value: int,
@@ -658,7 +666,6 @@ def conditional_prob_streaming(mrf: MRF, v: int, value: int,
     treewidth; this needs only sweepable width). Conflicting evidence on
     ``v`` itself short-circuits to 0 or 1."""
     from qcmrf_tpu.models import elimination as _ve
-    from qcmrf_tpu.ops import kernels
 
     evidence = dict(evidence or {})
     _ve._validate_evidence(mrf.n, {**evidence, v: value})
@@ -670,12 +677,8 @@ def conditional_prob_streaming(mrf: MRF, v: int, value: int,
         mrf, {**evidence, v: value}, mesh)
     if evidence:
         den = log_partition_clamped_streaming(mrf, evidence, mesh)
-    elif mesh is not None:
-        from qcmrf_tpu.parallel import sharded
-
-        den = sharded.sharded_log_partition(mrf, mesh)
     else:
-        den = kernels.log_partition(mrf)
+        den = log_partition_streaming(mrf, mesh)
     return jnp.exp(num - den)
 
 

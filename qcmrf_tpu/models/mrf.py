@@ -74,9 +74,21 @@ class MRF:
         cliques: Sequence[Sequence[int]],
         theta=None,
         beta: float = 1.0,
+        n: int = None,
     ) -> "MRF":
+        """``n`` defaults to ``max clique variable + 1``; pass it
+        explicitly when trailing variables appear in no clique (isolated
+        variables contribute a free factor of 2 to Z and a uniform bit
+        to samples — e.g. evidence-reduced models from
+        ``models.moments.reduce_evidence``)."""
         cliques = _normalize_cliques(cliques)
-        n = max(v for C in cliques for v in C) + 1
+        n_min = max(v for C in cliques for v in C) + 1
+        if n is None:
+            n = n_min
+        elif n < n_min:
+            raise ValueError(
+                f"n={n} is smaller than the largest clique variable "
+                f"requires (>= {n_min})")
         dim = sum(1 << len(C) for C in cliques)
         if theta is None:
             theta = jnp.zeros((dim,), dtype=jnp.float32)

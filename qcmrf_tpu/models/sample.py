@@ -16,6 +16,12 @@ import jax.numpy as jnp
 
 from qcmrf_tpu.models.mrf import MRF
 
+#: sample_conditional's PAM routing: prefer max-product elimination up
+#: to this induced width (vmapped per-sample message tables stay at
+#: num_samples * 2^width floats); wider structures use the streaming
+#: argmax sweep
+_PAM_ELIM_WIDTH = 16
+
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_exact(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
@@ -230,8 +236,10 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
 
     - ``"exact"`` — IID table-exact conditional draws (table widths);
     - ``"gibbs"`` — systematic-scan Gibbs chain (table-free energies);
-    - ``"pam"``   — streaming perturb-and-MAP (arbitrary width; with
-      ``mesh`` each per-sample argmax sweep shards over the devices).
+    - ``"pam"``   — perturb-and-MAP: the streaming argmax sweep for
+      arbitrary width (with ``mesh`` each per-sample sweep shards over
+      the devices); past the sweep's n cap the reduced model routes to
+      max-product elimination (bounded treewidth, any n).
     """
     import numpy as np
 
@@ -247,13 +255,42 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
         return jnp.asarray(bits)
     free = np.asarray([v for v in range(n) if v not in ev])
     if method == "pam":
+        # a variable in no reduced clique has no clique weight, so
+        # low-order Gumbel perturbation never breaks its tie and every
+        # PAM argmax leaves its bit at 0; its true conditional is an
+        # independent uniform bit, drawn exactly below (the exact/gibbs
+        # paths handle this through their full energy tables)
+        covered = {j for C in red.cliques for j in C}
+        iso = [j for j in range(red.n) if j not in covered]
+        if iso:
+            key, kiso = jax.random.split(key)
         if mesh is not None:
             from qcmrf_tpu.parallel import sharded
 
             rbits = np.asarray(
                 sharded.sharded_sample_pam(key, red, mesh, num_samples))
         else:
-            rbits = np.asarray(sample_pam_streaming(key, red, num_samples))
+            from qcmrf_tpu.models import elimination
+            from qcmrf_tpu.ops import kernels as K
+
+            # prefer max-product elimination when the reduced width is
+            # bounded: per sample it costs n * 2^(width+1) vs the
+            # streaming sweep's 2^n, and past the sweep's n cap it is
+            # the only backend (the width cap bounds the vmapped
+            # per-sample message tables, num_samples * 2^width floats);
+            # tiny models keep the enumerated-table path
+            width = elimination.induced_width(red.cliques, red.n)
+            if red.n >= K._MIN_KERNEL_N and (
+                    red.n > moments._MAX_N or width <= _PAM_ELIM_WIDTH):
+                rbits = np.asarray(elimination.sample_pam(
+                    key, red, num_samples))
+            else:
+                rbits = np.asarray(
+                    sample_pam_streaming(key, red, num_samples))
+        if iso:
+            rbits = np.array(rbits)
+            rbits[:, iso] = np.asarray(jax.random.bernoulli(
+                kiso, 0.5, (num_samples, len(iso))), np.int32)
     elif method in ("exact", "gibbs"):
         fn = sample_exact if method == "exact" else sample_gibbs
         ids = np.asarray(fn(key, red, num_samples), np.int64)

@@ -28,8 +28,17 @@ from typing import List, Optional
 import numpy as np
 
 
+#: largest reduced model the table-exact sampler will materialize
+#: (2**n float32 logits; matches the replication cap in parallel/sharded)
+_EXACT_SAMPLE_MAX_N = 26
+#: the Gibbs chain uses int32 state ids (models/sample.py::sample_gibbs)
+_GIBBS_MAX_N = 30
+
+
 def _parse_assignments(spec: str) -> dict:
-    """'0=1,5=0' -> {0: 1, 5: 0} (also accepts ';' separators)."""
+    """'0=1,5=0' -> {0: 1, 5: 0} (also accepts ';' separators).
+    A variable assigned twice is rejected — silently keeping the last
+    value would accept conflicting evidence like '0=1,0=0'."""
     out = {}
     for part in spec.replace(";", ",").split(","):
         part = part.strip()
@@ -37,10 +46,14 @@ def _parse_assignments(spec: str) -> dict:
             continue
         v, _, b = part.partition("=")
         try:
-            out[int(v)] = int(b)
+            v, b = int(v), int(b)
         except ValueError:
             raise SystemExit(
                 f"bad assignment {part!r}: expected var=bit, e.g. 0=1")
+        if v in out and out[v] != b:
+            raise SystemExit(
+                f"variable {v} assigned twice ({out[v]} and {b})")
+        out[v] = b
     return out
 
 
@@ -213,14 +226,31 @@ def main(argv: Optional[List[str]] = None) -> dict:
     elif args.query == "sample":
         key = jax.random.PRNGKey(args.sample_seed)
         method = args.method
-        if use_streaming and method == "exact":
-            method = "pam"  # no table past elimination widths
-            result["note"] = ("method 'exact' needs the state table; "
-                              "wide structure routed to 'pam'")
+        notes = []
+        # feasibility is set by the REDUCED model the sampler sees
+        # (free-variable count), not by induced width or --mesh: the
+        # exact sampler's bound is its 2^nf logits table, the Gibbs
+        # chain's is its int32 state ids
+        nf = mrf.n - len(evidence)
+        if method == "exact" and nf > _EXACT_SAMPLE_MAX_N:
+            method = "pam"
+            notes.append(
+                f"method 'exact' materializes the 2^{nf} free-state "
+                f"table (cap n={_EXACT_SAMPLE_MAX_N}); routed to 'pam'")
+        elif method == "gibbs" and nf > _GIBBS_MAX_N:
+            method = "pam"
+            notes.append(
+                f"method 'gibbs' uses int32 state ids (cap "
+                f"n={_GIBBS_MAX_N}); routed to 'pam'")
+        if mesh is not None and method != "pam":
+            notes.append(f"--mesh shards the 'pam' sampler only; "
+                         f"'{method}' runs single-device")
         bits = msample.sample_conditional(
             key, mrf, args.num_samples, evidence, method=method,
             mesh=mesh if method == "pam" else None)
         result["method"] = method
+        if notes:
+            result["note"] = "; ".join(notes)
         result["samples"] = np.asarray(bits, np.int32).tolist()
 
     line = json.dumps(result)

@@ -84,9 +84,11 @@ def test_infer_wide_routes_to_streaming(model_file, monkeypatch):
     assert r["backend"] == "streaming"
     assert np.isclose(r["lnz"], float(ve.log_partition(mrf)), rtol=1e-6)
 
+    # sampler feasibility is keyed by free-variable count, not width:
+    # the table-exact sampler still serves a wide-but-small model
     r = _run(path, "--query", "sample", "--num-samples", "3",
              "--evidence", "0=1")
-    assert r["method"] == "pam" and "note" in r
+    assert r["method"] == "exact" and "note" not in r
     assert (np.asarray(r["samples"])[:, 0] == 1).all()
 
 
@@ -112,6 +114,43 @@ def test_infer_graph_theta_and_out(tmp_path):
                         "--query", "map", "--out", str(out_path)])
     with open(out_path) as f:
         assert json.load(f)["state_id"] == r["state_id"]
+
+
+def test_infer_duplicate_assignment_rejected(model_file):
+    path, mrf = model_file
+    with pytest.raises(SystemExit, match="assigned twice"):
+        _run(path, "--query", "lnz", "--evidence", "0=1,0=0")
+    # an identical repeat is not a conflict
+    r = _run(path, "--query", "lnz", "--evidence", "0=1;0=1")
+    assert np.isclose(r["log_mass"],
+                      float(ve.log_partition_clamped(mrf, {0: 1})),
+                      rtol=1e-6)
+
+
+def test_infer_sample_routes_by_feasibility():
+    """The exact sampler's bound is its 2^n table, not induced width:
+    a narrow-width n=40 chain must reroute the default 'exact' to
+    'pam' (which elimination serves at any n for bounded width) instead
+    of materializing the table (round-4 review: the width-keyed reroute
+    crashed exactly these models)."""
+    r = infer_cli.main(["--graph", "chain:40", "--query", "sample",
+                        "--num-samples", "3"])
+    assert r["method"] == "pam"
+    assert "routed to 'pam'" in r["note"]
+    assert len(r["samples"]) == 3 and len(r["samples"][0]) == 40
+
+
+def test_infer_mesh_does_not_change_sampler(model_file):
+    """--mesh must not silently swap the requested exact sampler for
+    the approximate PAM one; it shards PAM only, and says so."""
+    path, _ = model_file
+    r = _run(path, "--query", "sample", "--method", "exact",
+             "--mesh", "2x1", "--num-samples", "4", "--sample-seed", "7")
+    assert r["method"] == "exact"
+    assert "single-device" in r["note"]
+    single = _run(path, "--query", "sample", "--method", "exact",
+                  "--num-samples", "4", "--sample-seed", "7")
+    assert r["samples"] == single["samples"]
 
 
 def test_infer_argument_errors(model_file):

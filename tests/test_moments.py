@@ -399,6 +399,46 @@ def test_clamped_marginals_match_brute_force():
         phi_rows(np.array([xid]))[0], atol=1e-7)
 
 
+def test_clamped_streaming_isolated_free_variables():
+    """Free variables left in no reduced clique — isolated in the
+    original model, or exposed when every clique containing other
+    variables folds into the constant — keep their ln2 mass and their
+    place in the reduced model's n (round-4 review: MRF.create's
+    inferred n silently dropped them, losing ln2 per variable and
+    misaligning sample/MAP re-embedding)."""
+    # variable 1 is in no clique (n=3 by the explicit-n constructor)
+    mrf = MRF.create([[0], [2]],
+                     theta=jnp.asarray([0.0, -0.5, -0.2, 0.0]), beta=1.3,
+                     n=3)
+    assert mrf.n == 3
+
+    red, _ = moments.reduce_evidence(mrf, {2: 1})
+    assert red.n == 2  # free vars {0, 1}, var 1 isolated
+
+    got = float(moments.log_partition_clamped_streaming(mrf, {2: 1}))
+    lps = np.asarray(mrf.beta * mrf.all_log_potentials(), np.float64)
+    mask = (np.arange(8) & 1) == 1
+    want = float(np.log(np.exp(lps[mask]).sum()))
+    assert np.isclose(got, want, rtol=1e-6)
+    # elimination's clamped pass agrees (empty buckets contribute 2x)
+    assert np.isclose(got, float(ve.log_partition_clamped(mrf, {2: 1})),
+                      rtol=1e-6)
+
+    # every clique determined, one isolated variable free:
+    # mass = beta * const + ln 2 (the dummy zero-clique reduced model)
+    got2 = float(moments.log_partition_clamped_streaming(
+        mrf, {0: 1, 2: 0}))
+    want2 = float(1.3 * (-0.5 + -0.2) + np.log(2.0))
+    assert np.isclose(got2, want2, rtol=1e-6)
+
+    # conditional marginals under the same evidence stay exact
+    mu = np.asarray(moments.clique_marginals_clamped_streaming(
+        mrf, {2: 1}))
+    z = np.exp(1.3 * np.asarray([0.0, -0.5]))
+    np.testing.assert_allclose(mu[:2], z / z.sum(), atol=1e-6)
+    np.testing.assert_allclose(mu[2:], [0.0, 1.0], atol=1e-7)
+
+
 def test_clamped_streaming_validates_evidence():
     mrf = _random_mrf([[0, 1], [1, 2]], seed=20)
     with pytest.raises(ValueError, match="out of range"):

@@ -258,6 +258,40 @@ def test_sample_conditional_matches_true_conditional():
             jax.random.PRNGKey(0), mrf, 4, ev, method="bogus")
 
 
+def test_conditional_queries_isolated_variable():
+    """An isolated variable (in no clique) is an independent uniform
+    bit: conditional samples must draw it ~Bernoulli(1/2) for every
+    method (PAM's low-order perturbation never breaks its tie — the
+    uniform overlay handles it exactly), and the clamped MAP must place
+    the reduced bits on the right variables around it."""
+    from qcmrf_tpu.models import moments
+
+    mrf = MRF.create([[0], [2]],
+                     theta=np.asarray([-0.4, 0.0, -0.2, 0.0]), beta=1.0,
+                     n=3)
+    for method in ("exact", "gibbs", "pam"):
+        bits = np.asarray(msample.sample_conditional(
+            jax.random.PRNGKey(3), mrf, 600, {2: 1}, method=method))
+        assert (bits[:, 2] == 1).all()
+        assert 0.4 < bits[:, 1].mean() < 0.6, method
+        # the old inferred-n bug broadcast one reduced column into
+        # both free columns, making them identical
+        assert (bits[:, 0] != bits[:, 1]).any(), method
+
+    # every clique determined, the isolated variable still uniform
+    pb = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(4), mrf, 600, {0: 0, 2: 1}, method="pam"))
+    assert (pb[:, 0] == 0).all() and (pb[:, 2] == 1).all()
+    assert 0.4 < pb[:, 1].mean() < 0.6
+
+    # clamped MAP: theta prefers x0=1, x2=1; evidence pins x2=0; the
+    # isolated variable ties (either bit is a valid argmax)
+    sid, val = msample.map_state_clamped(mrf, {2: 0})
+    b = [(sid >> (2 - v)) & 1 for v in range(3)]
+    assert b[0] == 1 and b[2] == 0
+    assert np.isclose(val, 0.0 + -0.2, atol=1e-6)
+
+
 def test_nll_gradient_is_moment_difference():
     rng = np.random.RandomState(9)
     mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
