@@ -439,6 +439,57 @@ def test_clamped_streaming_isolated_free_variables():
     np.testing.assert_allclose(mu[2:], [0.0, 1.0], atol=1e-7)
 
 
+def test_clamped_streaming_fuzz_vs_elimination():
+    """Randomized cross-backend consistency: random structures (some
+    with isolated variables via explicit n), random evidence sets —
+    clamped log-mass and conditional marginals from the streaming
+    reduction must match variable elimination / the masked brute-force
+    table everywhere."""
+    rng = np.random.RandomState(77)
+    for trial in range(8):
+        n = int(rng.randint(3, 9))
+        ncl = int(rng.randint(1, 5))
+        cliques = []
+        for _ in range(ncl):
+            c = int(rng.randint(1, min(4, n) + 1))
+            cliques.append(sorted(rng.choice(n, size=c, replace=False)
+                                  .tolist()))
+        probe = MRF.create(cliques, n=n)
+        mrf = MRF.create(
+            cliques, theta=-np.abs(rng.randn(probe.dimension)),
+            beta=float(rng.uniform(0.5, 1.5)), n=n)
+        nev = int(rng.randint(1, n))
+        ev_vars = rng.choice(n, size=nev, replace=False)
+        ev = {int(v): int(rng.randint(0, 2)) for v in ev_vars}
+
+        lps = np.asarray(mrf.beta * mrf.all_log_potentials(), np.float64)
+        ids = np.arange(1 << n)
+        mask = np.ones(1 << n, bool)
+        for v, b in ev.items():
+            mask &= ((ids >> (n - 1 - v)) & 1) == b
+        want = float(np.log(np.exp(lps[mask]).sum()))
+        got = float(moments.log_partition_clamped_streaming(mrf, ev))
+        assert np.isclose(got, want, rtol=1e-5), (trial, cliques, ev)
+        assert np.isclose(got, float(ve.log_partition_clamped(mrf, ev)),
+                          rtol=1e-5), (trial, cliques, ev)
+
+        # conditional marginals vs the masked table
+        p = np.exp(lps - want) * mask
+        mu_want = []
+        for C in mrf.cliques:
+            c = len(C)
+            for y in range(1 << c):
+                sel = np.ones(1 << n, bool)
+                for s, v in enumerate(C):
+                    sel &= (((ids >> (n - 1 - v)) & 1)
+                            == ((y >> (c - 1 - s)) & 1))
+                mu_want.append(p[sel].sum())
+        mu = np.asarray(moments.clique_marginals_clamped_streaming(
+            mrf, ev), np.float64)
+        np.testing.assert_allclose(mu, mu_want, atol=1e-5,
+                                   err_msg=f"{trial} {cliques} {ev}")
+
+
 def test_clamped_streaming_validates_evidence():
     mrf = _random_mrf([[0, 1], [1, 2]], seed=20)
     with pytest.raises(ValueError, match="out of range"):
