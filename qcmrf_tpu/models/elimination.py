@@ -34,24 +34,31 @@ import numpy as np
 from qcmrf_tpu.models.mrf import MRF
 
 
-def min_degree_order(cliques: Sequence[Sequence[int]], n: int) -> List[int]:
-    """Min-degree elimination order (same heuristic as native/kiopto.cpp)."""
+def min_degree_order(cliques: Sequence[Sequence[int]], n: int,
+                     defer: Sequence[int] = ()) -> List[int]:
+    """Min-degree elimination order (same heuristic as native/kiopto.cpp).
+
+    Variables in ``defer`` are eliminated only after every other
+    variable (min-degree within each phase) — the constrained order a
+    marginal-MAP pass needs, where the max variables must come last."""
     adj = [set() for _ in range(n)]
     for C in cliques:
         for a in C:
             for b in C:
                 if a != b:
                     adj[a].add(b)
+    deferred = set(int(v) for v in defer)
     done = [False] * n
     order = []
     for _ in range(n):
-        best, best_deg = -1, None
+        best, best_key = -1, None
         for v in range(n):
             if done[v]:
                 continue
             deg = sum(1 for u in adj[v] if not done[u])
-            if best_deg is None or deg < best_deg:
-                best, best_deg = v, deg
+            key = (v in deferred, deg)
+            if best_key is None or key < best_key:
+                best, best_key = v, key
         order.append(best)
         done[best] = True
         nb = [u for u in adj[best] if not done[u]]
@@ -75,13 +82,15 @@ class _Step:
         self.axis = axis
 
 
-def _plan(cliques: Sequence[Tuple[int, ...]], n: int):
+def _plan(cliques: Sequence[Tuple[int, ...]], n: int,
+          order: Sequence[int] = None):
     """Static elimination schedule. Returns (steps, isolated_count).
 
     Pool entries are (scope tuple, source): source is either ('clique', k)
     for an input factor or ('step', i) for an intermediate.
     """
-    order = min_degree_order(cliques, n)
+    if order is None:
+        order = min_degree_order(cliques, n)
     pool = [(tuple(sorted(C)), ("clique", k)) for k, C in enumerate(cliques)]
     steps: List[_Step] = []
     isolated = 0
@@ -340,6 +349,111 @@ def map_state_bits(mrf: MRF) -> jax.Array:
     elimination with traceback."""
     fn = _build_map(mrf.cliques, mrf.n)
     return fn(mrf.theta, mrf.beta)
+
+
+# --------------------------------------------------------------------------
+# Marginal MAP: max over a chosen variable set of the summed mass over the
+# rest — the remaining member of the standard query family (PR / MAR / MPE
+# covered above). Exact by CONSTRAINED elimination: sum variables must be
+# eliminated before max variables (the operators do not commute), so the
+# min-degree order defers the max set to a second, max-product phase with
+# traceback. Complexity is governed by the CONSTRAINED induced width,
+# which can exceed the unconstrained one. The reference oracle exposes
+# only partition/MAP/sampling (/root/reference/eval.py:88-113); this
+# completes the query set the serving CLI offers.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _build_mmap(cliques: Tuple[Tuple[int, ...], ...], n: int,
+                max_set: Tuple[int, ...],
+                evidence: Tuple[Tuple[int, int], ...]):
+    ev = dict(evidence)
+    mx = set(max_set)
+    red_scopes = [
+        tuple(v for v in sorted(C) if v not in ev) for C in cliques
+    ]
+    free = [v for v in range(n) if v not in ev]
+    order = [v for v in min_degree_order(
+        [s for s in red_scopes if s], n, defer=max_set) if v in set(free)]
+    steps, _ = _plan([s for s in red_scopes if s], n, order=order)
+
+    def mmap(theta, beta):
+        mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
+        reduced_factors = []
+        const = jnp.zeros((), theta.dtype)
+        for k, C in enumerate(cliques):
+            f = _clique_log_factor(mrf, k)
+            scope = tuple(sorted(C))
+            for ax in range(len(scope) - 1, -1, -1):
+                if scope[ax] in ev:
+                    f = jnp.take(f, ev[scope[ax]], axis=ax)
+            if red_scopes[k]:
+                reduced_factors.append(f)
+            else:
+                const = const + f
+        # free variables in no factor: sum variables contribute ln 2,
+        # max variables contribute 0 (their argmax ties at bit 0)
+        covered = set().union(*[set(s) for s in red_scopes if s]) \
+            if any(red_scopes) else set()
+        const = const + sum(
+            1 for v in free if v not in covered and v not in mx
+        ) * jnp.log(2.0)
+
+        step_results: List[jax.Array] = []
+        argmaxes: List[jax.Array] = []  # None placeholders for sum steps
+        nonempty = [s for s in red_scopes if s]
+        for st in steps:
+            acc = _combine_step(st, nonempty, reduced_factors,
+                                step_results, steps, theta.dtype)
+            if st.scope[st.axis] in mx:
+                step_results.append(jnp.max(acc, axis=st.axis))
+                argmaxes.append(
+                    jnp.argmax(acc, axis=st.axis).astype(jnp.int32))
+            else:
+                step_results.append(
+                    jax.scipy.special.logsumexp(acc, axis=st.axis))
+                argmaxes.append(None)
+            if not st.out_scope:
+                const = const + step_results[-1]
+
+        # traceback over the max-phase steps only; by the constrained
+        # order every factor live in that phase has scope inside the max
+        # set, so each argmax table's out_scope bits are already decided
+        bits = jnp.zeros((n,), jnp.int32)
+        for st, am in zip(reversed(steps), reversed(argmaxes)):
+            if am is not None:
+                v = st.scope[st.axis]
+                bits = bits.at[v].set(_gather_bits(am, st.out_scope, bits))
+        return bits, const
+
+    return jax.jit(mmap)
+
+
+def marginal_map(mrf: MRF, max_vars, evidence: dict = None):
+    """Exact marginal MAP: ``(assignment, value)`` with
+    ``value = max_{x_M} ln sum_{x_S} e^{beta theta^T phi(x)}`` under the
+    evidence, ``M = max_vars`` (minus observed ones, which are pinned),
+    ``S`` the remaining free variables. ``assignment`` maps every
+    requested max variable to its optimizing bit (host ints); with
+    ``M`` = all free variables this is the clamped MAP, with ``M`` empty
+    it is ``log_partition_clamped``. Cost: one constrained elimination
+    (sum-out phase, then max phase with traceback) — the constrained
+    induced width can exceed the unconstrained one."""
+    evidence = dict(evidence or {})
+    _validate_evidence(mrf.n, evidence)
+    ev = {int(v): int(b) for v, b in evidence.items()}
+    req = sorted({int(v) for v in max_vars})
+    for v in req:
+        if not 0 <= v < mrf.n:
+            raise ValueError(f"max variable {v} out of range [0, {mrf.n})")
+    M = tuple(v for v in req if v not in ev)
+    evt = tuple(sorted(ev.items()))
+    fn = _build_mmap(mrf.cliques, mrf.n, M, evt)
+    bits, val = fn(mrf.theta, mrf.beta)
+    bits = np.asarray(bits)
+    assignment = {v: (ev[v] if v in ev else int(bits[v])) for v in req}
+    return assignment, float(val)
 
 
 def sample_pam(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:

@@ -722,6 +722,45 @@ def clique_marginals_clamped_streaming(mrf: MRF, evidence: dict = None,
     return embed_clamped_marginals(mrf, evidence, rmom)
 
 
+def marginal_map_streaming(mrf: MRF, max_vars, evidence: dict = None,
+                           mesh=None):
+    """Marginal MAP for ARBITRARY structure: ``(assignment, value)``
+    with ``value = max_{x_M} ln sum_{x_S} e^{beta theta^T phi(x)}``
+    under the evidence — by enumerating the ``2^|M|`` max-variable
+    assignments, each scored with one clamped streaming lnZ sweep
+    (:func:`log_partition_clamped_streaming`; with ``mesh`` each sweep
+    shards over the devices). The arbitrary-width counterpart of
+    ``models.elimination.marginal_map`` (whose constrained elimination
+    needs bounded constrained width); cost is ``2^|M|`` sweeps, so it
+    suits few max variables over wide models — the regime elimination
+    cannot touch at all. Observed max variables are pinned by the
+    evidence."""
+    from qcmrf_tpu.models import elimination as _ve
+
+    evidence = dict(evidence or {})
+    _ve._validate_evidence(mrf.n, evidence)
+    ev = {int(v): int(b) for v, b in evidence.items()}
+    req = sorted({int(v) for v in max_vars})
+    for v in req:
+        if not 0 <= v < mrf.n:
+            raise ValueError(f"max variable {v} out of range [0, {mrf.n})")
+    M = [v for v in req if v not in ev]
+    m = len(M)
+    best_val, best_bits = -float("inf"), 0
+    for a in range(1 << m):
+        bits = {M[j]: (a >> (m - 1 - j)) & 1 for j in range(m)}
+        val = float(log_partition_clamped_streaming(
+            mrf, {**ev, **bits}, mesh))
+        if val > best_val:
+            best_val, best_bits = val, a
+    assignment = {
+        v: (ev[v] if v in ev
+            else (best_bits >> (m - 1 - M.index(v))) & 1)
+        for v in req
+    }
+    return assignment, best_val
+
+
 def embed_clamped_marginals(mrf: MRF, evidence: dict,
                             red_moments) -> jax.Array:
     """Re-embed the evidence-reduced model's moment vector (theta

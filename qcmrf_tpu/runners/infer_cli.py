@@ -8,6 +8,7 @@ CLI's ``fitted_model.json`` — and answer the standard query set:
     lnz        log-partition (or evidence log-mass with ``--evidence``)
     prob       P(x_v = b | evidence)         (``--of v=b``)
     map        evidence-constrained MAP/MPE state
+    mmap       marginal MAP over ``--max-vars`` (sum out the rest)
     marginals  clique-marginal tables E[phi | evidence] (theta layout)
     sample     conditional samples as bit rows (exact / gibbs / pam)
 
@@ -94,13 +95,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         help="inverse temperature (default: model file's "
                              "value or 1.0)")
     parser.add_argument("--query", type=str, default="lnz",
-                        choices=["lnz", "prob", "map", "marginals",
-                                 "sample"])
+                        choices=["lnz", "prob", "map", "mmap",
+                                 "marginals", "sample"])
     parser.add_argument("--evidence", type=str, default="",
                         help="clamped variables, e.g. '0=1,5=0'")
     parser.add_argument("--of", type=str, default=None,
                         help="the queried assignment for --query prob, "
                              "e.g. '3=1'")
+    parser.add_argument("--max-vars", type=str, default=None,
+                        help="comma-separated variables maximized over "
+                             "for --query mmap (the rest are summed out)")
     parser.add_argument("--num-samples", type=int, default=100)
     parser.add_argument("--method", type=str, default="exact",
                         choices=["exact", "gibbs", "pam"],
@@ -209,6 +213,33 @@ def main(argv: Optional[List[str]] = None) -> dict:
         result["state_id"] = sid
         result["state_bits"] = bits
         result["beta_logpot"] = float(val)
+    elif args.query == "mmap":
+        if not args.max_vars:
+            raise SystemExit("--query mmap needs --max-vars v1,v2,...")
+        try:
+            req = sorted({int(v) for v in
+                          args.max_vars.replace(";", ",").split(",")
+                          if v.strip()})
+        except ValueError:
+            raise SystemExit(
+                f"bad --max-vars {args.max_vars!r}: expected "
+                "comma-separated variable indices")
+        if use_streaming:
+            # 2^|M| clamped sweeps: enumeration over the max set is the
+            # only exact route past elimination widths — cap the blowup
+            nfree_mx = len([v for v in req if v not in evidence])
+            if nfree_mx > 16:
+                raise SystemExit(
+                    f"streaming mmap enumerates 2^{nfree_mx} clamped "
+                    "sweeps; cap is 2^16 — reduce --max-vars or use an "
+                    "elimination-width structure")
+            assignment, val = moments.marginal_map_streaming(
+                mrf, req, evidence, mesh)
+        else:
+            assignment, val = elimination.marginal_map(
+                mrf, req, evidence)
+        result["max_vars"] = {str(v): b for v, b in assignment.items()}
+        result["log_mass"] = float(val)
     elif args.query == "marginals":
         if use_streaming:
             mu = moments.clique_marginals_clamped_streaming(

@@ -116,6 +116,28 @@ def test_infer_graph_theta_and_out(tmp_path):
         assert json.load(f)["state_id"] == r["state_id"]
 
 
+def test_infer_mmap_query(model_file, monkeypatch):
+    path, mrf = model_file
+    r = _run(path, "--query", "mmap", "--max-vars", "1,4",
+             "--evidence", "0=1")
+    want_a, want_v = ve.marginal_map(mrf, [1, 4], {0: 1})
+    assert r["max_vars"] == {str(v): b for v, b in want_a.items()}
+    assert np.isclose(r["log_mass"], want_v, rtol=1e-6)
+
+    # wide route: streaming enumeration over the max set agrees
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)
+    rs = _run(path, "--query", "mmap", "--max-vars", "1,4",
+              "--evidence", "0=1")
+    assert rs["backend"] == "streaming"
+    assert rs["max_vars"] == r["max_vars"]
+    assert np.isclose(rs["log_mass"], r["log_mass"], rtol=1e-5)
+
+    with pytest.raises(SystemExit, match="--max-vars"):
+        _run(path, "--query", "mmap")
+    with pytest.raises(SystemExit, match="bad --max-vars"):
+        _run(path, "--query", "mmap", "--max-vars", "a,b")
+
+
 def test_infer_duplicate_assignment_rejected(model_file):
     path, mrf = model_file
     with pytest.raises(SystemExit, match="assigned twice"):
