@@ -102,6 +102,11 @@ def test_infer_mesh_matches_single_device(model_file):
     want = np.asarray(moments.clique_marginals_clamped_streaming(
         mrf, {2: 1}), np.float64)
     np.testing.assert_allclose(np.asarray(r["marginals"]), want, atol=2e-5)
+    r = _run(path, "--query", "mmap", "--max-vars", "0,4", "--mesh", "4x2",
+             "--evidence", "2=1")
+    want_a, want_v = ve.marginal_map(mrf, [0, 4], {2: 1})
+    assert r["max_vars"] == {str(v): b for v, b in want_a.items()}
+    assert np.isclose(r["log_mass"], want_v, rtol=1e-5)
 
 
 def test_infer_graph_theta_and_out(tmp_path):
