@@ -197,6 +197,31 @@ def log_partition(mrf: MRF) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+def _reduce_factors(mrf: MRF, ev: dict, red_scopes):
+    """Slice the evidence axes out of every clique log-factor
+    (descending so axis ids stay valid). Returns ``(reduced_factors,
+    const, covered)``: the factors with nonempty reduced scope, the
+    folded sum of fully-observed cliques, and the set of free variables
+    appearing in some reduced factor — shared by the clamped-lnZ and
+    marginal-MAP builders so the evidence-slicing logic cannot
+    diverge between them (round-4 review finding)."""
+    reduced_factors = []
+    const = jnp.zeros((), mrf.theta.dtype)
+    for k, C in enumerate(mrf.cliques):
+        f = _clique_log_factor(mrf, k)
+        scope = tuple(sorted(C))
+        for ax in range(len(scope) - 1, -1, -1):
+            if scope[ax] in ev:
+                f = jnp.take(f, ev[scope[ax]], axis=ax)
+        if red_scopes[k]:
+            reduced_factors.append(f)
+        else:
+            const = const + f  # fully observed clique: scalar
+    covered = set().union(*[set(s) for s in red_scopes if s]) \
+        if any(red_scopes) else set()
+    return reduced_factors, const, covered
+
+
 @functools.lru_cache(maxsize=256)
 def _build_lnZ_clamped(cliques: Tuple[Tuple[int, ...], ...], n: int,
                        evidence: Tuple[Tuple[int, int], ...]):
@@ -212,23 +237,9 @@ def _build_lnZ_clamped(cliques: Tuple[Tuple[int, ...], ...], n: int,
 
     def lnZ(theta, beta):
         mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
-        reduced_factors = []
-        const = jnp.zeros((), theta.dtype)
-        for k, C in enumerate(cliques):
-            f = _clique_log_factor(mrf, k)
-            scope = tuple(sorted(C))
-            # slice evidence axes (descending so axis ids stay valid)
-            for ax in range(len(scope) - 1, -1, -1):
-                v = scope[ax]
-                if v in ev:
-                    f = jnp.take(f, ev[v], axis=ax)
-            if red_scopes[k]:
-                reduced_factors.append(f)
-            else:
-                const = const + f  # fully observed clique: scalar
+        reduced_factors, const, covered = _reduce_factors(
+            mrf, ev, red_scopes)
         # unobserved variables appearing in no reduced factor: factor 2
-        covered = set().union(*[set(s) for s in red_scopes if s]) \
-            if any(red_scopes) else set()
         free = set(range(n)) - set(ev) - covered
         const = const + len(free) * jnp.log(2.0)
 
@@ -364,12 +375,12 @@ def map_state_bits(mrf: MRF) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=256)
-def _build_mmap(cliques: Tuple[Tuple[int, ...], ...], n: int,
-                max_set: Tuple[int, ...],
-                evidence: Tuple[Tuple[int, int], ...]):
+def _mmap_plan(cliques: Tuple[Tuple[int, ...], ...], n: int,
+               max_set: Tuple[int, ...],
+               evidence: Tuple[Tuple[int, int], ...]):
+    """Constrained (sum-first, max-last) elimination plan over the
+    evidence-reduced scopes. Returns ``(red_scopes, free, steps)``."""
     ev = dict(evidence)
-    mx = set(max_set)
     red_scopes = [
         tuple(v for v in sorted(C) if v not in ev) for C in cliques
     ]
@@ -377,25 +388,45 @@ def _build_mmap(cliques: Tuple[Tuple[int, ...], ...], n: int,
     order = [v for v in min_degree_order(
         [s for s in red_scopes if s], n, defer=max_set) if v in set(free)]
     steps, _ = _plan([s for s in red_scopes if s], n, order=order)
+    return red_scopes, free, steps
+
+
+def mmap_width(cliques, n: int, max_vars, evidence: dict = None) -> int:
+    """Largest combined factor scope of the CONSTRAINED elimination plan
+    :func:`marginal_map` runs (sum variables first, max variables last)
+    — same table-exponent unit as :func:`induced_width`, but it can be
+    MUCH larger than the unconstrained width (a star graph has width 2
+    unconstrained but |leaves|+1 when every leaf is a max variable), so
+    callers must route on THIS number, not ``induced_width``."""
+    ev = {int(v): int(b) for v, b in (evidence or {}).items()}
+    M = tuple(v for v in sorted({int(u) for u in max_vars})
+              if v not in ev)
+    _, _, steps = _mmap_plan(
+        tuple(tuple(sorted(C)) for C in cliques), n, M,
+        tuple(sorted(ev.items())))
+    return max((len(st.scope) for st in steps), default=0)
+
+
+#: default cap on marginal_map's constrained elimination width — a
+#: 2^30-entry float32 message table is ~4 GB; beyond that the dense
+#: pass wedges the process rather than answering
+_MMAP_WIDTH_CAP = 30
+
+
+@functools.lru_cache(maxsize=256)
+def _build_mmap(cliques: Tuple[Tuple[int, ...], ...], n: int,
+                max_set: Tuple[int, ...],
+                evidence: Tuple[Tuple[int, int], ...]):
+    ev = dict(evidence)
+    mx = set(max_set)
+    red_scopes, free, steps = _mmap_plan(cliques, n, max_set, evidence)
 
     def mmap(theta, beta):
         mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
-        reduced_factors = []
-        const = jnp.zeros((), theta.dtype)
-        for k, C in enumerate(cliques):
-            f = _clique_log_factor(mrf, k)
-            scope = tuple(sorted(C))
-            for ax in range(len(scope) - 1, -1, -1):
-                if scope[ax] in ev:
-                    f = jnp.take(f, ev[scope[ax]], axis=ax)
-            if red_scopes[k]:
-                reduced_factors.append(f)
-            else:
-                const = const + f
+        reduced_factors, const, covered = _reduce_factors(
+            mrf, ev, red_scopes)
         # free variables in no factor: sum variables contribute ln 2,
         # max variables contribute 0 (their argmax ties at bit 0)
-        covered = set().union(*[set(s) for s in red_scopes if s]) \
-            if any(red_scopes) else set()
         const = const + sum(
             1 for v in free if v not in covered and v not in mx
         ) * jnp.log(2.0)
@@ -430,7 +461,19 @@ def _build_mmap(cliques: Tuple[Tuple[int, ...], ...], n: int,
     return jax.jit(mmap)
 
 
-def marginal_map(mrf: MRF, max_vars, evidence: dict = None):
+def _validate_max_vars(n: int, max_vars) -> list:
+    """Dedup, sort, and range-check a marginal-MAP max-variable set —
+    shared by the elimination and streaming backends (they previously
+    carried verbatim copies; round-4 review finding)."""
+    req = sorted({int(v) for v in max_vars})
+    for v in req:
+        if not 0 <= v < n:
+            raise ValueError(f"max variable {v} out of range [0, {n})")
+    return req
+
+
+def marginal_map(mrf: MRF, max_vars, evidence: dict = None,
+                 width_cap: int = _MMAP_WIDTH_CAP):
     """Exact marginal MAP: ``(assignment, value)`` with
     ``value = max_{x_M} ln sum_{x_S} e^{beta theta^T phi(x)}`` under the
     evidence, ``M = max_vars`` (minus observed ones, which are pinned),
@@ -438,17 +481,27 @@ def marginal_map(mrf: MRF, max_vars, evidence: dict = None):
     requested max variable to its optimizing bit (host ints); with
     ``M`` = all free variables this is the clamped MAP, with ``M`` empty
     it is ``log_partition_clamped``. Cost: one constrained elimination
-    (sum-out phase, then max phase with traceback) — the constrained
-    induced width can exceed the unconstrained one."""
+    (sum-out phase, then max phase with traceback) — the CONSTRAINED
+    induced width (:func:`mmap_width`) governs it and can far exceed the
+    unconstrained one; widths past ``width_cap`` raise instead of
+    materializing a multi-GB message table (pass ``width_cap=None`` to
+    override; ``moments.marginal_map_streaming`` covers the wide
+    regime at ``2^|M|`` sweeps)."""
     evidence = dict(evidence or {})
     _validate_evidence(mrf.n, evidence)
     ev = {int(v): int(b) for v, b in evidence.items()}
-    req = sorted({int(v) for v in max_vars})
-    for v in req:
-        if not 0 <= v < mrf.n:
-            raise ValueError(f"max variable {v} out of range [0, {mrf.n})")
+    req = _validate_max_vars(mrf.n, max_vars)
     M = tuple(v for v in req if v not in ev)
     evt = tuple(sorted(ev.items()))
+    if width_cap is not None:
+        w = mmap_width(mrf.cliques, mrf.n, M, ev)
+        if w > width_cap:
+            raise ValueError(
+                f"marginal_map's constrained elimination width is {w} "
+                f"(a 2^{w}-entry message table), over width_cap="
+                f"{width_cap}; use moments.marginal_map_streaming for "
+                f"few max variables over wide structures, or pass "
+                f"width_cap=None to force it")
     fn = _build_mmap(mrf.cliques, mrf.n, M, evt)
     bits, val = fn(mrf.theta, mrf.beta)
     bits = np.asarray(bits)
@@ -456,17 +509,31 @@ def marginal_map(mrf: MRF, max_vars, evidence: dict = None):
     return assignment, float(val)
 
 
-def sample_pam(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
+def sample_pam(key: jax.Array, mrf: MRF, num_samples: int,
+               _max_chunk_states: int = 1 << 22) -> jax.Array:
     """Low-order perturb-and-MAP samples as bit arrays (num, n).
 
     The large-n counterpart of models.sample.sample_pam (which argmaxes an
     enumerated 2**n table): every sample is an exact MAP of a
     Gumbel-perturbed model, computed by vmapped max-product elimination.
-    """
+    The vmap runs in sample chunks sized against the induced width so
+    the per-chunk message + argmax tables stay ~tens of MB instead of
+    scaling with ``num_samples * 2^width`` (results are identical: each
+    sample is a pure function of its own split key)."""
     fn = _build_map(mrf.cliques, mrf.n)
 
     def one(k):
         g = jax.random.gumbel(k, (mrf.dimension,), dtype=mrf.theta.dtype)
         return fn(mrf.beta * mrf.theta + g, jnp.ones((), mrf.theta.dtype))
 
-    return jax.vmap(one)(jax.random.split(key, num_samples))
+    keys = jax.random.split(key, num_samples)
+    width = induced_width(mrf.cliques, mrf.n)
+    per = max(1, _max_chunk_states >> width)  # chunk * 2^width bounded
+    if per >= num_samples:
+        return jax.vmap(one)(keys)
+    out = [jax.vmap(one)(keys[i:i + per])
+           for i in range(0, num_samples - per + 1, per)]
+    tail = num_samples - (num_samples // per) * per
+    if tail:
+        out.append(jax.vmap(one)(keys[num_samples - tail:]))
+    return jnp.concatenate(out, axis=0)

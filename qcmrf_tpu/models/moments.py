@@ -571,9 +571,15 @@ def log_partition_streaming(mrf: MRF, mesh=None) -> jax.Array:
     With ``mesh``, both the forward lnZ sweep and the gradient's moment
     sweep shard over the device mesh (parallel/sharded.py)."""
     if mesh is not None:
-        return _lnZ_streaming_sharded(
-            mrf.cliques, mrf.n, float(mrf.beta), mesh, mrf.theta
-        )
+        from qcmrf_tpu.parallel import sharded
+
+        # evidence-reduced models can shrink below the mesh size; the
+        # single-device sweep is then the same answer without the
+        # negative-shift crash in the per-device slice arithmetic
+        if sharded.mesh_fits(mesh, mrf.n):
+            return _lnZ_streaming_sharded(
+                mrf.cliques, mrf.n, float(mrf.beta), mesh, mrf.theta
+            )
     return _lnZ_streaming(mrf.cliques, mrf.n, float(mrf.beta), mrf.theta)
 
 
@@ -710,6 +716,11 @@ def clique_marginals_clamped_streaming(mrf: MRF, evidence: dict = None,
         return clique_moments_streaming(mrf)
     _ve._validate_evidence(mrf.n, evidence)
     red, _ = reduce_evidence(mrf, evidence)
+    if mesh is not None:
+        from qcmrf_tpu.parallel import sharded
+
+        if red is not None and not sharded.mesh_fits(mesh, red.n):
+            mesh = None  # reduced model smaller than the mesh
     if red is None:
         rmom = np.zeros((0,), np.float64)
     elif mesh is not None:
@@ -740,10 +751,7 @@ def marginal_map_streaming(mrf: MRF, max_vars, evidence: dict = None,
     evidence = dict(evidence or {})
     _ve._validate_evidence(mrf.n, evidence)
     ev = {int(v): int(b) for v, b in evidence.items()}
-    req = sorted({int(v) for v in max_vars})
-    for v in req:
-        if not 0 <= v < mrf.n:
-            raise ValueError(f"max variable {v} out of range [0, {mrf.n})")
+    req = _ve._validate_max_vars(mrf.n, max_vars)
     M = [v for v in req if v not in ev]
     m = len(M)
     best_val, best_bits = -float("inf"), 0

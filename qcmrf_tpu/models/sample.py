@@ -213,6 +213,11 @@ def map_state_clamped(mrf: MRF, evidence: dict, mesh=None):
     if mesh is not None:
         from qcmrf_tpu.parallel import sharded
 
+        if not sharded.mesh_fits(mesh, red.n):
+            mesh = None  # reduced model smaller than the mesh
+    if mesh is not None:
+        from qcmrf_tpu.parallel import sharded
+
         rid, val = sharded.sharded_map_state(red, mesh)
     else:
         rid, val = K.map_state_streaming(red)
@@ -236,10 +241,11 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
 
     - ``"exact"`` — IID table-exact conditional draws (table widths);
     - ``"gibbs"`` — systematic-scan Gibbs chain (table-free energies);
-    - ``"pam"``   — perturb-and-MAP: the streaming argmax sweep for
-      arbitrary width (with ``mesh`` each per-sample sweep shards over
-      the devices); past the sweep's n cap the reduced model routes to
-      max-product elimination (bounded treewidth, any n).
+    - ``"pam"``   — perturb-and-MAP: bounded induced width routes to
+      max-product elimination (any n); wider structures use the
+      streaming argmax sweep up to its n cap (with ``mesh`` each
+      per-sample sweep shards over the devices); wide AND past the n
+      cap has no exact backend and raises.
     """
     import numpy as np
 
@@ -267,6 +273,11 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
         if mesh is not None:
             from qcmrf_tpu.parallel import sharded
 
+            if not sharded.mesh_fits(mesh, red.n):
+                mesh = None  # reduced model smaller than the mesh
+        if mesh is not None:
+            from qcmrf_tpu.parallel import sharded
+
             rbits = np.asarray(
                 sharded.sharded_sample_pam(key, red, mesh, num_samples))
         else:
@@ -275,13 +286,25 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
 
             # prefer max-product elimination when the reduced width is
             # bounded: per sample it costs n * 2^(width+1) vs the
-            # streaming sweep's 2^n, and past the sweep's n cap it is
-            # the only backend (the width cap bounds the vmapped
-            # per-sample message tables, num_samples * 2^width floats);
-            # tiny models keep the enumerated-table path
+            # streaming sweep's 2^n (the width cap bounds the per-sample
+            # message + argmax tables); tiny models keep the
+            # enumerated-table path. Past the sweep's n cap elimination
+            # is the ONLY backend, and a wide structure there has no
+            # exact route at all — fail with the limits spelled out
+            # rather than OOMing in the traceback tables (round-4
+            # review finding)
             width = elimination.induced_width(red.cliques, red.n)
-            if red.n >= K._MIN_KERNEL_N and (
-                    red.n > moments._MAX_N or width <= _PAM_ELIM_WIDTH):
+            if red.n > moments._MAX_N and width > _PAM_ELIM_WIDTH:
+                raise ValueError(
+                    f"conditional PAM on this model needs either the "
+                    f"streaming argmax sweep (free variables "
+                    f"{red.n} > cap {moments._MAX_N}) or max-product "
+                    f"elimination (induced width {width} > cap "
+                    f"{_PAM_ELIM_WIDTH}: per-sample traceback tables "
+                    f"are steps x 2^width); add evidence to shrink the "
+                    f"free set or use method='gibbs' on a narrower "
+                    f"submodel")
+            if red.n >= K._MIN_KERNEL_N and width <= _PAM_ELIM_WIDTH:
                 rbits = np.asarray(elimination.sample_pam(
                     key, red, num_samples))
             else:

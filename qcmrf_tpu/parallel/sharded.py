@@ -82,6 +82,17 @@ def _dlog(mesh: Mesh) -> int:
     return dlog
 
 
+def mesh_fits(mesh: Mesh, n: int) -> bool:
+    """Whether an ``n``-variable state-space sweep can shard over this
+    mesh: each device owns a ``2^(n - log2(D))`` slice, so ``n`` below
+    ``log2(D)`` leaves some devices with no slice (and a negative shift
+    count in the slice arithmetic). Callers drop the mesh and run the
+    single-device backend — identical result — when this is False;
+    evidence-reduced models routinely shrink below mesh size (round-4
+    review finding)."""
+    return n >= _dlog(mesh)
+
+
 @functools.lru_cache(maxsize=32)
 def _sweep_mesh(mesh: Mesh) -> Mesh:
     """1-D view of ``mesh`` for the sweep / statevector / shot paths,

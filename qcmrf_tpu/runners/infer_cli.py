@@ -162,7 +162,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
     # ---- backend routing (mirrors models.train._nll) ----------------------
     width = elimination.induced_width(mrf.cliques, mrf.n)
     wide = width > mtrain._ELIM_WIDTH_CAP
-    if (wide or mesh is not None) and mrf.n > moments._MAX_N:
+    if (wide or mesh is not None) and mrf.n > moments._MAX_N \
+            and args.query != "mmap":  # mmap routes on its own width below
         raise SystemExit(
             f"n={mrf.n} needs the streaming sweep (induced width {width} "
             f"> elimination cap {mtrain._ELIM_WIDTH_CAP}, or --mesh), "
@@ -224,20 +225,39 @@ def main(argv: Optional[List[str]] = None) -> dict:
             raise SystemExit(
                 f"bad --max-vars {args.max_vars!r}: expected "
                 "comma-separated variable indices")
-        if use_streaming:
-            # 2^|M| clamped sweeps: enumeration over the max set is the
-            # only exact route past elimination widths — cap the blowup
-            nfree_mx = len([v for v in req if v not in evidence])
-            if nfree_mx > 16:
-                raise SystemExit(
-                    f"streaming mmap enumerates 2^{nfree_mx} clamped "
-                    "sweeps; cap is 2^16 — reduce --max-vars or use an "
-                    "elimination-width structure")
-            assignment, val = moments.marginal_map_streaming(
-                mrf, req, evidence, mesh)
-        else:
+        # mmap routes on the CONSTRAINED (sum-first, max-last)
+        # elimination width, NOT the plain induced width: deferring the
+        # max variables can blow the width up exponentially (star graph:
+        # unconstrained 2, constrained |leaves|+1), and conversely a
+        # bounded constrained width beats 2^|M| sharded sweeps even when
+        # --mesh was passed (round-4 review findings)
+        M = [v for v in req if v not in evidence]
+        cw = elimination.mmap_width(mrf.cliques, mrf.n, M, evidence)
+        if cw <= mtrain._ELIM_WIDTH_CAP:
+            result["backend"] = "elimination"
+            if mesh is not None:
+                result["note"] = ("--mesh unused: constrained width "
+                                  f"{cw} fits single-pass elimination")
             assignment, val = elimination.marginal_map(
                 mrf, req, evidence)
+        else:
+            # 2^|M| clamped sweeps: enumeration over the max set is the
+            # only exact route past elimination widths — cap the blowup
+            if mrf.n > moments._MAX_N:
+                raise SystemExit(
+                    f"mmap constrained elimination width {cw} > cap "
+                    f"{mtrain._ELIM_WIDTH_CAP} and n={mrf.n} > streaming "
+                    f"cap {moments._MAX_N}: no exact backend; reduce "
+                    "--max-vars or add evidence")
+            if len(M) > 16:
+                raise SystemExit(
+                    f"mmap constrained elimination width {cw} > cap "
+                    f"{mtrain._ELIM_WIDTH_CAP}, and streaming mmap "
+                    f"enumerates 2^{len(M)} clamped sweeps (cap 2^16) — "
+                    "reduce --max-vars")
+            result["backend"] = "streaming"
+            assignment, val = moments.marginal_map_streaming(
+                mrf, req, evidence, mesh)
         result["max_vars"] = {str(v): b for v, b in assignment.items()}
         result["log_mass"] = float(val)
     elif args.query == "marginals":

@@ -360,3 +360,58 @@ def test_marginal_map_large_chain():
         flipped[v] ^= 1
         alt = float(ve.log_partition_clamped(mrf, {**ev, **flipped}))
         assert alt <= v1 + 1e-5
+
+
+def test_mmap_width_star_vs_chain():
+    """The CONSTRAINED width can blow up where the plain induced width
+    stays tiny: a star maxed over its leaves couples every leaf when the
+    center is summed out first (round-4 review finding — routing on
+    induced_width alone sent this shape into a 2^(k+1) dense table)."""
+    k = 12
+    star = [[0, i] for i in range(1, k + 1)]
+    assert ve.induced_width(star, k + 1) == 2
+    assert ve.mmap_width(star, k + 1, list(range(1, k + 1))) == k + 1
+    # evidence on the center decouples the leaves again
+    assert ve.mmap_width(star, k + 1, list(range(1, k + 1)), {0: 1}) == 1
+    # maxing over a subset couples only that subset
+    assert ve.mmap_width(star, k + 1, [1, 2, 3]) == 4
+    chain = [[i, i + 1] for i in range(9)]
+    assert ve.mmap_width(chain, 10, [0, 9]) <= 3
+
+
+def test_marginal_map_width_guard():
+    """Constrained widths past width_cap raise with a routing hint
+    instead of materializing the table; width_cap=None forces the run
+    and still matches brute force."""
+    from qcmrf_tpu.models import moments
+
+    rng = np.random.RandomState(13)
+    k = 6
+    star = [[0, i] for i in range(1, k + 1)]
+    probe = MRF.create(star)
+    mrf = MRF.create(star, theta=-np.abs(rng.randn(probe.dimension)))
+    req = list(range(1, k + 1))
+    with pytest.raises(ValueError, match="width_cap"):
+        ve.marginal_map(mrf, req, width_cap=4)
+    want_a, want_v = _mmap_brute(mrf, req, {})
+    got_a, got_v = ve.marginal_map(mrf, req, width_cap=None)
+    assert np.isclose(got_v, want_v, rtol=1e-5)
+    _, at_got = _mmap_brute(mrf, req, dict(got_a))
+    assert np.isclose(at_got, want_v, rtol=1e-5)
+    # the streaming enumeration serves the same wide-constrained shape
+    s_a, s_v = moments.marginal_map_streaming(mrf, req)
+    assert np.isclose(s_v, want_v, rtol=1e-5)
+
+
+def test_sample_pam_chunked_matches_unchunked():
+    """sample_pam's memory-bounding sample chunks cannot change the
+    draws: each sample is a pure function of its own split key."""
+    rng = np.random.RandomState(4)
+    cliques = [[i, i + 1] for i in range(7)]
+    mrf = MRF.create(cliques, theta=-np.abs(rng.randn(28)))
+    key = jax.random.PRNGKey(5)
+    full = np.asarray(ve.sample_pam(key, mrf, 9))
+    for cap in (1 << 2, 1 << 3):  # per-chunk of 1 and 2 samples
+        chunked = np.asarray(ve.sample_pam(
+            key, mrf, 9, _max_chunk_states=cap))
+        np.testing.assert_array_equal(full, chunked)

@@ -192,3 +192,76 @@ def test_infer_argument_errors(model_file):
         _run(path, "--query", "lnz", "--evidence", "0:1")
     with pytest.raises(ValueError, match="out of range"):
         _run(path, "--query", "lnz", "--evidence", "99=1")
+
+
+def test_infer_mmap_routes_on_constrained_width(tmp_path, monkeypatch):
+    """mmap routing keys on the CONSTRAINED elimination width, not the
+    plain induced width: a star maxed over many leaves (induced width 2)
+    must not reach the dense constrained pass (round-4 review finding),
+    and --mesh alone must not force a narrow structure off the
+    single-pass elimination backend."""
+    k = 30
+    star = [[0, i] for i in range(1, k + 1)]
+    rng = np.random.RandomState(7)
+    probe = MRF.create(star)
+    path = tmp_path / "star.json"
+    with open(path, "w") as f:
+        json.dump({"cliques": star,
+                   "theta": (-np.abs(rng.randn(probe.dimension))).tolist()},
+                  f)
+    # constrained width k+1 = 31 > cap, and 2^30 sweeps > streaming cap:
+    # a clear refusal, not an OOM
+    with pytest.raises(SystemExit, match="constrained elimination width"):
+        _run(str(path), "--query", "mmap",
+             "--max-vars", ",".join(str(v) for v in range(1, k + 1)))
+    # a small max set keeps the constrained width bounded -> elimination,
+    # even with --mesh (previously --mesh forced 2^|M| sharded sweeps)
+    mrf = MRF.create(star, theta=np.asarray(
+        json.load(open(path))["theta"], np.float64))
+    r = _run(str(path), "--query", "mmap", "--max-vars", "1,2,3",
+             "--mesh", "4x2")
+    assert r["backend"] == "elimination"
+    assert "unused" in r["note"]
+    want_a, want_v = ve.marginal_map(mrf, [1, 2, 3])
+    assert r["max_vars"] == {str(v): b for v, b in want_a.items()}
+    assert np.isclose(r["log_mass"], want_v, rtol=1e-5)
+
+
+def test_infer_mesh_smaller_than_reduced_model(model_file, monkeypatch):
+    """Evidence can shrink the free-variable model below the mesh size
+    (n=6 model, 8-device mesh); every sharded query must fall back to
+    the single-device backend — identical answers — instead of crashing
+    with a negative shift count (round-4 review finding)."""
+    path, mrf = model_file
+    ev, evd = "0=1,2=0,3=1,5=0", {0: 1, 2: 0, 3: 1, 5: 0}
+
+    r = _run(path, "--query", "lnz", "--mesh", "4x2", "--evidence", ev)
+    assert np.isclose(r["log_mass"],
+                      float(ve.log_partition_clamped(mrf, evd)), rtol=1e-5)
+
+    r = _run(path, "--query", "marginals", "--mesh", "4x2",
+             "--evidence", ev)
+    want = np.asarray(moments.clique_marginals_clamped_streaming(
+        mrf, evd), np.float64)
+    np.testing.assert_allclose(np.asarray(r["marginals"]), want, atol=2e-5)
+
+    r = _run(path, "--query", "map", "--mesh", "4x2", "--evidence", ev)
+    sid, val = msample.map_state_clamped(mrf, evd)
+    assert r["state_id"] == sid and np.isclose(r["beta_logpot"], val,
+                                               rtol=1e-5)
+
+    r = _run(path, "--query", "sample", "--method", "pam", "--mesh",
+             "4x2", "--evidence", ev, "--num-samples", "4")
+    s = np.asarray(r["samples"])
+    assert s.shape == (4, mrf.n)
+    assert (s[:, 0] == 1).all() and (s[:, 2] == 0).all()
+
+    # the review's exact crash: mmap forced onto the streaming route
+    # with nf < log2(devices) inside each clamped sweep
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)
+    r = _run(path, "--query", "mmap", "--max-vars", "0,1,4",
+             "--evidence", "2=1", "--mesh", "4x2")
+    assert r["backend"] == "streaming"
+    want_a, want_v = ve.marginal_map(mrf, [0, 1, 4], {2: 1})
+    assert r["max_vars"] == {str(v): b for v, b in want_a.items()}
+    assert np.isclose(r["log_mass"], want_v, rtol=1e-5)

@@ -305,3 +305,28 @@ def test_nll_gradient_is_moment_difference():
     np.testing.assert_allclose(
         np.asarray(g), model_moment - data_moment, atol=1e-5
     )
+
+
+def test_conditional_pam_wide_past_sweep_cap_raises():
+    """A reduced model that is BOTH past the streaming sweep's n cap and
+    wider than the elimination-PAM width cap has no exact PAM backend:
+    it must refuse with the limits spelled out, not OOM in the vmapped
+    traceback tables (round-4 review finding)."""
+    from qcmrf_tpu.models import moments
+
+    # n=50 > moments._MAX_N=47; the 18-clique makes induced width 18 > 16
+    cliques = [list(range(18))] + [[i, i + 1] for i in range(17, 49)]
+    probe = MRF.create(cliques)
+    mrf = MRF.create(cliques,
+                     theta=-0.01 * np.ones((probe.dimension,)))
+    assert mrf.n == 50 and mrf.n > moments._MAX_N
+    with pytest.raises(ValueError, match="induced width"):
+        msample.sample_conditional(
+            jax.random.PRNGKey(0), mrf, 2, {}, method="pam")
+    # enough evidence to fall under the sweep cap restores the
+    # streaming route (no raise); clamping inside the big clique also
+    # shrinks the width below the elimination cap
+    ev = {v: 0 for v in range(4)}
+    bits = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(0), mrf, 2, ev, method="pam"))
+    assert bits.shape == (2, 50) and (bits[:, :4] == 0).all()
