@@ -509,6 +509,73 @@ def marginal_map(mrf: MRF, max_vars, evidence: dict = None,
     return assignment, float(val)
 
 
+@functools.lru_cache(maxsize=256)
+def _build_sampler(cliques: Tuple[Tuple[int, ...], ...], n: int):
+    """Exact ancestral sampler over the elimination plan (forward
+    filtering, backward sampling). The forward sum-product pass stores
+    each step's PRE-sum combined log-factor; the backward pass walks the
+    steps in reverse — every variable of a step's out_scope was
+    eliminated later, so its bit is already drawn — and samples the
+    step's variable from the normalized 2-slice of that stored factor
+    at the drawn out_scope bits. The chain of those conditionals is
+    exactly the Gibbs joint, so the draws are IID and exact at any n
+    for bounded induced width (the stored factors cost
+    ``sum_steps 2^|scope|`` floats ONCE, shared across samples; the
+    per-sample backward work is ~n two-entry gathers, vmapped)."""
+    steps, _ = _plan(cliques, n)
+    decided = {st.scope[st.axis] for st in steps}
+    iso = tuple(v for v in range(n) if v not in decided)
+
+    def sample(theta, beta, keys):
+        mrf = MRF(theta=theta, beta=beta, cliques=cliques, n=n)
+        scopes = [tuple(sorted(C)) for C in cliques]
+        clique_factors = [
+            _clique_log_factor(mrf, k) for k in range(len(cliques))
+        ]
+        accs: List[jax.Array] = []
+        step_results: List[jax.Array] = []
+        for st in steps:
+            acc = _combine_step(st, scopes, clique_factors, step_results,
+                                steps, theta.dtype)
+            accs.append(acc)
+            step_results.append(
+                jax.scipy.special.logsumexp(acc, axis=st.axis))
+
+        def one(k):
+            ks = jax.random.split(k, len(steps) + 1)
+            bits = jnp.zeros((n,), jnp.int32)
+            for i, (st, acc) in enumerate(
+                    zip(reversed(steps), reversed(accs))):
+                v = st.scope[st.axis]
+                t = jnp.moveaxis(acc, st.axis, -1)
+                l0 = _gather_bits(t[..., 0], st.out_scope, bits)
+                l1 = _gather_bits(t[..., 1], st.out_scope, bits)
+                b = jax.random.bernoulli(ks[i], jax.nn.sigmoid(l1 - l0))
+                bits = bits.at[v].set(b.astype(jnp.int32))
+            if iso:
+                # variables in no factor: independent uniform bits
+                ib = jax.random.bernoulli(ks[-1], 0.5, (len(iso),))
+                bits = bits.at[jnp.asarray(iso)].set(ib.astype(jnp.int32))
+            return bits
+
+        return jax.vmap(one)(keys)
+
+    return jax.jit(sample)
+
+
+def sample_exact_elim(key: jax.Array, mrf: MRF,
+                      num_samples: int) -> jax.Array:
+    """IID EXACT samples from the Gibbs distribution as bit arrays
+    (num, n) — the large-n counterpart of models.sample.sample_exact
+    (which draws from an enumerated ``2**n`` logits table, reference
+    target ``px.sample(b)``, /root/reference/eval.py:95-104): forward
+    sum-product elimination once, then per-sample backward ancestral
+    draws through the stored step factors. Exact (not PAM-approximate)
+    at any n for bounded induced width."""
+    fn = _build_sampler(mrf.cliques, mrf.n)
+    return fn(mrf.theta, mrf.beta, jax.random.split(key, num_samples))
+
+
 def sample_pam(key: jax.Array, mrf: MRF, num_samples: int,
                _max_chunk_states: int = 1 << 22) -> jax.Array:
     """Low-order perturb-and-MAP samples as bit arrays (num, n).

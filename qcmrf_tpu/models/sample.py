@@ -22,6 +22,16 @@ from qcmrf_tpu.models.mrf import MRF
 #: argmax sweep
 _PAM_ELIM_WIDTH = 16
 
+#: sample_conditional's exact routing: up to this many free variables
+#: the enumerated ``2**n`` logits table is cheap and one categorical
+#: draw covers any structure; past it, exact IID draws come from
+#: elimination's ancestral sampler (bounded induced width, any n)
+_EXACT_TABLE_N = 20
+#: hard table fallback for wide structures past ``_EXACT_TABLE_N``
+#: where elimination's width cap is also blown: a 2^26 float32 logits
+#: table (256 MB) still enumerates; past this there is no exact sampler
+_EXACT_TABLE_HARD_N = 26
+
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_exact(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
@@ -239,7 +249,10 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
     model runs the chosen sampler, and the free bits land back in their
     original columns:
 
-    - ``"exact"`` — IID table-exact conditional draws (table widths);
+    - ``"exact"`` — IID exact conditional draws: the enumerated-table
+      sampler up to ``_EXACT_TABLE_N`` free variables, elimination's
+      ancestral sampler past that (bounded induced width, any n; wide
+      AND large has no exact sampler and raises);
     - ``"gibbs"`` — systematic-scan Gibbs chain (table-free energies);
     - ``"pam"``   — perturb-and-MAP: bounded induced width routes to
       max-product elimination (any n); wider structures use the
@@ -314,6 +327,31 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
             rbits = np.array(rbits)
             rbits[:, iso] = np.asarray(jax.random.bernoulli(
                 kiso, 0.5, (num_samples, len(iso))), np.int32)
+    elif method == "exact" and red.n > _EXACT_TABLE_N:
+        from qcmrf_tpu.models import elimination
+        from qcmrf_tpu.models import train as mtrain
+
+        # past cheap table widths, exact IID draws come from
+        # elimination's ancestral pass (stored step factors cost
+        # 2^width floats each); a wide structure falls back to the
+        # enumerated table while it still fits, and past BOTH caps
+        # fails with the limits spelled out rather than OOMing
+        width = elimination.induced_width(red.cliques, red.n)
+        if width <= mtrain._ELIM_WIDTH_CAP:
+            rbits = np.asarray(elimination.sample_exact_elim(
+                key, red, num_samples))
+        elif red.n <= _EXACT_TABLE_HARD_N:
+            ids = np.asarray(sample_exact(key, red, num_samples), np.int64)
+            rbits = (ids[:, None] >> (red.n - 1 - np.arange(red.n))) & 1
+        else:
+            raise ValueError(
+                f"exact conditional sampling on this model needs either "
+                f"an enumerable table (free variables {red.n} > cap "
+                f"{_EXACT_TABLE_HARD_N}) or elimination's ancestral "
+                f"sampler (induced width {width} > cap "
+                f"{mtrain._ELIM_WIDTH_CAP}); add evidence to shrink the "
+                f"free set, or use method='gibbs' (approximate) or "
+                f"method='pam'")
     elif method in ("exact", "gibbs"):
         fn = sample_exact if method == "exact" else sample_gibbs
         ids = np.asarray(fn(key, red, num_samples), np.int64)

@@ -278,16 +278,22 @@ def main(argv: Optional[List[str]] = None) -> dict:
         key = jax.random.PRNGKey(args.sample_seed)
         method = args.method
         notes = []
-        # feasibility is set by the REDUCED model the sampler sees
-        # (free-variable count), not by induced width or --mesh: the
-        # exact sampler's bound is its 2^nf logits table, the Gibbs
-        # chain's is its int32 state ids
+        # feasibility is set by the REDUCED model the sampler sees:
+        # exact draws come from elimination's ancestral sampler at any
+        # n for bounded reduced width, or from the 2^nf logits table
+        # while it fits; the Gibbs chain's bound is its int32 state ids
         nf = mrf.n - len(evidence)
         if method == "exact" and nf > _EXACT_SAMPLE_MAX_N:
-            method = "pam"
-            notes.append(
-                f"method 'exact' materializes the 2^{nf} free-state "
-                f"table (cap n={_EXACT_SAMPLE_MAX_N}); routed to 'pam'")
+            red, _ = moments.reduce_evidence(mrf, evidence)
+            rw = (0 if red is None
+                  else elimination.induced_width(red.cliques, red.n))
+            if rw > mtrain._ELIM_WIDTH_CAP:
+                method = "pam"
+                notes.append(
+                    f"method 'exact' needs an enumerable table (2^{nf} "
+                    f"free states > cap 2^{_EXACT_SAMPLE_MAX_N}) or a "
+                    f"bounded reduced width ({rw} > cap "
+                    f"{mtrain._ELIM_WIDTH_CAP}); routed to 'pam'")
         elif method == "gibbs" and nf > _GIBBS_MAX_N:
             method = "pam"
             notes.append(

@@ -187,6 +187,43 @@ def test_pam_sampler_large_chain_runs():
     assert set(np.unique(S)) <= {0, 1}
 
 
+def test_exact_elim_sampler_matches_enumeration():
+    """The ancestral sampler draws from the exact Gibbs distribution:
+    its empirical distribution over 2^6 states matches enumeration."""
+    rng = np.random.RandomState(5)
+    cliques = [[0, 1], [1, 2, 3], [3, 4], [2, 5], [0, 4]]
+    probe = MRF.create(cliques)
+    mrf = MRF.create(cliques, theta=-np.abs(rng.randn(probe.dimension)),
+                     beta=1.3)
+    logits = np.asarray(mrf.beta * mrf.all_log_potentials(), np.float64)
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    S = np.asarray(ve.sample_exact_elim(jax.random.PRNGKey(7), mrf,
+                                        120_000))
+    ids = (S << (mrf.n - 1 - np.arange(mrf.n))).sum(axis=1)
+    emp = np.bincount(ids, minlength=1 << mrf.n) / len(ids)
+    assert 0.5 * np.abs(emp - p).sum() < 0.02
+
+
+def test_exact_elim_sampler_large_chain_marginals():
+    """Exact IID sampling at n=30 (past enumeration): per-variable
+    empirical marginals match elimination's conditional_prob, and an
+    isolated variable (in no clique) draws a uniform bit."""
+    n = 30
+    rng = np.random.RandomState(6)
+    cliques = [[i, i + 1] for i in range(n - 2)]  # var n-1 isolated
+    probe = MRF.create(cliques, n=n)
+    mrf = MRF.create(cliques, theta=-np.abs(rng.randn(probe.dimension)),
+                     n=n)
+    S = np.asarray(ve.sample_exact_elim(jax.random.PRNGKey(2), mrf,
+                                        40_000))
+    assert S.shape == (40_000, n)
+    for v in (0, 9, 21):
+        want = float(ve.conditional_prob(mrf, v, 1, {}))
+        assert abs(S[:, v].mean() - want) < 0.02, (v, want)
+    assert abs(S[:, n - 1].mean() - 0.5) < 0.02
+
+
 def test_clamped_lnZ_matches_enumeration():
     rng = np.random.RandomState(9)
     mrf = MRF.create([[0, 1], [1, 2], [2, 3]],

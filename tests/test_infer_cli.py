@@ -154,12 +154,19 @@ def test_infer_duplicate_assignment_rejected(model_file):
                       rtol=1e-6)
 
 
-def test_infer_sample_routes_by_feasibility():
-    """The exact sampler's bound is its 2^n table, not induced width:
-    a narrow-width n=40 chain must reroute the default 'exact' to
-    'pam' (which elimination serves at any n for bounded width) instead
-    of materializing the table (round-4 review: the width-keyed reroute
-    crashed exactly these models)."""
+def test_infer_sample_routes_by_feasibility(monkeypatch):
+    """'exact' past the table cap stays EXACT for bounded reduced width
+    (elimination's ancestral sampler serves any n); only a model with
+    neither an enumerable table nor a bounded width reroutes to 'pam',
+    saying so."""
+    r = infer_cli.main(["--graph", "chain:40", "--query", "sample",
+                        "--num-samples", "3"])
+    assert r["method"] == "exact"
+    assert "note" not in r
+    assert len(r["samples"]) == 3 and len(r["samples"][0]) == 40
+
+    from qcmrf_tpu.models import train as mtrain
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)  # force "wide"
     r = infer_cli.main(["--graph", "chain:40", "--query", "sample",
                         "--num-samples", "3"])
     assert r["method"] == "pam"

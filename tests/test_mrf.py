@@ -307,6 +307,54 @@ def test_nll_gradient_is_moment_difference():
     )
 
 
+def test_conditional_exact_large_n_routes_to_elimination():
+    """method='exact' past the table cap draws IID exact samples via
+    elimination's ancestral sampler: evidence columns clamp and the
+    free-variable empirical marginals match conditional_prob at n=30
+    (a 2^30 logits table would OOM the old table-only route)."""
+    from qcmrf_tpu.models import elimination as ve
+    from qcmrf_tpu.models import sample as S
+
+    n = 30
+    assert n > S._EXACT_TABLE_N
+    rng = np.random.RandomState(11)
+    cl = [[i, i + 1] for i in range(n - 1)]
+    probe = MRF.create(cl)
+    mrf = MRF.create(cl, theta=-np.abs(rng.randn(probe.dimension)))
+    ev = {0: 1, 13: 0, 29: 1}
+    bits = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(5), mrf, 30_000, ev, method="exact"))
+    assert (bits[:, 0] == 1).all() and (bits[:, 13] == 0).all() \
+        and (bits[:, 29] == 1).all()
+    for v in (1, 7, 14, 28):
+        true = float(ve.conditional_prob(mrf, v, 1, ev))
+        assert abs(bits[:, v].mean() - true) < 0.02, (v, true)
+
+
+def test_conditional_exact_wide_fallbacks(monkeypatch):
+    """A wide structure past the cheap-table cap falls back to the
+    enumerated table while it fits, and raises with the limits spelled
+    out once free variables exceed the hard table cap too."""
+    from qcmrf_tpu.models import sample as S
+    from qcmrf_tpu.models import train as mtrain
+
+    rng = np.random.RandomState(12)
+    cl = [[i, i + 1] for i in range(21)]  # n=22: past 20, under 26
+    probe = MRF.create(cl)
+    mrf = MRF.create(cl, theta=-np.abs(rng.randn(probe.dimension)))
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)  # force "wide"
+    bits = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(0), mrf, 8, {}, method="exact"))
+    assert bits.shape == (8, 22)
+
+    cl = [[i, i + 1] for i in range(27)]  # n=28 > hard table cap 26
+    probe = MRF.create(cl)
+    mrf = MRF.create(cl, theta=-np.abs(rng.randn(probe.dimension)))
+    with pytest.raises(ValueError, match="ancestral"):
+        msample.sample_conditional(
+            jax.random.PRNGKey(0), mrf, 2, {}, method="exact")
+
+
 def test_conditional_pam_wide_past_sweep_cap_raises():
     """A reduced model that is BOTH past the streaming sweep's n cap and
     wider than the elimination-PAM width cap has no exact PAM backend:
