@@ -88,6 +88,63 @@ def sample_gibbs(
     return xs[burn::thin][:num_samples]
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def sample_gibbs_bits(
+    key: jax.Array,
+    mrf: MRF,
+    num_samples: int,
+    thin: int = 10,
+    burn: int = 10,
+) -> jax.Array:
+    """Systematic-scan Gibbs chain on a BIT-ARRAY state, returning
+    thinned samples as ``(num_samples, n)`` int32 bits.
+
+    The any-n counterpart of :func:`sample_gibbs` (whose int32 state
+    ids cap it at n=30): each site update computes the LOCAL energy
+    difference from only the cliques touching that variable (theta
+    layout: clique order, first variable slowest — models/mrf.py) —
+    O(sum_{C ni v} 2 gathers) per site instead of two full-energy
+    evaluations, and no state-id width limit. This is the fallback
+    sampler for wide structures at large n, where both the exact
+    ancestral sampler and PAM refuse."""
+    n = mrf.n
+    # static per-variable clique membership: (clique k, position j)
+    touch = [[] for _ in range(n)]
+    for k, C in enumerate(mrf.cliques):
+        for j, v in enumerate(C):
+            touch[v].append((k, j))
+    offs = mrf.theta_offsets
+
+    def site_delta(v, bits):
+        """theta(bits with v=1) - theta(bits with v=0), local terms."""
+        d = jnp.zeros((), mrf.theta.dtype)
+        for k, j in touch[v]:
+            C = mrf.cliques[k]
+            m = len(C)
+            idx = jnp.zeros((), jnp.int32)
+            for jj, u in enumerate(C):
+                if jj != j:
+                    idx = idx + (bits[u] << (m - 1 - jj))
+            hi = mrf.theta[offs[k] + idx + (1 << (m - 1 - j))]
+            lo = mrf.theta[offs[k] + idx]
+            d = d + (hi - lo)
+        return d
+
+    def sweep(bits, key_sweep):
+        keys = jax.random.split(key_sweep, n)
+        for v in range(n):  # static unroll: structure differs per site
+            p1 = jax.nn.sigmoid(mrf.beta * site_delta(v, bits))
+            b = jax.random.bernoulli(keys[v], p1)
+            bits = bits.at[v].set(b.astype(jnp.int32))
+        return bits, bits
+
+    total = burn + num_samples * thin
+    key_init, key_chain = jax.random.split(key)
+    x0 = jax.random.bernoulli(key_init, 0.5, (n,)).astype(jnp.int32)
+    _, xs = jax.lax.scan(sweep, x0, jax.random.split(key_chain, total))
+    return xs[burn::thin][:num_samples]
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_pam(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
     """Low-order perturb-and-MAP samples (state ids).
@@ -253,7 +310,9 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
       sampler up to ``_EXACT_TABLE_N`` free variables, elimination's
       ancestral sampler past that (bounded induced width, any n; wide
       AND large has no exact sampler and raises);
-    - ``"gibbs"`` — systematic-scan Gibbs chain (table-free energies);
+    - ``"gibbs"`` — systematic-scan Gibbs chain on bit-array states
+      (local site updates, any n — the approximate fallback where both
+      exact backends refuse);
     - ``"pam"``   — perturb-and-MAP: bounded induced width routes to
       max-product elimination (any n); wider structures use the
       streaming argmax sweep up to its n cap (with ``mesh`` each
@@ -352,9 +411,15 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
                 f"{mtrain._ELIM_WIDTH_CAP}); add evidence to shrink the "
                 f"free set, or use method='gibbs' (approximate) or "
                 f"method='pam'")
-    elif method in ("exact", "gibbs"):
-        fn = sample_exact if method == "exact" else sample_gibbs
-        ids = np.asarray(fn(key, red, num_samples), np.int64)
+    elif method == "gibbs":
+        # the bit-array chain: identical systematic-scan semantics to
+        # sample_gibbs but local site updates and no int32 state-id
+        # width cap, so conditional Gibbs serves any reduced size —
+        # including the wide-AND-large regime where exact and PAM
+        # refuse
+        rbits = np.asarray(sample_gibbs_bits(key, red, num_samples))
+    elif method == "exact":
+        ids = np.asarray(sample_exact(key, red, num_samples), np.int64)
         rbits = (ids[:, None] >> (red.n - 1 - np.arange(red.n))) & 1
     else:
         raise ValueError(f"unknown method {method!r}; expected "

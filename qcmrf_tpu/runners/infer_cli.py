@@ -32,8 +32,6 @@ import numpy as np
 #: largest reduced model the table-exact sampler will materialize
 #: (2**n float32 logits; matches the replication cap in parallel/sharded)
 _EXACT_SAMPLE_MAX_N = 26
-#: the Gibbs chain uses int32 state ids (models/sample.py::sample_gibbs)
-_GIBBS_MAX_N = 30
 
 
 def _parse_assignments(spec: str) -> dict:
@@ -281,7 +279,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         # feasibility is set by the REDUCED model the sampler sees:
         # exact draws come from elimination's ancestral sampler at any
         # n for bounded reduced width, or from the 2^nf logits table
-        # while it fits; the Gibbs chain's bound is its int32 state ids
+        # while it fits; the bit-array Gibbs chain serves any n
         nf = mrf.n - len(evidence)
         if method == "exact" and nf > _EXACT_SAMPLE_MAX_N:
             red, _ = moments.reduce_evidence(mrf, evidence)
@@ -294,11 +292,6 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     f"free states > cap 2^{_EXACT_SAMPLE_MAX_N}) or a "
                     f"bounded reduced width ({rw} > cap "
                     f"{mtrain._ELIM_WIDTH_CAP}); routed to 'pam'")
-        elif method == "gibbs" and nf > _GIBBS_MAX_N:
-            method = "pam"
-            notes.append(
-                f"method 'gibbs' uses int32 state ids (cap "
-                f"n={_GIBBS_MAX_N}); routed to 'pam'")
         if mesh is not None and method != "pam":
             notes.append(f"--mesh shards the 'pam' sampler only; "
                          f"'{method}' runs single-device")

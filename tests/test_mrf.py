@@ -307,6 +307,42 @@ def test_nll_gradient_is_moment_difference():
     )
 
 
+def test_sample_gibbs_bits_distribution():
+    """The bit-array Gibbs chain (local site updates, no state-id
+    width cap) samples the same Gibbs distribution as enumeration."""
+    rng = np.random.RandomState(13)
+    cl = [[0, 1], [1, 2, 3], [3, 4], [2, 0]]
+    probe = MRF.create(cl)
+    mrf = MRF.create(cl, theta=-np.abs(rng.randn(probe.dimension)),
+                     beta=1.2)
+    logits = np.asarray(mrf.beta * mrf.all_log_potentials(), np.float64)
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    bits = np.asarray(msample.sample_gibbs_bits(
+        jax.random.PRNGKey(0), mrf, 30_000, thin=5, burn=50))
+    ids = (bits << (mrf.n - 1 - np.arange(mrf.n))).sum(axis=1)
+    emp = np.bincount(ids, minlength=1 << mrf.n) / len(ids)
+    assert 0.5 * np.abs(emp - p).sum() < 0.03
+
+
+def test_conditional_gibbs_serves_wide_and_large():
+    """In the wide-AND-large regime where both exact backends refuse
+    (free variables past the table/sweep caps AND induced width past
+    the elimination caps), the bit-array Gibbs chain still serves
+    conditional draws with the evidence clamped."""
+    from qcmrf_tpu.models import moments
+
+    cliques = [list(range(18))] + [[i, i + 1] for i in range(17, 49)]
+    probe = MRF.create(cliques)
+    mrf = MRF.create(cliques, theta=-0.01 * np.ones((probe.dimension,)))
+    assert mrf.n == 50 and mrf.n > moments._MAX_N
+    bits = np.asarray(msample.sample_conditional(
+        jax.random.PRNGKey(1), mrf, 5, {0: 1, 30: 0}, method="gibbs"))
+    assert bits.shape == (5, 50)
+    assert (bits[:, 0] == 1).all() and (bits[:, 30] == 0).all()
+    assert set(np.unique(bits)) <= {0, 1}
+
+
 def test_conditional_exact_large_n_routes_to_elimination():
     """method='exact' past the table cap draws IID exact samples via
     elimination's ancestral sampler: evidence columns clamp and the
