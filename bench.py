@@ -662,6 +662,32 @@ def main():
         except Exception as e:
             extra["pam_error"] = f"{type(e).__name__}: {e}"
             _recover_hbm()
+
+        try:
+            # exact IID sampling past enumeration (n=40 chain, a 2^40
+            # logits table would be 4 TB): forward-filtering
+            # backward-sampling over the elimination plan
+            # (models/elimination.py::sample_exact_elim) — rate is
+            # per-sample backward draws, forward pass amortized
+            from qcmrf_tpu.models import elimination as velim
+            from qcmrf_tpu.models.mrf import chain_mrf
+
+            ce = chain_mrf(40, theta=-np.abs(
+                np.random.RandomState(9).randn(4 * 39)
+            ).astype(np.float32))
+            n_draw = 65536
+            velim.sample_exact_elim(jax.random.PRNGKey(0), ce, n_draw
+                                    ).block_until_ready()
+            best_e = float("inf")
+            for t_i in range(3):
+                t0 = time.perf_counter()
+                velim.sample_exact_elim(jax.random.PRNGKey(t_i + 1), ce,
+                                        n_draw).block_until_ready()
+                best_e = min(best_e, time.perf_counter() - t0)
+            extra["exact_sample_n40_per_sec"] = round(n_draw / best_e)
+        except Exception as e:
+            extra["exact_sample_error"] = f"{type(e).__name__}: {e}"
+            _recover_hbm()
     except Exception as e:  # the headline must survive odd backends
         extra["extra_error"] = f"{type(e).__name__}: {e}"
 
