@@ -111,6 +111,15 @@ def _plan(cliques: Sequence[Tuple[int, ...]], n: int,
     return steps, isolated
 
 
+@functools.lru_cache(maxsize=1024)
+def _plan_stats(cliques: Tuple[Tuple[int, ...], ...], n: int):
+    """(width, total table floats) of the min-degree plan — cached so
+    routing layers that consult both don't replan per call."""
+    steps, _ = _plan(cliques, n)
+    width = max((len(st.scope) for st in steps), default=0)
+    return width, sum(1 << len(st.scope) for st in steps)
+
+
 def induced_width(cliques, n: int) -> int:
     """Largest combined factor SCOPE SIZE of the min-degree elimination
     plan — the exponent of this module's per-step table cost (2^width).
@@ -120,8 +129,18 @@ def induced_width(cliques, n: int) -> int:
     _ELIM_WIDTH_CAP in models/train.py is expressed in the same unit.
     Callers route high-width structures to streaming enumeration instead
     (models.moments), since elimination's tables blow up in it."""
-    steps, _ = _plan(tuple(tuple(sorted(C)) for C in cliques), n)
-    return max((len(st.scope) for st in steps), default=0)
+    return _plan_stats(tuple(tuple(sorted(C)) for C in cliques), n)[0]
+
+
+def plan_table_floats(cliques, n: int) -> int:
+    """Total floats of ALL step tables of the min-degree plan,
+    ``sum_steps 2^|scope|`` — the live-memory unit for passes that keep
+    every step's table (the ancestral sampler's stored factors, and
+    roughly the transient peak of the lnZ/MAP passes). A long
+    bounded-width model (say a 20x200 grid: width 21 but ~4000 steps)
+    passes a per-step width cap yet needs tens of GB here, so samplers
+    budget against THIS number too (round-4 review finding)."""
+    return _plan_stats(tuple(tuple(sorted(C)) for C in cliques), n)[1]
 
 
 def _clique_log_factor(mrf: MRF, k: int) -> jax.Array:
@@ -375,11 +394,15 @@ def map_state_bits(mrf: MRF) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1024)
 def _mmap_plan(cliques: Tuple[Tuple[int, ...], ...], n: int,
                max_set: Tuple[int, ...],
                evidence: Tuple[Tuple[int, int], ...]):
     """Constrained (sum-first, max-last) elimination plan over the
-    evidence-reduced scopes. Returns ``(red_scopes, free, steps)``."""
+    evidence-reduced scopes. Returns ``(red_scopes, free, steps)``.
+    Cached: one mmap query consults it from mmap_width, marginal_map's
+    cap check, AND _build_mmap (round-4 review found it replanned
+    three times per query)."""
     ev = dict(evidence)
     red_scopes = [
         tuple(v for v in sorted(C) if v not in ev) for C in cliques
@@ -563,15 +586,35 @@ def _build_sampler(cliques: Tuple[Tuple[int, ...], ...], n: int):
     return jax.jit(sample)
 
 
-def sample_exact_elim(key: jax.Array, mrf: MRF,
-                      num_samples: int) -> jax.Array:
+#: default cap on the ancestral sampler's STORED step factors
+#: (sum_steps 2^|scope| floats): 2^28 f32 = 1 GB. Width alone doesn't
+#: bound this — a long bounded-width model multiplies per-step tables
+#: by its step count — so the sampler budgets the total.
+_SAMPLER_TABLE_FLOATS_CAP = 1 << 28
+
+
+def sample_exact_elim(key: jax.Array, mrf: MRF, num_samples: int,
+                      table_floats_cap: int = _SAMPLER_TABLE_FLOATS_CAP
+                      ) -> jax.Array:
     """IID EXACT samples from the Gibbs distribution as bit arrays
     (num, n) — the large-n counterpart of models.sample.sample_exact
     (which draws from an enumerated ``2**n`` logits table, reference
     target ``px.sample(b)``, /root/reference/eval.py:95-104): forward
     sum-product elimination once, then per-sample backward ancestral
     draws through the stored step factors. Exact (not PAM-approximate)
-    at any n for bounded induced width."""
+    at any n for bounded induced width. The stored factors cost
+    :func:`plan_table_floats` floats for the whole pass; past
+    ``table_floats_cap`` this raises instead of wedging the device
+    (pass ``None`` to force it)."""
+    if table_floats_cap is not None:
+        tf = plan_table_floats(mrf.cliques, mrf.n)
+        if tf > table_floats_cap:
+            raise ValueError(
+                f"ancestral sampling stores every elimination step's "
+                f"factor: {tf:.3g} floats here (width "
+                f"{induced_width(mrf.cliques, mrf.n)} x ~{mrf.n} steps)"
+                f" > cap {table_floats_cap:.3g}; add evidence to shrink "
+                f"the model or pass table_floats_cap=None to force it")
     fn = _build_sampler(mrf.cliques, mrf.n)
     return fn(mrf.theta, mrf.beta, jax.random.split(key, num_samples))
 

@@ -576,7 +576,7 @@ def log_partition_streaming(mrf: MRF, mesh=None) -> jax.Array:
         # evidence-reduced models can shrink below the mesh size; the
         # single-device sweep is then the same answer without the
         # negative-shift crash in the per-device slice arithmetic
-        if sharded.mesh_fits(mesh, mrf.n):
+        if sharded.fit_mesh(mesh, mrf.n) is not None:
             return _lnZ_streaming_sharded(
                 mrf.cliques, mrf.n, float(mrf.beta), mesh, mrf.theta
             )
@@ -712,15 +712,18 @@ def clique_marginals_clamped_streaming(mrf: MRF, evidence: dict = None,
         if mesh is not None:
             from qcmrf_tpu.parallel import sharded
 
+            mesh = sharded.fit_mesh(mesh, mrf.n)
+        if mesh is not None:
+            from qcmrf_tpu.parallel import sharded
+
             return sharded.sharded_clique_moments(mrf, mesh)
         return clique_moments_streaming(mrf)
     _ve._validate_evidence(mrf.n, evidence)
     red, _ = reduce_evidence(mrf, evidence)
-    if mesh is not None:
+    if mesh is not None and red is not None:
         from qcmrf_tpu.parallel import sharded
 
-        if red is not None and not sharded.mesh_fits(mesh, red.n):
-            mesh = None  # reduced model smaller than the mesh
+        mesh = sharded.fit_mesh(mesh, red.n)
     if red is None:
         rmom = np.zeros((0,), np.float64)
     elif mesh is not None:

@@ -280,8 +280,7 @@ def map_state_clamped(mrf: MRF, evidence: dict, mesh=None):
     if mesh is not None:
         from qcmrf_tpu.parallel import sharded
 
-        if not sharded.mesh_fits(mesh, red.n):
-            mesh = None  # reduced model smaller than the mesh
+        mesh = sharded.fit_mesh(mesh, red.n)
     if mesh is not None:
         from qcmrf_tpu.parallel import sharded
 
@@ -345,8 +344,7 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
         if mesh is not None:
             from qcmrf_tpu.parallel import sharded
 
-            if not sharded.mesh_fits(mesh, red.n):
-                mesh = None  # reduced model smaller than the mesh
+            mesh = sharded.fit_mesh(mesh, red.n)
         if mesh is not None:
             from qcmrf_tpu.parallel import sharded
 
@@ -391,12 +389,16 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
         from qcmrf_tpu.models import train as mtrain
 
         # past cheap table widths, exact IID draws come from
-        # elimination's ancestral pass (stored step factors cost
-        # 2^width floats each); a wide structure falls back to the
-        # enumerated table while it still fits, and past BOTH caps
-        # fails with the limits spelled out rather than OOMing
+        # elimination's ancestral pass — budgeted on BOTH the per-step
+        # width and the total stored-factor floats (a long bounded-width
+        # model passes the width cap yet stores width x steps tables);
+        # a wide structure falls back to the enumerated table while it
+        # still fits, and past every cap fails with the limits spelled
+        # out rather than OOMing
         width = elimination.induced_width(red.cliques, red.n)
-        if width <= mtrain._ELIM_WIDTH_CAP:
+        if width <= mtrain._ELIM_WIDTH_CAP and \
+                elimination.plan_table_floats(red.cliques, red.n) \
+                <= elimination._SAMPLER_TABLE_FLOATS_CAP:
             rbits = np.asarray(elimination.sample_exact_elim(
                 key, red, num_samples))
         elif red.n <= _EXACT_TABLE_HARD_N:
@@ -408,9 +410,10 @@ def sample_conditional(key: jax.Array, mrf: MRF, num_samples: int,
                 f"an enumerable table (free variables {red.n} > cap "
                 f"{_EXACT_TABLE_HARD_N}) or elimination's ancestral "
                 f"sampler (induced width {width} > cap "
-                f"{mtrain._ELIM_WIDTH_CAP}); add evidence to shrink the "
-                f"free set, or use method='gibbs' (approximate) or "
-                f"method='pam'")
+                f"{mtrain._ELIM_WIDTH_CAP}, or its stored step factors "
+                f"over {elimination._SAMPLER_TABLE_FLOATS_CAP:.3g} "
+                f"floats); add evidence to shrink the free set, or use "
+                f"method='gibbs' (approximate) or method='pam'")
     elif method == "gibbs":
         # the bit-array chain: identical systematic-scan semantics to
         # sample_gibbs but local site updates and no int32 state-id

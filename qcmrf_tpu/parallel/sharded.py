@@ -93,6 +93,15 @@ def mesh_fits(mesh: Mesh, n: int) -> bool:
     return n >= _dlog(mesh)
 
 
+def fit_mesh(mesh, n: int):
+    """``mesh`` if an ``n``-variable sweep can shard over it, else
+    ``None`` — the one-line form of the drop-the-mesh fallback every
+    conditional entry point needs (evidence-reduced models routinely
+    shrink below mesh size; round-4 review found four hand-copied
+    variants of this guard drifting apart). Accepts ``None``."""
+    return mesh if mesh is not None and mesh_fits(mesh, n) else None
+
+
 @functools.lru_cache(maxsize=32)
 def _sweep_mesh(mesh: Mesh) -> Mesh:
     """1-D view of ``mesh`` for the sweep / statevector / shot paths,

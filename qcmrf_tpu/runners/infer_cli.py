@@ -29,11 +29,6 @@ from typing import List, Optional
 import numpy as np
 
 
-#: largest reduced model the table-exact sampler will materialize
-#: (2**n float32 logits; matches the replication cap in parallel/sharded)
-_EXACT_SAMPLE_MAX_N = 26
-
-
 def _parse_assignments(spec: str) -> dict:
     """'0=1,5=0' -> {0: 1, 5: 0} (also accepts ';' separators).
     A variable assigned twice is rejected — silently keeping the last
@@ -161,7 +156,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     width = elimination.induced_width(mrf.cliques, mrf.n)
     wide = width > mtrain._ELIM_WIDTH_CAP
     if (wide or mesh is not None) and mrf.n > moments._MAX_N \
-            and args.query != "mmap":  # mmap routes on its own width below
+            and args.query not in ("mmap", "sample"):
+        # mmap routes on its own (constrained) width below, and sample
+        # feasibility is per-method on the REDUCED model (the bit-array
+        # Gibbs chain serves any size) — both exempt (round-4 reviews)
         raise SystemExit(
             f"n={mrf.n} needs the streaming sweep (induced width {width} "
             f"> elimination cap {mtrain._ELIM_WIDTH_CAP}, or --mesh), "
@@ -240,12 +238,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 mrf, req, evidence)
         else:
             # 2^|M| clamped sweeps: enumeration over the max set is the
-            # only exact route past elimination widths — cap the blowup
-            if mrf.n > moments._MAX_N:
+            # only exact route past elimination widths — cap the blowup.
+            # Each sweep clamps evidence AND the max-set bits, so the
+            # feasibility unit is the SWEPT size n - |ev| - |M|, not the
+            # full n (round-4 review finding)
+            swept = mrf.n - len(evidence) - len(M)
+            if swept > moments._MAX_N:
                 raise SystemExit(
                     f"mmap constrained elimination width {cw} > cap "
-                    f"{mtrain._ELIM_WIDTH_CAP} and n={mrf.n} > streaming "
-                    f"cap {moments._MAX_N}: no exact backend; reduce "
+                    f"{mtrain._ELIM_WIDTH_CAP} and each clamped sweep "
+                    f"covers {swept} free variables > streaming cap "
+                    f"{moments._MAX_N}: no exact backend; reduce "
                     "--max-vars or add evidence")
             if len(M) > 16:
                 raise SystemExit(
@@ -281,23 +284,34 @@ def main(argv: Optional[List[str]] = None) -> dict:
         # n for bounded reduced width, or from the 2^nf logits table
         # while it fits; the bit-array Gibbs chain serves any n
         nf = mrf.n - len(evidence)
-        if method == "exact" and nf > _EXACT_SAMPLE_MAX_N:
+        table_cap = msample._EXACT_TABLE_HARD_N  # one shared 2^26 cap
+        if method == "exact" and nf > table_cap:
             red, _ = moments.reduce_evidence(mrf, evidence)
-            rw = (0 if red is None
-                  else elimination.induced_width(red.cliques, red.n))
-            if rw > mtrain._ELIM_WIDTH_CAP:
+            infeasible = red is not None and (
+                elimination.induced_width(red.cliques, red.n)
+                > mtrain._ELIM_WIDTH_CAP
+                or elimination.plan_table_floats(red.cliques, red.n)
+                > elimination._SAMPLER_TABLE_FLOATS_CAP)
+            if infeasible:
                 method = "pam"
                 notes.append(
                     f"method 'exact' needs an enumerable table (2^{nf} "
-                    f"free states > cap 2^{_EXACT_SAMPLE_MAX_N}) or a "
-                    f"bounded reduced width ({rw} > cap "
-                    f"{mtrain._ELIM_WIDTH_CAP}); routed to 'pam'")
+                    f"free states > cap 2^{table_cap}) or a bounded "
+                    f"reduced elimination plan (width cap "
+                    f"{mtrain._ELIM_WIDTH_CAP}, stored-factor cap "
+                    f"{elimination._SAMPLER_TABLE_FLOATS_CAP:.3g} "
+                    f"floats); routed to 'pam'")
         if mesh is not None and method != "pam":
             notes.append(f"--mesh shards the 'pam' sampler only; "
                          f"'{method}' runs single-device")
-        bits = msample.sample_conditional(
-            key, mrf, args.num_samples, evidence, method=method,
-            mesh=mesh if method == "pam" else None)
+        try:
+            bits = msample.sample_conditional(
+                key, mrf, args.num_samples, evidence, method=method,
+                mesh=mesh if method == "pam" else None)
+        except ValueError as e:
+            # a sampler with no feasible backend explains its limits;
+            # surface them as a clean CLI error, not a traceback
+            raise SystemExit(str(e))
         result["method"] = method
         if notes:
             result["note"] = "; ".join(notes)

@@ -224,6 +224,23 @@ def test_exact_elim_sampler_large_chain_marginals():
     assert abs(S[:, n - 1].mean() - 0.5) < 0.02
 
 
+def test_exact_elim_sampler_budgets_total_table_floats():
+    """The ancestral sampler stores EVERY step's factor, so a long
+    bounded-width model can pass the width cap yet need width x steps
+    memory: it must refuse on the total-floats budget with the limits
+    spelled out (round-4 review finding), and plan_table_floats must
+    count what the plan actually stores."""
+    n = 30
+    mrf = chain_mrf(n, theta=-0.1 * np.ones(4 * (n - 1), np.float32))
+    # chain plan: n-1 steps of scope 2 plus the final scope-1 step
+    assert ve.plan_table_floats(mrf.cliques, mrf.n) == 4 * (n - 1) + 2
+    with pytest.raises(ValueError, match="stores every elimination"):
+        ve.sample_exact_elim(jax.random.PRNGKey(0), mrf, 4,
+                             table_floats_cap=10)
+    S = np.asarray(ve.sample_exact_elim(jax.random.PRNGKey(0), mrf, 4))
+    assert S.shape == (4, n)
+
+
 def test_clamped_lnZ_matches_enumeration():
     rng = np.random.RandomState(9)
     mrf = MRF.create([[0, 1], [1, 2], [2, 3]],

@@ -109,6 +109,56 @@ def test_infer_mesh_matches_single_device(model_file):
     assert np.isclose(r["log_mass"], want_v, rtol=1e-5)
 
 
+def test_infer_tiny_model_with_mesh_drops_to_single_device():
+    """A model smaller than the mesh (n=2 on 8 devices) must answer on
+    a single device, not crash in the per-device slice arithmetic —
+    including the NO-evidence marginals early path, which bypassed the
+    fit-mesh guard (round-4 review finding)."""
+    import qcmrf_tpu.models.moments as moments
+    from qcmrf_tpu.models import elimination as ve2
+    from qcmrf_tpu.models.mrf import chain_mrf
+
+    r = infer_cli.main(["--graph", "chain:2", "--query", "marginals",
+                        "--mesh", "4x2"])
+    want = np.asarray(
+        moments.clique_marginals_clamped_streaming(chain_mrf(2), {}),
+        np.float64)
+    np.testing.assert_allclose(np.asarray(r["marginals"]), want,
+                               atol=2e-5)
+
+
+def test_infer_sample_exempt_from_streaming_guard(monkeypatch):
+    """--query sample must not hit the top-level streaming-cap guard:
+    its feasibility is per-method on the reduced model. chain:48 with
+    --mesh previously exited 'n=48 ... caps at n=47' even though exact
+    sampling never touches the sweep (round-4 review finding)."""
+    r = infer_cli.main(["--graph", "chain:48", "--query", "sample",
+                        "--method", "exact", "--mesh", "4x2",
+                        "--num-samples", "3", "--evidence", "0=1"])
+    assert r["method"] == "exact"
+    assert "single-device" in r["note"]
+    assert len(r["samples"]) == 3 and len(r["samples"][0]) == 48
+    assert all(s[0] == 1 for s in r["samples"])
+
+
+def test_infer_mmap_feasibility_is_swept_size(monkeypatch):
+    """Streaming mmap clamps evidence AND the max bits per sweep, so
+    feasibility is the SWEPT size n - |ev| - |M|, not the full n: an
+    n=52 model with enough evidence answers, and the refusal message
+    names the swept size (round-4 review finding)."""
+    from qcmrf_tpu.models import train as mtrain
+
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)  # force streaming
+    ev = ",".join(f"{v}=0" for v in range(4, 44))  # 40 observed
+    r = infer_cli.main(["--graph", "chain:52", "--query", "mmap",
+                        "--max-vars", "0,1", "--evidence", ev])
+    assert r["backend"] == "streaming"
+    assert set(r["max_vars"]) == {"0", "1"}
+    with pytest.raises(SystemExit, match="each clamped sweep covers 50"):
+        infer_cli.main(["--graph", "chain:52", "--query", "mmap",
+                        "--max-vars", "0,1"])
+
+
 def test_infer_graph_theta_and_out(tmp_path):
     rng = np.random.RandomState(1)
     theta_path = tmp_path / "theta.json"
