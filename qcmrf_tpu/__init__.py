@@ -23,6 +23,12 @@ from qcmrf_tpu.models.suite import GRAPHS, ModelSuite, generate_suite, load_suit
 from qcmrf_tpu.models.elimination import (
     clique_marginals as elimination_marginals,
     log_partition as elimination_log_partition,
+    marginal_map,
+    sample_exact_elim,
+)
+from qcmrf_tpu.models.sample import (
+    map_state_clamped,
+    sample_conditional,
 )
 from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded, fit_mle_shots
 from qcmrf_tpu.noise.fit import (
@@ -61,6 +67,10 @@ __all__ = [
     "log_partition_from_counts",
     "elimination_log_partition",
     "elimination_marginals",
+    "marginal_map",
+    "sample_exact_elim",
+    "map_state_clamped",
+    "sample_conditional",
     "CalibratedNoiseModel",
     "fit_calibrated",
     "fit_noise_model",
