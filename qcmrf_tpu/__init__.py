@@ -30,6 +30,12 @@ from qcmrf_tpu.models.sample import (
     map_state_clamped,
     sample_conditional,
 )
+from qcmrf_tpu.models.structure import (
+    StructureFit,
+    candidate_pairs,
+    fit_structure,
+    interaction_norms,
+)
 from qcmrf_tpu.models.train import fit_mle, fit_mle_sharded, fit_mle_shots
 from qcmrf_tpu.noise.fit import (
     CalibratedNoiseModel,
@@ -62,6 +68,10 @@ __all__ = [
     "fit_mle",
     "fit_mle_sharded",
     "fit_mle_shots",
+    "fit_structure",
+    "candidate_pairs",
+    "interaction_norms",
+    "StructureFit",
     "estimate_from_circuit",
     "clique_marginals_exact",
     "log_partition_from_counts",

@@ -10,7 +10,9 @@ Resume with ``--resume`` picks up from the newest checkpoint (SURVEY.md
 §5: the reference's only checkpointing is its JSON artifacts; training
 state checkpointing is a new subsystem). ``--mesh AxB`` runs the sharded
 (amp x data) training step over a device mesh
-(models.train.make_sharded_train_step).
+(models.train.make_sharded_train_step). ``--learn-structure`` selects
+the clique set itself by group-lasso MLE over ``--candidates`` before
+the final fit (models/structure.py).
 """
 
 from __future__ import annotations
@@ -83,6 +85,19 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "shots, shots shard over all A*B devices")
     parser.add_argument("--platform", type=str, default="default",
                         choices=["cpu", "tpu", "default"])
+    parser.add_argument("--learn-structure", action="store_true",
+                        help="select the clique structure itself by "
+                             "group-lasso MLE over --candidates before "
+                             "the final fit (models/structure.py); "
+                             "--graph then only sets n and the synthetic "
+                             "ground truth")
+    parser.add_argument("--candidates", type=str, default="pairs",
+                        help="'pairs' (all n*(n-1)/2 edges) or a JSON "
+                             "clique-list path; size >= 2 only")
+    parser.add_argument("--l1", type=float, default=0.02,
+                        help="group-lasso strength for --learn-structure")
+    parser.add_argument("--prune-tol", type=float, default=0.05,
+                        help="absolute interaction-norm prune cut")
     args = parse_with_config(parser, argv)
 
     if args.platform != "default":
@@ -136,6 +151,10 @@ def main(argv: Optional[List[str]] = None) -> str:
     if big and args.grad == "shots":
         raise SystemExit("--grad shots needs the circuit sampler's int32 "
                          "state ids (n <= 30)")
+    if args.learn_structure and (big or args.mesh or args.grad != "exact"):
+        raise SystemExit("--learn-structure runs the single-device exact "
+                         "NLL (n <= 30, no --mesh, --grad exact); the "
+                         "selection gradient needs the exact backends")
     os.makedirs(args.outdir, exist_ok=True)
     dump_effective_config(args, os.path.join(args.outdir, "train_config.json"))
 
@@ -185,6 +204,37 @@ def main(argv: Optional[List[str]] = None) -> str:
             )
         with open(os.path.join(args.outdir, "data.json"), "w") as f:
             json.dump(np.asarray(data).tolist(), f)
+
+    if args.learn_structure:
+        from qcmrf_tpu.models import structure as mstruct
+
+        if args.candidates == "pairs":
+            cands = mstruct.candidate_pairs(template.n)
+        else:
+            with open(args.candidates) as f:
+                cands = json.load(f)
+        fit = mstruct.fit_structure(
+            cands, data, template.n, lam=args.l1, steps=args.steps,
+            learning_rate=args.lr, prune_tol=args.prune_tol)
+        out_path = os.path.join(args.outdir, "fitted_model.json")
+        with open(out_path, "w") as f:
+            json.dump(
+                {"cliques": [list(C) for C in fit.mrf.cliques],
+                 "theta": np.asarray(fit.mrf.theta, np.float64).tolist(),
+                 "final_nll": fit.nll,
+                 "structure": {
+                     "selected": fit.selected,
+                     "candidates": [list(C) for C in cands],
+                     "interaction_norm": fit.group_norm.tolist(),
+                     "template_cliques": fit.cliques,
+                     "threshold": fit.threshold,
+                     "l1": args.l1,
+                 }},
+                f, indent=2,
+            )
+        print(f"selected {len(fit.selected)}/{len(cands)} candidates "
+              f"(cut {fit.threshold:.4g}); wrote {out_path}")
+        return out_path
 
     opt = optax.adam(args.lr)
     init = template.with_theta(jnp.full((template.dimension,), -0.5))

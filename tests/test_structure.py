@@ -1,0 +1,101 @@
+"""Structure learning: group-lasso MLE recovers a planted graph.
+
+The reference has no structure learning (it evaluates fixed random
+structures, /root/reference/run_experiment.py:20-38); this pins the new
+capability's selection correctness and its gauge/unary invariances.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models import sample as msample
+from qcmrf_tpu.models import structure as mstruct
+from qcmrf_tpu.models.mrf import MRF
+
+
+def planted_chain(n, seed, w=1.0):
+    """Chain MRF whose every edge has interaction norm exactly ``w``
+    (coupling pattern [0,1,1,0]*(-w) + random unary parts), so recovery
+    cannot miss an edge for lack of planted signal (a raw random block
+    can have near-zero interaction content by chance)."""
+    rng = np.random.RandomState(seed)
+    edges = [[i, i + 1] for i in range(n - 1)]
+    blocks = []
+    for _ in edges:
+        a, b = -np.abs(rng.randn(2)) * 0.4
+        blk = -w * np.array([0, 1, 1, 0.0])
+        blk += np.array([0, b, 0, b]) + np.array([0, 0, a, a])
+        blocks.append(blk - blk.max())  # shift into theta <= 0 (gauge)
+    return MRF.create(edges, theta=np.concatenate(blocks), n=n), edges
+
+
+def test_recovers_planted_chain():
+    n = 6
+    true, edges = planted_chain(n, seed=5)
+    data = msample.sample_exact(jax.random.PRNGKey(11), true, 6000)
+    fit = mstruct.fit_structure(
+        mstruct.candidate_pairs(n), data, n, lam=0.05, steps=350)
+    assert fit.selected == edges
+    # the refit model reproduces the planted distribution
+    p_true = np.asarray(true.gibbs_probs())
+    p_fit = np.asarray(fit.mrf.gibbs_probs())
+    np.testing.assert_allclose(p_fit, p_true, atol=0.02)
+    # report shape: one norm per template clique, singletons first and 0
+    assert len(fit.group_norm) == n + len(mstruct.candidate_pairs(n))
+    np.testing.assert_allclose(fit.group_norm[:n], 0.0)
+
+
+def test_interaction_norm_invariances():
+    """Gauge shifts (constants) and unary components don't register."""
+    m = MRF.create([[0, 1]], theta=np.zeros(4))
+    base = np.array([-0.2, -1.1, -1.3, -0.1])
+    w = mstruct.interaction_norms(m, base)[0]
+    # + constant: unchanged
+    assert np.isclose(mstruct.interaction_norms(m, base - 2.0)[0], w)
+    # + pure unary f(y0) + g(y1) (y0 slowest in the block layout):
+    # unchanged
+    unary = np.array([0.7, 0.7, 0.0, 0.0]) + np.array([0.0, 0.3, 0.0, 0.3])
+    assert np.isclose(mstruct.interaction_norms(m, base + unary)[0], w)
+    # pure-interaction block: norm is the coupling magnitude
+    assert np.isclose(
+        mstruct.interaction_norms(m, -0.5 * np.array([0, 1, 1, 0.0]))[0],
+        0.5)
+
+
+def test_interaction_projector_orders():
+    """Size-3 projector keeps exactly the order>=2 character span."""
+    P = mstruct._interaction_projector(3)
+    # idempotent
+    np.testing.assert_allclose(P @ P, P, atol=1e-12)
+    # rank = #subsets of order >= 2 = C(3,2) + C(3,3) = 4
+    assert np.isclose(np.trace(P), 4.0)
+    # kills constants and single-variable characters
+    y = np.arange(8)
+    for s in (0, 1, 2, 4):
+        chi = np.where(
+            np.vectorize(lambda v: bin(v & s).count("1"))(y) % 2 == 0,
+            1.0, -1.0)
+        np.testing.assert_allclose(P @ chi, 0.0, atol=1e-12)
+
+
+def test_prune_tol_override_and_independent_data():
+    """Independent data selects nothing; explicit prune_tol is honored."""
+    n = 4
+    key = jax.random.PRNGKey(0)
+    data = jax.random.randint(key, (4000,), 0, 1 << n)
+    fit = mstruct.fit_structure(
+        mstruct.candidate_pairs(n), data, n, lam=0.1, steps=200,
+        prune_tol=0.25)
+    assert fit.selected == []
+    assert fit.threshold == 0.25
+    # the refit is the singleton (independent) model and still trains
+    assert all(len(C) == 1 for C in fit.mrf.cliques)
+    assert np.isfinite(fit.nll)
+
+
+def test_singleton_candidates_rejected():
+    with pytest.raises(ValueError, match="size >= 2"):
+        mstruct.fit_structure([[0], [0, 1]], jnp.zeros(4, jnp.int32), 2)

@@ -247,3 +247,32 @@ def test_empirical_moments_match_state_id_path():
     bits = np.asarray(bits_from_state_id(x, mrf.n))
     mu_bits = np.asarray(mtrain.empirical_moments_from_bits(mrf, bits))
     np.testing.assert_allclose(mu_bits, mu_ids, atol=1e-6)
+
+
+def test_learn_structure_mode(tmp_path):
+    """--learn-structure recovers a planted chain's edges from synthetic
+    data and writes the selection report alongside the refit model."""
+    out = _run(tmp_path, "--steps", "250", "--learn-structure",
+               "--samples", "4096")
+    with open(out) as f:
+        fitted = json.load(f)
+    rep = fitted["structure"]
+    # candidates = all C(5,2)=10 pairs; one norm per template clique
+    assert len(rep["candidates"]) == 10
+    assert len(rep["interaction_norm"]) == 5 + 10
+    # exact recovery: seed 3's planted chain has interaction strengths
+    # 0.23..1.56, all detectable at 4096 samples under the default lam
+    assert rep["selected"] == [[i, i + 1] for i in range(4)]
+    # refit model = singletons + survivors, theta length consistent
+    assert fitted["cliques"][:5] == [[v] for v in range(5)]
+    assert len(fitted["theta"]) == sum(
+        2 ** len(c) for c in fitted["cliques"])
+
+
+def test_learn_structure_guards(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="learn-structure"):
+        _run(tmp_path, "--learn-structure", "--mesh", "4x2")
+    with pytest.raises(SystemExit, match="learn-structure"):
+        _run(tmp_path, "--learn-structure", "--grad", "shots")
