@@ -25,6 +25,7 @@ _EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
         ("05_hardware_emulation.py", "/tmp/success_torino.pdf"),
         ("06_wide_structure_training.py", None),
         ("07_inference_serving.py", None),
+        ("08_structure_learning.py", None),
     ],
 )
 def test_example_smoke(name, output):
