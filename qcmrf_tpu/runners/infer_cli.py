@@ -17,6 +17,9 @@ induced width goes through differentiable variable elimination (any n);
 wide structures go through the streaming sweeps (structural cap
 n <= 47), which also shard over a device mesh with ``--mesh AxB``.
 Output is one JSON object on stdout (plus ``--out`` to write a file).
+``--queries file.jsonl`` serves a BATCH: one line of per-query
+overrides each, answered in one process so compiled backends are
+reused across queries (JSONL out, ``index`` echoes the line order).
 """
 
 from __future__ import annotations
@@ -106,8 +109,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
     parser.add_argument("--mesh", type=str, default=None,
                         help="AxB: shard the streaming sweeps over a "
                              "device mesh")
+    parser.add_argument("--queries", type=str, default=None,
+                        help="JSONL file of per-query overrides (keys: "
+                             "query/evidence/of/max_vars/num_samples/"
+                             "method/sample_seed) answered in one process "
+                             "— compiled backends are reused across lines")
     parser.add_argument("--out", type=str, default=None,
-                        help="also write the result JSON to this path")
+                        help="also write the result JSON to this path "
+                             "(JSONL with --queries)")
     parser.add_argument("--platform", type=str, default="default",
                         choices=["cpu", "tpu", "default"])
     from qcmrf_tpu.utils.config import parse_with_config
@@ -120,11 +129,6 @@ def main(argv: Optional[List[str]] = None) -> dict:
     from qcmrf_tpu.utils.config import enable_compilation_cache
     enable_compilation_cache()
 
-    import jax
-
-    from qcmrf_tpu.models import elimination, moments
-    from qcmrf_tpu.models import sample as msample
-    from qcmrf_tpu.models import train as mtrain
     from qcmrf_tpu.models.mrf import MRF
     from qcmrf_tpu.runners.train_cli import _make_mesh, parse_graph
 
@@ -148,9 +152,71 @@ def main(argv: Optional[List[str]] = None) -> dict:
         raise SystemExit("pass --model fitted_model.json or --graph ...")
     mrf = MRF.create(cliques, theta=theta, beta=beta)
 
+    mesh = _make_mesh(args.mesh) if args.mesh else None
+
+    if args.queries:
+        # batch serving: one JSONL line of per-query overrides each
+        # ("query"/"evidence"/"of"/"max_vars"/"num_samples"/"method"/
+        # "sample_seed"), answered in-process so every compiled backend
+        # (elimination plans, streaming kernels, samplers) is reused
+        # across queries instead of re-jitted per CLI invocation
+        import copy
+
+        allowed = {"query", "evidence", "of", "max_vars", "num_samples",
+                   "method", "sample_seed"}
+        results = []
+        with open(args.queries) as f:
+            specs = [json.loads(line) for line in f if line.strip()]
+        for i, spec in enumerate(specs):
+            bad = set(spec) - allowed
+            if bad:
+                raise SystemExit(
+                    f"--queries line {i + 1}: unknown keys {sorted(bad)} "
+                    f"(allowed: {sorted(allowed)})")
+            qargs = copy.copy(args)
+            for k, v in spec.items():
+                # JSON-native forms coerce to the flag formats:
+                # evidence {"0": 1} -> "0=1", max_vars [1, 2] -> "1,2"
+                if k == "evidence" and isinstance(v, dict):
+                    v = ",".join(f"{u}={b}" for u, b in v.items())
+                elif k in ("max_vars", "of") and isinstance(v, (list, dict)):
+                    v = (",".join(f"{u}={b}" for u, b in v.items())
+                         if isinstance(v, dict)
+                         else ",".join(str(u) for u in v))
+                setattr(qargs, k, v)
+            res = _answer(mrf, qargs, mesh, beta)
+            res["index"] = i
+            results.append(res)
+        out_f = open(args.out, "w") if args.out else None
+        for res in results:
+            line = json.dumps(res)
+            print(line)
+            if out_f:
+                out_f.write(line + "\n")
+        if out_f:
+            out_f.close()
+        return results
+
+    result = _answer(mrf, args, mesh, beta)
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return result
+
+
+def _answer(mrf, args, mesh, beta) -> dict:
+    """Answer one query namespace against a loaded model (the body of
+    ``main``; split out so ``--queries`` batches reuse it per line)."""
+    import jax
+
+    from qcmrf_tpu.models import elimination, moments
+    from qcmrf_tpu.models import sample as msample
+    from qcmrf_tpu.models import train as mtrain
+
     evidence = _parse_assignments(args.evidence)
     elimination._validate_evidence(mrf.n, evidence)
-    mesh = _make_mesh(args.mesh) if args.mesh else None
 
     # ---- backend routing (mirrors models.train._nll) ----------------------
     width = elimination.induced_width(mrf.cliques, mrf.n)
@@ -317,11 +383,6 @@ def main(argv: Optional[List[str]] = None) -> dict:
             result["note"] = "; ".join(notes)
         result["samples"] = np.asarray(bits, np.int32).tolist()
 
-    line = json.dumps(result)
-    print(line)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(line + "\n")
     return result
 
 

@@ -322,3 +322,49 @@ def test_infer_mesh_smaller_than_reduced_model(model_file, monkeypatch):
     want_a, want_v = ve.marginal_map(mrf, [0, 1, 4], {2: 1})
     assert r["max_vars"] == {str(v): b for v, b in want_a.items()}
     assert np.isclose(r["log_mass"], want_v, rtol=1e-5)
+
+
+def test_infer_batch_queries(model_file, tmp_path, capsys):
+    """--queries answers a JSONL batch in one process, each line equal to
+    the corresponding single-query invocation; JSON-native evidence
+    dicts and max_vars lists coerce to the flag formats."""
+    path, mrf = model_file
+    qfile = tmp_path / "queries.jsonl"
+    out = tmp_path / "answers.jsonl"
+    qfile.write_text("\n".join(json.dumps(q) for q in [
+        {"query": "lnz"},
+        {"query": "lnz", "evidence": {"0": 1}},
+        {"query": "prob", "of": "3=1", "evidence": "1=0"},
+        {"query": "map"},
+        {"query": "mmap", "max_vars": [0, 2]},
+        {"query": "sample", "num_samples": 5, "sample_seed": 7},
+    ]) + "\n")
+    batch = infer_cli.main(["--model", path, "--queries", str(qfile),
+                            "--out", str(out)])
+    assert [r["index"] for r in batch] == list(range(6))
+    singles = [
+        _run(path, "--query", "lnz"),
+        _run(path, "--query", "lnz", "--evidence", "0=1"),
+        _run(path, "--query", "prob", "--of", "3=1", "--evidence", "1=0"),
+        _run(path, "--query", "map"),
+        _run(path, "--query", "mmap", "--max-vars", "0,2"),
+        _run(path, "--query", "sample", "--num-samples", "5",
+             "--sample-seed", "7"),
+    ]
+    for got, want in zip(batch, singles):
+        got = dict(got)
+        got.pop("index")
+        assert got == want
+    # --out carries the same lines
+    lines = [json.loads(x) for x in out.read_text().splitlines()]
+    assert lines == batch
+    capsys.readouterr()
+
+
+def test_infer_batch_rejects_unknown_keys(model_file, tmp_path, capsys):
+    path, _ = model_file
+    qfile = tmp_path / "queries.jsonl"
+    qfile.write_text('{"query": "lnz", "mesh": "2x1"}\n')
+    with pytest.raises(SystemExit, match="unknown keys"):
+        infer_cli.main(["--model", path, "--queries", str(qfile)])
+    capsys.readouterr()
