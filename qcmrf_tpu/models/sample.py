@@ -32,18 +32,43 @@ _EXACT_TABLE_N = 20
 #: table (256 MB) still enumerates; past this there is no exact sampler
 _EXACT_TABLE_HARD_N = 26
 
+#: sample_exact: max num_samples * num_states for the single-stage
+#: categorical (whose Gumbel matrix is that many floats); bigger draws
+#: split into the exact two-stage block categorical
+_CATEGORICAL_BUDGET = 1 << 28
+
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_exact(key: jax.Array, mrf: MRF, num_samples: int) -> jax.Array:
     """IID exact samples (state ids) from the Gibbs distribution.
 
     Uses the full ``2**n`` logits table — the exact analog of the
-    reference's post-selected quantum sampling target.
+    reference's post-selected quantum sampling target. One categorical
+    over the table broadcasts a ``(num_samples, 2**n)`` Gumbel matrix
+    (``jax.random.categorical`` semantics), which stops fitting long
+    before the table itself does (n=24 x 8000 draws would be a 0.5 TB
+    matrix while the table is 64 MB) — past a memory budget the draw
+    splits into an EXACT two-stage categorical: P(x) factorizes as
+    P(block) * P(x | block) over any fixed partition of the state space,
+    so sampling a block from per-block logsumexp masses and then a state
+    within the chosen block is distribution-identical, and both stages'
+    Gumbel matrices stay at ``num_samples * 2**(n/2)``. Draws below the
+    budget are bit-identical to the historical single-stage path.
     """
     logits = mrf.beta * mrf.all_log_potentials()
-    return jax.random.categorical(key, logits, shape=(num_samples,)).astype(
-        jnp.int32
-    )
+    n = mrf.n
+    if num_samples * (1 << n) <= _CATEGORICAL_BUDGET:
+        return jax.random.categorical(
+            key, logits, shape=(num_samples,)).astype(jnp.int32)
+    bbits = (n + 1) // 2  # blocks ~ sqrt(num_states)
+    nblk = 1 << bbits
+    per = logits.reshape(nblk, (1 << n) // nblk)
+    k1, k2 = jax.random.split(key)
+    blk = jax.random.categorical(
+        key=k1, logits=jax.scipy.special.logsumexp(per, axis=1),
+        shape=(num_samples,))
+    within = jax.random.categorical(k2, per[blk])  # per-row draw
+    return (blk * per.shape[1] + within).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

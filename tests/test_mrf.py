@@ -129,6 +129,22 @@ def test_sample_exact_distribution():
     np.testing.assert_allclose(emp, p, atol=0.01)
 
 
+def test_sample_exact_blocked_two_stage(monkeypatch):
+    """Past the Gumbel-matrix budget sample_exact splits into the exact
+    two-stage (block, within-block) categorical: same distribution, and
+    the gate actually prevents the num_samples x 2^n broadcast (n=24 at
+    8000 draws would be a 0.5 TB matrix on the one-stage path)."""
+    monkeypatch.setattr(msample, "_CATEGORICAL_BUDGET", 1 << 10)
+    rng = np.random.RandomState(7)
+    mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))
+    # 8 states x 40001 samples >> patched budget -> blocked path
+    # (odd count also forces a fresh jit trace under the patch)
+    s = np.asarray(msample.sample_exact(jax.random.PRNGKey(2), mrf, 40001))
+    emp = np.bincount(s, minlength=8) / len(s)
+    p = np.asarray(mrf.gibbs_probs())
+    np.testing.assert_allclose(emp, p, atol=0.01)
+
+
 def test_sample_gibbs_distribution():
     rng = np.random.RandomState(6)
     mrf = MRF.create([[0, 1], [1, 2]], theta=-np.abs(rng.randn(8)))

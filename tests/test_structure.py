@@ -99,3 +99,25 @@ def test_prune_tol_override_and_independent_data():
 def test_singleton_candidates_rejected():
     with pytest.raises(ValueError, match="size >= 2"):
         mstruct.fit_structure([[0], [0, 1]], jnp.zeros(4, jnp.int32), 2)
+
+
+@pytest.mark.slow
+def test_structure_learning_past_enumeration():
+    """Selection at n=24: the NLL routes through differentiable variable
+    elimination (models.train._nll, n > 22), so structure learning works
+    beyond the 2^n enumeration the small tests use. Planted chain with
+    guaranteed coupling; candidates = the chain plus spurious long-range
+    pairs (a full pairwise candidate set would be elimination-hostile by
+    construction — candidate sets at scale encode structural priors)."""
+    n = 24
+    true, edges = planted_chain(n, seed=2)
+    data = msample.sample_exact(jax.random.PRNGKey(4), true, 8000)
+    rng = np.random.RandomState(9)
+    spurious = []
+    while len(spurious) < 10:
+        i, j = sorted(rng.randint(0, n, 2).tolist())
+        if j - i > 1 and [i, j] not in spurious:
+            spurious.append([i, j])
+    cands = edges + spurious
+    fit = mstruct.fit_structure(cands, data, n, steps=250)
+    assert fit.selected == edges
