@@ -26,6 +26,7 @@ from qcmrf_tpu.models.elimination import (
     marginal_map,
     sample_exact_elim,
 )
+from qcmrf_tpu.models.ais import ais_log_partition
 from qcmrf_tpu.models.sample import (
     map_state_clamped,
     sample_conditional,
@@ -79,6 +80,7 @@ __all__ = [
     "elimination_marginals",
     "marginal_map",
     "sample_exact_elim",
+    "ais_log_partition",
     "map_state_clamped",
     "sample_conditional",
     "CalibratedNoiseModel",

@@ -113,6 +113,37 @@ def sample_gibbs(
     return xs[burn::thin][:num_samples]
 
 
+def bits_site_delta_fn(mrf: MRF):
+    """``site_delta(v, bits)`` = theta(bits with v=1) − theta(bits with
+    v=0) from only the cliques touching ``v`` — the local-energy core
+    shared by the bit-array Gibbs sweep here and the AIS transition
+    kernel (models/ais.py). Structure is consumed host-side, so the
+    returned closure traces under jit (theta layout: y binary-counting,
+    slot 0 slowest — models/mrf.py)."""
+    # static per-variable clique membership: (clique k, position j)
+    touch = [[] for _ in range(mrf.n)]
+    for k, C in enumerate(mrf.cliques):
+        for j, v in enumerate(C):
+            touch[v].append((k, j))
+    offs = mrf.theta_offsets
+
+    def site_delta(v, bits):
+        d = jnp.zeros((), mrf.theta.dtype)
+        for k, j in touch[v]:
+            C = mrf.cliques[k]
+            m = len(C)
+            idx = jnp.zeros((), jnp.int32)
+            for jj, u in enumerate(C):
+                if jj != j:
+                    idx = idx + (bits[u] << (m - 1 - jj))
+            hi = mrf.theta[offs[k] + idx + (1 << (m - 1 - j))]
+            lo = mrf.theta[offs[k] + idx]
+            d = d + (hi - lo)
+        return d
+
+    return site_delta
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def sample_gibbs_bits(
     key: jax.Array,
@@ -133,27 +164,7 @@ def sample_gibbs_bits(
     sampler for wide structures at large n, where both the exact
     ancestral sampler and PAM refuse."""
     n = mrf.n
-    # static per-variable clique membership: (clique k, position j)
-    touch = [[] for _ in range(n)]
-    for k, C in enumerate(mrf.cliques):
-        for j, v in enumerate(C):
-            touch[v].append((k, j))
-    offs = mrf.theta_offsets
-
-    def site_delta(v, bits):
-        """theta(bits with v=1) - theta(bits with v=0), local terms."""
-        d = jnp.zeros((), mrf.theta.dtype)
-        for k, j in touch[v]:
-            C = mrf.cliques[k]
-            m = len(C)
-            idx = jnp.zeros((), jnp.int32)
-            for jj, u in enumerate(C):
-                if jj != j:
-                    idx = idx + (bits[u] << (m - 1 - jj))
-            hi = mrf.theta[offs[k] + idx + (1 << (m - 1 - j))]
-            lo = mrf.theta[offs[k] + idx]
-            d = d + (hi - lo)
-        return d
+    site_delta = bits_site_delta_fn(mrf)
 
     def sweep(bits, key_sweep):
         keys = jax.random.split(key_sweep, n)

@@ -5,7 +5,10 @@ The serving counterpart of the reference oracle's query API
 /root/reference/eval.py:92-113): load a model — typically the train
 CLI's ``fitted_model.json`` — and answer the standard query set:
 
-    lnz        log-partition (or evidence log-mass with ``--evidence``)
+    lnz        log-partition (or evidence log-mass with ``--evidence``);
+               ``--method ais`` estimates it by annealed importance
+               sampling with an ESS/stderr report — the no-cap route
+               for wide structures past the streaming sweeps' n <= 47
     prob       P(x_v = b | evidence)         (``--of v=b``)
     map        evidence-constrained MAP/MPE state
     mmap       marginal MAP over ``--max-vars`` (sum out the rest)
@@ -103,8 +106,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
                              "for --query mmap (the rest are summed out)")
     parser.add_argument("--num-samples", type=int, default=100)
     parser.add_argument("--method", type=str, default="exact",
-                        choices=["exact", "gibbs", "pam"],
-                        help="sampler for --query sample")
+                        choices=["exact", "gibbs", "pam", "ais"],
+                        help="sampler for --query sample; 'ais' on "
+                             "--query lnz estimates by annealed "
+                             "importance sampling (any structure/size)")
+    parser.add_argument("--ais-chains", type=int, default=256)
+    parser.add_argument("--ais-temps", type=int, default=128)
     parser.add_argument("--sample-seed", type=int, default=0)
     parser.add_argument("--mesh", type=str, default=None,
                         help="AxB: shard the streaming sweeps over a "
@@ -221,11 +228,13 @@ def _answer(mrf, args, mesh, beta) -> dict:
     # ---- backend routing (mirrors models.train._nll) ----------------------
     width = elimination.induced_width(mrf.cliques, mrf.n)
     wide = width > mtrain._ELIM_WIDTH_CAP
+    ais_lnz = args.query == "lnz" and args.method == "ais"
     if (wide or mesh is not None) and mrf.n > moments._MAX_N \
-            and args.query not in ("mmap", "sample"):
-        # mmap routes on its own (constrained) width below, and sample
+            and args.query not in ("mmap", "sample") and not ais_lnz:
+        # mmap routes on its own (constrained) width below, sample
         # feasibility is per-method on the REDUCED model (the bit-array
-        # Gibbs chain serves any size) — both exempt (round-4 reviews)
+        # Gibbs chain serves any size), and AIS lnz has no width or n
+        # cap at all — all exempt (round-4 reviews)
         raise SystemExit(
             f"n={mrf.n} needs the streaming sweep (induced width {width} "
             f"> elimination cap {mtrain._ELIM_WIDTH_CAP}, or --mesh), "
@@ -238,7 +247,26 @@ def _answer(mrf, args, mesh, beta) -> dict:
               "backend": "streaming" if use_streaming else "elimination"}
 
     if args.query == "lnz":
-        if use_streaming:
+        if ais_lnz:
+            # stochastic estimate for ANY structure/size (the regime
+            # where both exact backends refuse): AIS on the evidence-
+            # reduced model, ln mass = beta*const + lnZ(reduced)
+            from qcmrf_tpu.models import ais as mais
+
+            red, const = (moments.reduce_evidence(mrf, evidence)
+                          if evidence else (mrf, 0.0))
+            lnz_red, diag = mais.ais_log_partition(
+                jax.random.PRNGKey(args.sample_seed), red,
+                num_chains=args.ais_chains, num_temps=args.ais_temps,
+                return_diagnostics=True)
+            val = float(beta) * float(const) + float(lnz_red)
+            result["backend"] = "ais"
+            result["ais"] = {"chains": args.ais_chains,
+                             "temps": args.ais_temps,
+                             "seed": args.sample_seed,
+                             "ess": float(diag["ess"]),
+                             "stderr": float(diag["stderr"])}
+        elif use_streaming:
             val = moments.log_partition_clamped_streaming(
                 mrf, evidence, mesh)
         else:

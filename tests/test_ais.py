@@ -1,0 +1,143 @@
+"""Annealed importance sampling: lnZ estimates for any structure/size.
+
+The stochastic backend that serves where BOTH exact routes refuse
+(induced width past elimination's cap AND n past the streaming sweeps'
+n <= 47) — the same regime where the reference oracle (px, SURVEY.md
+§2.3 N5) has no answer either.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qcmrf_tpu.models import ais, elimination
+from qcmrf_tpu.models.mrf import MRF, chain_mrf, grid_mrf
+from qcmrf_tpu.runners import infer_cli
+
+
+def test_logpot_bits_matches_state_id_logpot():
+    rng = np.random.RandomState(0)
+    m = grid_mrf(3, 3)
+    m = m.with_theta(jnp.asarray(
+        -np.abs(rng.randn(m.dimension)).astype(np.float32)))
+    for x in rng.randint(0, m.num_states, size=8):
+        # variable v = bit (n-1-v) of the state id (utils/bits.py)
+        bits = jnp.asarray(
+            [(int(x) >> (m.n - 1 - v)) & 1 for v in range(m.n)],
+            jnp.int32)
+        assert np.isclose(float(ais.logpot_bits(m, bits)),
+                          float(m.log_potential(int(x))), atol=1e-5)
+
+
+def test_ais_matches_exact_small():
+    rng = np.random.RandomState(1)
+    m = grid_mrf(3, 3)
+    m = m.with_theta(jnp.asarray(
+        -np.abs(rng.randn(m.dimension)).astype(np.float32) * 0.4))
+    exact = float(m.log_partition())
+    lnz, diag = ais.ais_log_partition(
+        jax.random.PRNGKey(0), m, num_chains=256, num_temps=128,
+        return_diagnostics=True)
+    se = float(diag["stderr"])
+    assert abs(float(lnz) - exact) < max(4 * se, 0.02)
+    ess = float(diag["ess"])
+    assert 1.0 < ess <= 256.0
+    assert diag["log_weights"].shape == (256,)
+
+
+def test_ais_matches_elimination_large_chain():
+    # n = 40 is past the 2^n table; elimination is the exact oracle
+    rng = np.random.RandomState(2)
+    m = chain_mrf(40)
+    m = m.with_theta(jnp.asarray(
+        -np.abs(rng.randn(m.dimension)).astype(np.float32) * 0.3))
+    exact = float(elimination.log_partition(m))
+    lnz, diag = ais.ais_log_partition(
+        jax.random.PRNGKey(1), m, num_chains=128, num_temps=96,
+        return_diagnostics=True)
+    assert abs(float(lnz) - exact) < max(4 * float(diag["stderr"]), 0.05)
+
+
+def test_ais_beta_scaling():
+    # lnZ(beta) depends on beta through the annealing target; at
+    # beta=0 every weight is exactly 0 and lnZ = n ln 2 bit-exactly
+    m = chain_mrf(6, beta=0.0)
+    m = m.with_theta(jnp.full((m.dimension,), -1.0, jnp.float32))
+    lnz = ais.ais_log_partition(
+        jax.random.PRNGKey(0), m, num_chains=16, num_temps=8)
+    assert float(lnz) == pytest.approx(6 * np.log(2.0), abs=1e-6)
+
+
+def _wide_past_cap_model(theta_scale: float):
+    """n=48 with a K27 complete subgraph: induced width 26 > the
+    elimination cap AND n > the streaming sweeps' 47 — both exact
+    backends refuse, AIS is the only lnZ route."""
+    n = 48
+    cliques = [[i, j] for i in range(27) for j in range(i + 1, 27)]
+    cliques += [[i, i + 1] for i in range(26, n - 1)]
+    m = MRF.create(cliques)
+    rng = np.random.RandomState(3)
+    return m.with_theta(jnp.asarray(
+        -np.abs(rng.randn(m.dimension)).astype(np.float32) * theta_scale))
+
+
+@pytest.mark.slow  # the unrolled K27 sweep is compile-heavy (~2 min)
+def test_ais_past_both_exact_caps():
+    m = _wide_past_cap_model(0.01)
+    lnz, diag = ais.ais_log_partition(
+        jax.random.PRNGKey(0), m, num_chains=64, num_temps=16,
+        return_diagnostics=True)
+    # theta <= 0 bounds: n ln2 + min logpot <= lnZ <= n ln2
+    ub = 48 * np.log(2.0)
+    lb = ub + float(jnp.sum(jnp.min(
+        m.theta.reshape(-1, 4), axis=1)))
+    assert lb - 1e-3 <= float(lnz) <= ub + 1e-3
+    assert float(diag["ess"]) > 8.0  # weak coupling: weights healthy
+
+
+def test_infer_cli_ais_route(tmp_path):
+    # small model: AIS answer agrees with the exact backend
+    rng = np.random.RandomState(4)
+    cliques = [[i, i + 1] for i in range(5)]
+    probe = MRF.create(cliques)
+    theta = (-np.abs(rng.randn(probe.dimension)) * 0.3).tolist()
+    path = tmp_path / "m.json"
+    path.write_text(json.dumps({"cliques": cliques, "theta": theta}))
+    exact = infer_cli.main(["--model", str(path), "--query", "lnz"])
+    r = infer_cli.main(["--model", str(path), "--query", "lnz",
+                        "--method", "ais",
+                        "--ais-chains", "128", "--ais-temps", "64"])
+    assert r["backend"] == "ais"
+    tol = max(4 * r["ais"]["stderr"], 0.05)
+    assert abs(r["lnz"] - exact["lnz"]) < tol
+    assert r["ais"]["ess"] > 16
+
+    # evidence composes through reduce_evidence
+    re_ = infer_cli.main(["--model", str(path), "--query", "lnz",
+                          "--evidence", "0=1", "--method", "ais",
+                          "--ais-chains", "128", "--ais-temps", "64"])
+    ex_ = infer_cli.main(["--model", str(path), "--query", "lnz",
+                          "--evidence", "0=1"])
+    assert abs(re_["log_mass"] - ex_["log_mass"]) < max(
+        4 * re_["ais"]["stderr"], 0.05)
+
+
+@pytest.mark.slow  # same K27 compile as test_ais_past_both_exact_caps
+def test_infer_cli_ais_past_cap(tmp_path):
+    # the refusal regime: exact lnz raises, --method ais serves it
+    m = _wide_past_cap_model(0.0)
+    path = tmp_path / "wide.json"
+    path.write_text(json.dumps({
+        "cliques": [list(C) for C in m.cliques],
+        "theta": np.zeros(m.dimension).tolist()}))
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--model", str(path), "--query", "lnz"])
+    r = infer_cli.main(["--model", str(path), "--query", "lnz",
+                        "--method", "ais",
+                        "--ais-chains", "8", "--ais-temps", "4"])
+    # theta = 0: every weight is exactly 0, lnZ = 48 ln 2 bit-exactly
+    assert r["lnz"] == pytest.approx(48 * np.log(2.0), abs=1e-4)

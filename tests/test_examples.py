@@ -2,9 +2,9 @@
 
 Each example honors QCMRF_EXAMPLE_SMOKE (fewer shots/steps, CPU pinned
 pre-backend-init) so the dev tier catches example rot without paying the
-full-size runtimes (VERDICT round-3 item 7). Example 03 is the sharded
-walkthrough; its code paths are covered by tests/test_sharded.py on the
-virtual mesh, and at full size it needs the n=24 state table.
+full-size runtimes (VERDICT round-3 item 7). Example 03's smoke mode
+builds its own 8-device virtual CPU mesh (flags set pre-backend-init)
+and drops to an n=12 table.
 """
 
 import os
@@ -21,6 +21,7 @@ _EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
     [
         ("01_build_and_sample.py", None),
         ("02_reference_suite.py", None),
+        ("03_large_scale_sharded.py", None),
         ("04_training.py", None),
         ("05_hardware_emulation.py", "/tmp/success_torino.pdf"),
         ("06_wide_structure_training.py", None),
