@@ -26,7 +26,7 @@ from qcmrf_tpu.models.elimination import (
     marginal_map,
     sample_exact_elim,
 )
-from qcmrf_tpu.models.ais import ais_log_partition
+from qcmrf_tpu.models.ais import ais_clique_marginals, ais_log_partition
 from qcmrf_tpu.models.sample import (
     map_state_clamped,
     sample_conditional,
@@ -81,6 +81,7 @@ __all__ = [
     "marginal_map",
     "sample_exact_elim",
     "ais_log_partition",
+    "ais_clique_marginals",
     "map_state_clamped",
     "sample_conditional",
     "CalibratedNoiseModel",

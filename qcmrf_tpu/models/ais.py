@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from qcmrf_tpu.models.mrf import MRF
 from qcmrf_tpu.models.sample import bits_site_delta_fn
 
-__all__ = ["ais_log_partition", "logpot_bits"]
+__all__ = ["ais_log_partition", "ais_clique_marginals", "logpot_bits"]
 
 
 def logpot_bits(mrf: MRF, bits: jax.Array) -> jax.Array:
@@ -129,3 +129,38 @@ def ais_log_partition(
     r = jnp.exp(logw - jnp.max(logw))
     stderr = jnp.std(r) / (jnp.mean(r) * jnp.sqrt(float(M)))
     return lnZ, {"ess": ess, "stderr": stderr, "log_weights": logw}
+
+
+def ais_clique_marginals(
+    key: jax.Array,
+    mrf: MRF,
+    num_chains: int = 256,
+    num_temps: int = 128,
+    sweeps_per_temp: int = 1,
+    return_diagnostics: bool = False,
+):
+    """Self-normalized IS estimate of ``E_p[phi]`` in theta layout.
+
+    The final AIS states, reweighted by their normalized importance
+    weights, are asymptotically distributed as the target — so a
+    weighted one-hot scatter of each chain's clique-state indices gives
+    consistent clique marginals with the same no-cap reach as
+    :func:`ais_log_partition` (the `marginals` query's route where both
+    exact backends refuse). Self-normalization makes this biased at
+    finite M (ratio estimator); the returned ``ess`` is the health
+    signal, exactly as for ln Z."""
+    logw, bits = _ais_run(key, mrf, int(num_chains), int(num_temps),
+                          int(sweeps_per_temp))
+    wn = jax.nn.softmax(logw)
+    offs = mrf.theta_offsets
+    mu = jnp.zeros((mrf.dimension,), mrf.theta.dtype)
+    for k, C in enumerate(mrf.cliques):
+        m = len(C)
+        idx = jnp.zeros((logw.shape[0],), jnp.int32)
+        for j, u in enumerate(C):
+            idx = idx + (bits[:, u] << (m - 1 - j))
+        mu = mu.at[offs[k] + idx].add(wn)
+    if not return_diagnostics:
+        return mu
+    ess = 1.0 / jnp.sum(wn * wn)
+    return mu, {"ess": ess, "log_weights": logw}

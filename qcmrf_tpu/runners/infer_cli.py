@@ -228,13 +228,13 @@ def _answer(mrf, args, mesh, beta) -> dict:
     # ---- backend routing (mirrors models.train._nll) ----------------------
     width = elimination.induced_width(mrf.cliques, mrf.n)
     wide = width > mtrain._ELIM_WIDTH_CAP
-    ais_lnz = args.query == "lnz" and args.method == "ais"
+    ais_q = args.method == "ais" and args.query in ("lnz", "marginals")
     if (wide or mesh is not None) and mrf.n > moments._MAX_N \
-            and args.query not in ("mmap", "sample") and not ais_lnz:
+            and args.query not in ("mmap", "sample") and not ais_q:
         # mmap routes on its own (constrained) width below, sample
         # feasibility is per-method on the REDUCED model (the bit-array
-        # Gibbs chain serves any size), and AIS lnz has no width or n
-        # cap at all — all exempt (round-4 reviews)
+        # Gibbs chain serves any size), and AIS lnz/marginals have no
+        # width or n cap at all — all exempt (round-4 reviews)
         raise SystemExit(
             f"n={mrf.n} needs the streaming sweep (induced width {width} "
             f"> elimination cap {mtrain._ELIM_WIDTH_CAP}, or --mesh), "
@@ -247,7 +247,7 @@ def _answer(mrf, args, mesh, beta) -> dict:
               "backend": "streaming" if use_streaming else "elimination"}
 
     if args.query == "lnz":
-        if ais_lnz:
+        if ais_q:
             # stochastic estimate for ANY structure/size (the regime
             # where both exact backends refuse): AIS on the evidence-
             # reduced model, ln mass = beta*const + lnZ(reduced)
@@ -255,10 +255,14 @@ def _answer(mrf, args, mesh, beta) -> dict:
 
             red, const = (moments.reduce_evidence(mrf, evidence)
                           if evidence else (mrf, 0.0))
-            lnz_red, diag = mais.ais_log_partition(
-                jax.random.PRNGKey(args.sample_seed), red,
-                num_chains=args.ais_chains, num_temps=args.ais_temps,
-                return_diagnostics=True)
+            if red is not None:
+                lnz_red, diag = mais.ais_log_partition(
+                    jax.random.PRNGKey(args.sample_seed), red,
+                    num_chains=args.ais_chains, num_temps=args.ais_temps,
+                    return_diagnostics=True)
+            else:  # every variable observed: mass is the clamped const
+                lnz_red = 0.0
+                diag = {"ess": float(args.ais_chains), "stderr": 0.0}
             val = float(beta) * float(const) + float(lnz_red)
             result["backend"] = "ais"
             result["ais"] = {"chains": args.ais_chains,
@@ -356,7 +360,27 @@ def _answer(mrf, args, mesh, beta) -> dict:
         result["max_vars"] = {str(v): b for v, b in assignment.items()}
         result["log_mass"] = float(val)
     elif args.query == "marginals":
-        if use_streaming:
+        if ais_q:
+            # stochastic marginals in the same no-cap regime as AIS lnz:
+            # weighted scatter of the final chain states, re-embedded
+            # through the evidence reduction like the exact routes
+            from qcmrf_tpu.models import ais as mais
+
+            red, _ = (moments.reduce_evidence(mrf, evidence)
+                      if evidence else (mrf, 0.0))
+            rmom, diag = mais.ais_clique_marginals(
+                jax.random.PRNGKey(args.sample_seed), red,
+                num_chains=args.ais_chains, num_temps=args.ais_temps,
+                return_diagnostics=True) if red is not None else (
+                np.zeros((0,)), {"ess": float(args.ais_chains)})
+            mu = (moments.embed_clamped_marginals(mrf, evidence, rmom)
+                  if evidence else rmom)
+            result["backend"] = "ais"
+            result["ais"] = {"chains": args.ais_chains,
+                             "temps": args.ais_temps,
+                             "seed": args.sample_seed,
+                             "ess": float(diag["ess"])}
+        elif use_streaming:
             mu = moments.clique_marginals_clamped_streaming(
                 mrf, evidence, mesh)
         elif evidence:

@@ -72,6 +72,25 @@ def test_ais_beta_scaling():
     assert float(lnz) == pytest.approx(6 * np.log(2.0), abs=1e-6)
 
 
+def test_ais_marginals_match_exact():
+    rng = np.random.RandomState(5)
+    m = grid_mrf(3, 3)
+    m = m.with_theta(jnp.asarray(
+        -np.abs(rng.randn(m.dimension)).astype(np.float32) * 0.4))
+    exact = np.asarray(elimination.clique_marginals(m))
+    mu, diag = ais.ais_clique_marginals(
+        jax.random.PRNGKey(0), m, num_chains=512, num_temps=96,
+        return_diagnostics=True)
+    mu = np.asarray(mu)
+    # each clique table's weighted scatter sums to 1 exactly
+    tabs = mu.reshape(-1, 4)
+    assert np.allclose(tabs.sum(1), 1.0, atol=1e-5)
+    # elementwise MC tolerance at 512 chains (~1/sqrt(ESS) scale)
+    assert float(diag["ess"]) > 64
+    assert np.max(np.abs(mu - exact)) < 0.08
+    assert np.mean(np.abs(mu - exact)) < 0.02
+
+
 def _wide_past_cap_model(theta_scale: float):
     """n=48 with a K27 complete subgraph: induced width 26 > the
     elimination cap AND n > the streaming sweeps' 47 — both exact
@@ -124,6 +143,34 @@ def test_infer_cli_ais_route(tmp_path):
                           "--evidence", "0=1"])
     assert abs(re_["log_mass"] - ex_["log_mass"]) < max(
         4 * re_["ais"]["stderr"], 0.05)
+
+    # every variable observed: the clamped constant, zero stderr
+    ev_all = ",".join(f"{v}=1" for v in range(6))
+    fa = infer_cli.main(["--model", str(path), "--query", "lnz",
+                         "--evidence", ev_all, "--method", "ais"])
+    fe = infer_cli.main(["--model", str(path), "--query", "lnz",
+                         "--evidence", ev_all])
+    assert fa["log_mass"] == pytest.approx(fe["log_mass"], abs=1e-5)
+    assert fa["ais"]["stderr"] == 0.0
+
+
+def test_infer_cli_ais_marginals(tmp_path):
+    rng = np.random.RandomState(6)
+    cliques = [[i, i + 1] for i in range(5)]
+    probe = MRF.create(cliques)
+    theta = (-np.abs(rng.randn(probe.dimension)) * 0.3).tolist()
+    path = tmp_path / "m.json"
+    path.write_text(json.dumps({"cliques": cliques, "theta": theta}))
+    ex = infer_cli.main(["--model", str(path), "--query", "marginals",
+                         "--evidence", "0=1"])
+    r = infer_cli.main(["--model", str(path), "--query", "marginals",
+                        "--evidence", "0=1", "--method", "ais",
+                        "--ais-chains", "512", "--ais-temps", "64"])
+    assert r["backend"] == "ais"
+    a, e = np.asarray(r["marginals"]), np.asarray(ex["marginals"])
+    # evidence re-embedding preserves the exact zeros/one-hots
+    assert np.max(np.abs(a - e)) < 0.08
+    assert np.all((a == 0) | (e > 0) | (np.abs(a - e) < 0.08))
 
 
 @pytest.mark.slow  # same K27 compile as test_ais_past_both_exact_caps
