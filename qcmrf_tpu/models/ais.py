@@ -53,9 +53,11 @@ def logpot_bits(mrf: MRF, bits: jax.Array) -> jax.Array:
     return val
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _ais_run(key, mrf, num_chains, num_temps, sweeps_per_temp):
-    """(log-weights (M,), final bits (M, n)) for the linear schedule."""
+def _ais_body(key, mrf, num_chains, num_temps, sweeps_per_temp):
+    """(log-weights (M,), final bits (M, n)) for the linear schedule.
+
+    Pure body shared by the single-device jit (:data:`_ais_run`) and
+    the per-device program of the mesh path (:func:`_build_mesh_run`)."""
     n = mrf.n
     site_delta = bits_site_delta_fn(mrf)
     lp = jax.vmap(lambda b: logpot_bits(mrf, b))
@@ -92,6 +94,53 @@ def _ais_run(key, mrf, num_chains, num_temps, sweeps_per_temp):
     return logw, bits
 
 
+_ais_run = functools.partial(jax.jit, static_argnums=(2, 3, 4))(_ais_body)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_mesh_run(cliques, n, chains_per_dev, num_temps,
+                    sweeps_per_temp, mesh):
+    """Compiled mesh program: every device anneals its own
+    ``chains_per_dev`` chains (key fold_in by device index — chains are
+    IID, so sharding them is pure data parallelism with zero ICI until
+    the host-side weight pooling), log-weights and final bits return
+    sharded along the chain axis."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    template = MRF.create([list(C) for C in cliques])
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(axis), P(axis)), check_vma=False,
+    )
+    def run(key, theta, beta):
+        m = MRF(theta=theta, beta=beta, cliques=template.cliques, n=n)
+        dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return _ais_body(dkey, m, chains_per_dev, num_temps,
+                         sweeps_per_temp)
+
+    return run
+
+
+def _run_any(key, mrf, num_chains, num_temps, sweeps_per_temp, mesh):
+    if mesh is None:
+        return _ais_run(key, mrf, int(num_chains), int(num_temps),
+                        int(sweeps_per_temp))
+    from qcmrf_tpu.parallel.sharded import _sweep_mesh
+
+    mesh = _sweep_mesh(mesh)  # flatten a multi-axis AxB mesh
+    D = mesh.devices.size
+    if num_chains % D:
+        raise ValueError(
+            f"num_chains={num_chains} must divide over the "
+            f"{D}-device mesh")
+    run = _build_mesh_run(mrf.cliques, mrf.n, num_chains // D,
+                          int(num_temps), int(sweeps_per_temp), mesh)
+    return run(key, mrf.theta, mrf.beta)
+
+
 def ais_log_partition(
     key: jax.Array,
     mrf: MRF,
@@ -99,8 +148,14 @@ def ais_log_partition(
     num_temps: int = 128,
     sweeps_per_temp: int = 1,
     return_diagnostics: bool = False,
+    mesh=None,
 ):
     """AIS estimate of ``ln Z(beta)`` (optionally with diagnostics).
+
+    With ``mesh``, the IID chains shard over the devices (pure data
+    parallelism — each device anneals ``num_chains / D`` chains under
+    a per-device folded key; the only cross-device work is pooling the
+    (M,) log-weights at the end).
 
     With ``return_diagnostics=True`` returns ``(lnZ_hat, diag)`` where
     ``diag`` carries:
@@ -117,8 +172,8 @@ def ais_log_partition(
     bound in expectation) — report alongside ``ess``: a collapsed ESS
     means more rungs (``num_temps``) are needed, the usual failure mode
     under strong coupling."""
-    logw, _ = _ais_run(key, mrf, int(num_chains), int(num_temps),
-                       int(sweeps_per_temp))
+    logw, _ = _run_any(key, mrf, num_chains, num_temps,
+                       sweeps_per_temp, mesh)
     M = logw.shape[0]
     lse = jax.scipy.special.logsumexp(logw)
     lnZ = mrf.n * jnp.log(2.0) + lse - jnp.log(float(M))
@@ -138,6 +193,7 @@ def ais_clique_marginals(
     num_temps: int = 128,
     sweeps_per_temp: int = 1,
     return_diagnostics: bool = False,
+    mesh=None,
 ):
     """Self-normalized IS estimate of ``E_p[phi]`` in theta layout.
 
@@ -149,8 +205,8 @@ def ais_clique_marginals(
     exact backends refuse). Self-normalization makes this biased at
     finite M (ratio estimator); the returned ``ess`` is the health
     signal, exactly as for ln Z."""
-    logw, bits = _ais_run(key, mrf, int(num_chains), int(num_temps),
-                          int(sweeps_per_temp))
+    logw, bits = _run_any(key, mrf, num_chains, num_temps,
+                          sweeps_per_temp, mesh)
     wn = jax.nn.softmax(logw)
     offs = mrf.theta_offsets
     mu = jnp.zeros((mrf.dimension,), mrf.theta.dtype)

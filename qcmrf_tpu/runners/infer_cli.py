@@ -259,7 +259,7 @@ def _answer(mrf, args, mesh, beta) -> dict:
                 lnz_red, diag = mais.ais_log_partition(
                     jax.random.PRNGKey(args.sample_seed), red,
                     num_chains=args.ais_chains, num_temps=args.ais_temps,
-                    return_diagnostics=True)
+                    return_diagnostics=True, mesh=mesh)
             else:  # every variable observed: mass is the clamped const
                 lnz_red = 0.0
                 diag = {"ess": float(args.ais_chains), "stderr": 0.0}
@@ -371,8 +371,8 @@ def _answer(mrf, args, mesh, beta) -> dict:
             rmom, diag = mais.ais_clique_marginals(
                 jax.random.PRNGKey(args.sample_seed), red,
                 num_chains=args.ais_chains, num_temps=args.ais_temps,
-                return_diagnostics=True) if red is not None else (
-                np.zeros((0,)), {"ess": float(args.ais_chains)})
+                return_diagnostics=True, mesh=mesh) if red is not None \
+                else (np.zeros((0,)), {"ess": float(args.ais_chains)})
             mu = (moments.embed_clamped_marginals(mrf, evidence, rmom)
                   if evidence else rmom)
             result["backend"] = "ais"

@@ -118,6 +118,38 @@ def test_ais_past_both_exact_caps():
     assert float(diag["ess"]) > 8.0  # weak coupling: weights healthy
 
 
+def test_ais_mesh_sharded_chains():
+    from qcmrf_tpu.parallel import sharded
+
+    rng = np.random.RandomState(7)
+    m = grid_mrf(3, 3)
+    m = m.with_theta(jnp.asarray(
+        -np.abs(rng.randn(m.dimension)).astype(np.float32) * 0.4))
+    exact = float(m.log_partition())
+    mesh = sharded.make_mesh(8)
+    lnz, diag = ais.ais_log_partition(
+        jax.random.PRNGKey(0), m, num_chains=256, num_temps=96,
+        return_diagnostics=True, mesh=mesh)
+    assert abs(float(lnz) - exact) < max(4 * float(diag["stderr"]), 0.03)
+    assert diag["log_weights"].shape == (256,)
+    # deterministic: same key, same mesh -> same estimate
+    lnz2 = ais.ais_log_partition(
+        jax.random.PRNGKey(0), m, num_chains=256, num_temps=96,
+        mesh=mesh)
+    assert float(lnz2) == float(lnz)
+    # marginals ride the same sharded run
+    mu = np.asarray(ais.ais_clique_marginals(
+        jax.random.PRNGKey(0), m, num_chains=256, num_temps=96,
+        mesh=mesh))
+    ex_mu = np.asarray(elimination.clique_marginals(m))
+    assert np.allclose(mu.reshape(-1, 4).sum(1), 1.0, atol=1e-5)
+    assert np.max(np.abs(mu - ex_mu)) < 0.12
+
+    with pytest.raises(ValueError):
+        ais.ais_log_partition(jax.random.PRNGKey(0), m,
+                              num_chains=100, mesh=mesh)
+
+
 def test_infer_cli_ais_route(tmp_path):
     # small model: AIS answer agrees with the exact backend
     rng = np.random.RandomState(4)
