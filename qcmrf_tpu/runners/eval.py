@@ -58,10 +58,10 @@ def main(argv: Optional[List[str]] = None) -> str:
 
     args = parse_with_config(parser, argv)
 
-    if args.platform != "default":
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+    # hang-proof platform selection (utils/device.py): 'tpu'/'default'
+    # probe the accelerator with a bounded out-of-process check
+    from qcmrf_tpu.utils.device import resolve_platform
+    resolve_platform(args.platform, prog="qcmrf_tpu eval")
 
     from qcmrf_tpu.utils.config import enable_compilation_cache
     enable_compilation_cache()

@@ -79,6 +79,38 @@ def _logpot_from_bits(mrf, bits) -> float:
     return float(mrf.beta) * total
 
 
+def _validate_method(query: str, method: str, where: str = "") -> None:
+    """Reject method/query combinations up front (round-4 advisor: an
+    ignored '--method ais' on an exact query silently answered with the
+    exact backend while reporting success)."""
+    if method == "ais" and query not in ("lnz", "marginals"):
+        raise SystemExit(
+            f"{where}--method ais serves --query lnz and marginals only "
+            f"(the stochastic no-cap estimator has no {query!r} form); "
+            "drop --method or change --query")
+    if method in ("gibbs", "pam") and query != "sample":
+        raise SystemExit(
+            f"{where}--method {method} applies to --query sample only "
+            f"(--query {query} is answered by its exact backend)")
+
+
+def _ais_chains(args, mesh) -> tuple:
+    """(chains, note): the chain count actually run — rounded UP to a
+    multiple of the mesh's device count so a sharded request never dies
+    with a raw divisibility traceback (round-4 advisor finding)."""
+    chains = int(args.ais_chains)
+    if mesh is None:
+        return chains, None
+    from qcmrf_tpu.parallel.sharded import _sweep_mesh
+
+    d = _sweep_mesh(mesh).devices.size
+    if chains % d == 0:
+        return chains, None
+    rounded = -(-chains // d) * d
+    return rounded, (f"--ais-chains {chains} rounded up to {rounded} "
+                     f"(a multiple of the {d}-device mesh)")
+
+
 def main(argv: Optional[List[str]] = None) -> dict:
     parser = argparse.ArgumentParser(prog="qcmrf_tpu infer")
     parser.add_argument("--model", type=str, default=None,
@@ -89,7 +121,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
                              "'grid:RxC' | clique-list JSON (theta "
                              "defaults to zeros unless --theta is given)")
     parser.add_argument("--theta", type=str, default=None,
-                        help="JSON list of theta values (with --graph)")
+                        help="theta for --graph: an inline JSON list "
+                             "('[-0.5, -0.1, ...]') or the path of a "
+                             "JSON file holding one")
+    parser.add_argument("--theta-scale", type=float, default=None,
+                        help="with --graph and no --theta: draw theta ~ "
+                             "-|N(0,1)| * scale (seeded by --theta-seed) "
+                             "instead of zeros — quick serving demos")
+    parser.add_argument("--theta-seed", type=int, default=0)
     parser.add_argument("--beta", type=float, default=None,
                         help="inverse temperature (default: model file's "
                              "value or 1.0)")
@@ -125,21 +164,19 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         help="also write the result JSON to this path "
                              "(JSONL with --queries)")
     parser.add_argument("--platform", type=str, default="default",
-                        choices=["cpu", "tpu", "default"])
+                        choices=["cpu", "tpu", "default"],
+                        help="'default' routes small models (n <= 26, no "
+                             "--mesh) to cpu — the serving math beats the "
+                             "per-query accelerator compile there — and "
+                             "probes the accelerator (hang-proof, bounded) "
+                             "for the rest; 'tpu' is the explicit opt-in")
     from qcmrf_tpu.utils.config import parse_with_config
     args = parse_with_config(parser, argv)
 
-    if args.platform != "default":
-        import jax
+    from qcmrf_tpu.runners.train_cli import parse_graph
 
-        jax.config.update("jax_platforms", args.platform)
-    from qcmrf_tpu.utils.config import enable_compilation_cache
-    enable_compilation_cache()
-
-    from qcmrf_tpu.models.mrf import MRF
-    from qcmrf_tpu.runners.train_cli import _make_mesh, parse_graph
-
-    # ---- model -----------------------------------------------------------
+    # ---- model spec (host-side JSON/numpy only: the platform is not
+    #      resolved yet, and MRF.create would initialize a backend) -------
     beta = args.beta
     if args.model:
         with open(args.model) as f:
@@ -150,13 +187,56 @@ def main(argv: Optional[List[str]] = None) -> dict:
             beta = float(spec.get("beta", 1.0))
     elif args.graph:
         cliques = parse_graph(args.graph)
-        probe = MRF.create(cliques)
-        theta = (np.asarray(json.load(open(args.theta)), np.float64)
-                 if args.theta else np.zeros((probe.dimension,)))
+        dim = sum(1 << len(C) for C in cliques)
+        if args.theta:
+            # inline JSON list or a file path holding one (sniff the '[')
+            s = args.theta.strip()
+            if s.startswith("["):
+                theta = np.asarray(json.loads(s), np.float64)
+            else:
+                with open(args.theta) as f:
+                    theta = np.asarray(json.load(f), np.float64)
+        elif args.theta_scale is not None:
+            rng = np.random.RandomState(args.theta_seed)
+            theta = -np.abs(rng.randn(dim)) * float(args.theta_scale)
+        else:
+            theta = np.zeros((dim,))
         if beta is None:
             beta = 1.0
     else:
         raise SystemExit("pass --model fitted_model.json or --graph ...")
+
+    _validate_method(args.query, args.method)
+    if args.queries:
+        # validate every batch line BEFORE answering any (and before the
+        # platform/backend spin-up): bad input fails fast and clean
+        with open(args.queries) as f:
+            batch_specs = [json.loads(line) for line in f if line.strip()]
+        allowed = {"query", "evidence", "of", "max_vars", "num_samples",
+                   "method", "sample_seed"}
+        for i, spec in enumerate(batch_specs):
+            bad = set(spec) - allowed
+            if bad:
+                raise SystemExit(
+                    f"--queries line {i + 1}: unknown keys {sorted(bad)} "
+                    f"(allowed: {sorted(allowed)})")
+            _validate_method(spec.get("query", args.query),
+                             spec.get("method", args.method),
+                             where=f"--queries line {i + 1}: ")
+
+    # ---- platform (hang-proof: qcmrf_tpu.utils.device) ------------------
+    n_vars = 1 + max(v for C in cliques for v in C)
+    from qcmrf_tpu.utils.device import resolve_platform
+    resolve_platform(
+        args.platform,
+        small=n_vars <= 26 and args.mesh is None,
+        small_reason=f"n={n_vars} serves fastest on the host",
+        prog="qcmrf_tpu infer")
+    from qcmrf_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
+    from qcmrf_tpu.models.mrf import MRF
+    from qcmrf_tpu.runners.train_cli import _make_mesh
     mrf = MRF.create(cliques, theta=theta, beta=beta)
 
     mesh = _make_mesh(args.mesh) if args.mesh else None
@@ -169,17 +249,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         # across queries instead of re-jitted per CLI invocation
         import copy
 
-        allowed = {"query", "evidence", "of", "max_vars", "num_samples",
-                   "method", "sample_seed"}
         results = []
-        with open(args.queries) as f:
-            specs = [json.loads(line) for line in f if line.strip()]
-        for i, spec in enumerate(specs):
-            bad = set(spec) - allowed
-            if bad:
-                raise SystemExit(
-                    f"--queries line {i + 1}: unknown keys {sorted(bad)} "
-                    f"(allowed: {sorted(allowed)})")
+        for i, spec in enumerate(batch_specs):  # pre-validated above
             qargs = copy.copy(args)
             for k, v in spec.items():
                 # JSON-native forms coerce to the flag formats:
@@ -253,23 +324,26 @@ def _answer(mrf, args, mesh, beta) -> dict:
             # reduced model, ln mass = beta*const + lnZ(reduced)
             from qcmrf_tpu.models import ais as mais
 
+            chains, chains_note = _ais_chains(args, mesh)
             red, const = (moments.reduce_evidence(mrf, evidence)
                           if evidence else (mrf, 0.0))
             if red is not None:
                 lnz_red, diag = mais.ais_log_partition(
                     jax.random.PRNGKey(args.sample_seed), red,
-                    num_chains=args.ais_chains, num_temps=args.ais_temps,
+                    num_chains=chains, num_temps=args.ais_temps,
                     return_diagnostics=True, mesh=mesh)
             else:  # every variable observed: mass is the clamped const
                 lnz_red = 0.0
-                diag = {"ess": float(args.ais_chains), "stderr": 0.0}
+                diag = {"ess": float(chains), "stderr": 0.0}
             val = float(beta) * float(const) + float(lnz_red)
             result["backend"] = "ais"
-            result["ais"] = {"chains": args.ais_chains,
+            result["ais"] = {"chains": chains,
                              "temps": args.ais_temps,
                              "seed": args.sample_seed,
                              "ess": float(diag["ess"]),
                              "stderr": float(diag["stderr"])}
+            if chains_note:
+                result["note"] = chains_note
         elif use_streaming:
             val = moments.log_partition_clamped_streaming(
                 mrf, evidence, mesh)
@@ -366,20 +440,23 @@ def _answer(mrf, args, mesh, beta) -> dict:
             # through the evidence reduction like the exact routes
             from qcmrf_tpu.models import ais as mais
 
+            chains, chains_note = _ais_chains(args, mesh)
             red, _ = (moments.reduce_evidence(mrf, evidence)
                       if evidence else (mrf, 0.0))
             rmom, diag = mais.ais_clique_marginals(
                 jax.random.PRNGKey(args.sample_seed), red,
-                num_chains=args.ais_chains, num_temps=args.ais_temps,
+                num_chains=chains, num_temps=args.ais_temps,
                 return_diagnostics=True, mesh=mesh) if red is not None \
-                else (np.zeros((0,)), {"ess": float(args.ais_chains)})
+                else (np.zeros((0,)), {"ess": float(chains)})
             mu = (moments.embed_clamped_marginals(mrf, evidence, rmom)
                   if evidence else rmom)
             result["backend"] = "ais"
-            result["ais"] = {"chains": args.ais_chains,
+            result["ais"] = {"chains": chains,
                              "temps": args.ais_temps,
                              "seed": args.sample_seed,
                              "ess": float(diag["ess"])}
+            if chains_note:
+                result["note"] = chains_note
         elif use_streaming:
             mu = moments.clique_marginals_clamped_streaming(
                 mrf, evidence, mesh)

@@ -175,8 +175,11 @@ def main(argv: Optional[List[str]] = None) -> str:
 
     args = parse_with_config(parser, argv)
 
-    if args.platform != "default":
-        jax.config.update("jax_platforms", args.platform)
+    # hang-proof platform selection: 'default'/'tpu' probe the accelerator
+    # out-of-process with a timeout instead of risking an unbounded
+    # backend-init hang on a TPU-tunnel outage (utils/device.py)
+    from qcmrf_tpu.utils.device import resolve_platform
+    resolve_platform(args.platform, prog="qcmrf_tpu run_experiment")
 
     from qcmrf_tpu.utils.config import enable_compilation_cache
     enable_compilation_cache()

@@ -84,7 +84,11 @@ def main(argv: Optional[List[str]] = None) -> str:
                              "(amp=A, data=B) device mesh; with --grad "
                              "shots, shots shard over all A*B devices")
     parser.add_argument("--platform", type=str, default="default",
-                        choices=["cpu", "tpu", "default"])
+                        choices=["cpu", "tpu", "default"],
+                        help="'default' routes small fits (n <= 20, no "
+                             "--mesh) to cpu and probes the accelerator "
+                             "(hang-proof, bounded) for the rest; 'tpu' "
+                             "is the explicit opt-in")
     parser.add_argument("--learn-structure", action="store_true",
                         help="select the clique structure itself by "
                              "group-lasso MLE over --candidates before "
@@ -100,10 +104,17 @@ def main(argv: Optional[List[str]] = None) -> str:
                         help="absolute interaction-norm prune cut")
     args = parse_with_config(parser, argv)
 
-    if args.platform != "default":
-        import jax
+    # graph spec first (host-side JSON only): the platform decision needs
+    # n, and resolving the platform must precede any backend init
+    cliques = parse_graph(args.graph)
+    n_vars = 1 + max(v for C in cliques for v in C)
 
-        jax.config.update("jax_platforms", args.platform)
+    from qcmrf_tpu.utils.device import resolve_platform
+    resolve_platform(
+        args.platform,
+        small=n_vars <= 20 and not args.mesh,
+        small_reason=f"n={n_vars} fits train fastest on the host",
+        prog="qcmrf_tpu train")
 
     from qcmrf_tpu.utils.config import enable_compilation_cache
     enable_compilation_cache()
@@ -117,7 +128,6 @@ def main(argv: Optional[List[str]] = None) -> str:
     from qcmrf_tpu.models import train as mtrain
     from qcmrf_tpu.models.mrf import MRF
 
-    cliques = parse_graph(args.graph)
     template = MRF.create(cliques)
     # past the int32 state-id ceiling, data travels as per-variable bit
     # arrays and training runs on the sufficient statistics with the

@@ -120,10 +120,10 @@ def main(argv=None) -> str:
                              "suite models are tiny).")
     args = parser.parse_args(argv)
 
-    if args.platform != "default":
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+    # hang-proof platform selection (utils/device.py): 'tpu'/'default'
+    # probe the accelerator with a bounded out-of-process check
+    from qcmrf_tpu.utils.device import resolve_platform
+    resolve_platform(args.platform, prog="qcmrf_tpu whisker")
 
     _, L_delta, WH = collect(args.backend, args.res_root)
     out = render(args.backend, L_delta, WH, out_path=args.out)
