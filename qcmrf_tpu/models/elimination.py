@@ -432,8 +432,8 @@ def mmap_width(cliques, n: int, max_vars, evidence: dict = None) -> int:
 
 #: default cap on marginal_map's constrained elimination width — a
 #: 2^30-entry float32 message table is ~4 GB; beyond that the dense
-#: pass wedges the process rather than answering
-_MMAP_WIDTH_CAP = 30
+#: pass wedges the process rather than answering. Value in capability.py.
+from qcmrf_tpu.models.capability import MMAP_WIDTH_CAP as _MMAP_WIDTH_CAP
 
 
 @functools.lru_cache(maxsize=256)
@@ -587,10 +587,11 @@ def _build_sampler(cliques: Tuple[Tuple[int, ...], ...], n: int):
 
 
 #: default cap on the ancestral sampler's STORED step factors
-#: (sum_steps 2^|scope| floats): 2^28 f32 = 1 GB. Width alone doesn't
-#: bound this — a long bounded-width model multiplies per-step tables
-#: by its step count — so the sampler budgets the total.
-_SAMPLER_TABLE_FLOATS_CAP = 1 << 28
+#: (sum_steps 2^|scope| floats). Width alone doesn't bound this — a
+#: long bounded-width model multiplies per-step tables by its step
+#: count — so the sampler budgets the total. Value in capability.py.
+from qcmrf_tpu.models.capability import (
+    SAMPLER_TABLE_FLOATS_CAP as _SAMPLER_TABLE_FLOATS_CAP)
 
 
 def sample_exact_elim(key: jax.Array, mrf: MRF, num_samples: int,

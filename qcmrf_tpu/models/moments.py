@@ -72,8 +72,9 @@ _CHUNK_BITS = 16
 #: nothing to HBM)
 _CHUNK_BITS_BIG = 20
 
-#: structural width cap: the scalar block index must stay int32
-_MAX_N = 47
+#: structural n cap (int32 block ids; defined with the other regime
+#: caps in models/capability.py — the underscore alias is historical)
+from qcmrf_tpu.models.capability import STREAMING_MAX_N as _MAX_N
 
 
 def _chunk_bits(mrf: MRF, blk, offset, cb: int):

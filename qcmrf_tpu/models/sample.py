@@ -29,8 +29,10 @@ _PAM_ELIM_WIDTH = 16
 _EXACT_TABLE_N = 20
 #: hard table fallback for wide structures past ``_EXACT_TABLE_N``
 #: where elimination's width cap is also blown: a 2^26 float32 logits
-#: table (256 MB) still enumerates; past this there is no exact sampler
-_EXACT_TABLE_HARD_N = 26
+#: table (256 MB) still enumerates; past this there is no exact
+#: sampler. Value in capability.py (one source of truth for caps).
+from qcmrf_tpu.models.capability import (
+    EXACT_TABLE_HARD_N as _EXACT_TABLE_HARD_N)
 
 #: sample_exact: max num_samples * num_states for the single-stage
 #: categorical (whose Gumbel matrix is that many floats); bigger draws

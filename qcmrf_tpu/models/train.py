@@ -24,7 +24,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -34,12 +33,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from qcmrf_tpu.models.mrf import MRF
 
-#: max induced width routed through variable elimination past table
-#: widths; a wider plan's per-step 2^width factor tables stop paying off
-#: against the gather-free streaming sweep (128 MB at 25). The env
-#: override exists to force the streaming branch from a real process
-#: (CLI verification, benchmarks) without a 2^26-state model.
-_ELIM_WIDTH_CAP = int(os.environ.get("QCMRF_ELIM_WIDTH_CAP", "25"))
+#: max induced width routed through variable elimination (defined with
+#: every other regime cap in models/capability.py — one source of truth;
+#: the historical underscore name stays for its many import sites)
+from qcmrf_tpu.models.capability import ELIM_WIDTH_CAP as _ELIM_WIDTH_CAP
 
 
 def _nll(mrf: MRF, theta: jax.Array, data: jax.Array) -> jax.Array:
@@ -300,6 +297,78 @@ def fit_mle_shots(
         key, sub = jax.random.split(key)
         raw, opt_state, delta = step(raw, opt_state, sub)
     return mrf0.with_theta(_to_theta(raw, nonpositive)), delta
+
+
+# --------------------------------------------------------------------------
+# AIS-moment training: the past-both-caps regime (induced width beyond
+# elimination AND n beyond the streaming sweeps) where no exact gradient
+# exists — the reference oracle's moments role (/root/reference/
+# eval.py:84-93) served stochastically, with ESS-gated step acceptance.
+# --------------------------------------------------------------------------
+
+
+def make_ais_train_step(
+    template: MRF,
+    optimizer: optax.GradientTransformation,
+    data_marg: jax.Array,
+    num_chains: int = 256,
+    num_temps: int = 64,
+    sweeps_per_temp: int = 1,
+    ess_min_frac: float = 0.1,
+    nonpositive: bool = True,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Stochastic-moment MLE step with NO structural cap:
+    ``(raw, opt_state, key) -> (raw, opt_state, info)``.
+
+    ``grad_theta NLL = beta * (E_model[phi] - mu_hat)`` exactly as in
+    :func:`make_shots_train_step`, but the model moments come from
+    annealed importance sampling (`models.ais.ais_clique_marginals`) —
+    the only estimator in the framework that reaches induced width >
+    the elimination cap AND n > the streaming cap simultaneously.
+
+    **ESS gate**: a step whose importance weights collapse
+    (``ess < ess_min_frac * num_chains``) is *skipped* — the
+    self-normalized moment estimate is then dominated by a handful of
+    chains and its gradient is closer to noise than signal. ``info``
+    carries ``{"ess", "skipped"}``; a caller seeing persistent skips
+    should raise ``num_temps`` (more anneal rungs), the standard AIS
+    remedy under strong coupling.
+
+    With ``mesh`` the chains shard over the devices (pure data
+    parallelism; ``num_chains`` is rounded up to a device multiple).
+    """
+    from qcmrf_tpu.models import ais as mais
+
+    if mesh is not None:
+        from qcmrf_tpu.parallel.sharded import _sweep_mesh
+
+        d = _sweep_mesh(mesh).devices.size
+        num_chains = -(-int(num_chains) // d) * d
+    data_marg = jnp.asarray(data_marg, jnp.float32)
+    ess_min = float(ess_min_frac) * float(num_chains)
+
+    @jax.jit
+    def apply(raw, opt_state, model_marg):
+        _theta, vjp = jax.vjp(lambda r: _to_theta(r, nonpositive), raw)
+        (g_raw,) = vjp(template.beta * (model_marg - data_marg))
+        updates, opt_state = optimizer.update(g_raw, opt_state, raw)
+        return optax.apply_updates(raw, updates), opt_state
+
+    def step(raw, opt_state, key):
+        m = template.with_theta(_to_theta(raw, nonpositive))
+        model_marg, diag = mais.ais_clique_marginals(
+            key, m, num_chains=num_chains, num_temps=num_temps,
+            sweeps_per_temp=sweeps_per_temp, return_diagnostics=True,
+            mesh=mesh)
+        ess = float(diag["ess"])
+        if ess < ess_min:
+            return raw, opt_state, {"ess": ess, "skipped": True}
+        raw, opt_state = apply(
+            raw, opt_state, jnp.asarray(model_marg, jnp.float32))
+        return raw, opt_state, {"ess": ess, "skipped": False}
+
+    return step
 
 
 # --------------------------------------------------------------------------

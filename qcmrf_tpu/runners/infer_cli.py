@@ -163,6 +163,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
     parser.add_argument("--out", type=str, default=None,
                         help="also write the result JSON to this path "
                              "(JSONL with --queries)")
+    parser.add_argument("--explain", action="store_true",
+                        help="print the capability matrix — which "
+                             "backends can answer this (structure, "
+                             "evidence, query) and why (models/"
+                             "capability.py) — instead of answering; "
+                             "host-side only, never touches a device")
     parser.add_argument("--platform", type=str, default="default",
                         choices=["cpu", "tpu", "default"],
                         help="'default' routes small models (n <= 26, no "
@@ -224,8 +230,29 @@ def main(argv: Optional[List[str]] = None) -> dict:
                              spec.get("method", args.method),
                              where=f"--queries line {i + 1}: ")
 
-    # ---- platform (hang-proof: qcmrf_tpu.utils.device) ------------------
     n_vars = 1 + max(v for C in cliques for v in C)
+
+    if args.explain:
+        # capability matrix: answered host-side, before any platform or
+        # backend work (one source of truth for the regime caps that
+        # used to surface only as ValueErrors — models/capability.py)
+        from qcmrf_tpu.models import capability
+
+        mv = None
+        if args.max_vars:
+            mv = [int(v) for v in
+                  args.max_vars.replace(";", ",").split(",") if v.strip()]
+        report = capability.explain(
+            cliques, n_vars, evidence=_parse_assignments(args.evidence),
+            query=args.query, max_vars=mv, mesh=args.mesh is not None)
+        line = json.dumps(report)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        return report
+
+    # ---- platform (hang-proof: qcmrf_tpu.utils.device) ------------------
     from qcmrf_tpu.utils.device import resolve_platform
     resolve_platform(
         args.platform,
