@@ -200,9 +200,13 @@ def test_infer_cli_ais_marginals(tmp_path):
                         "--ais-chains", "512", "--ais-temps", "64"])
     assert r["backend"] == "ais"
     a, e = np.asarray(r["marginals"]), np.asarray(ex["marginals"])
-    # evidence re-embedding preserves the exact zeros/one-hots
     assert np.max(np.abs(a - e)) < 0.08
-    assert np.all((a == 0) | (e > 0) | (np.abs(a - e) < 0.08))
+    # evidence re-embedding preserves the exact zeros/one-hots
+    # BIT-EXACTLY (not merely within tolerance): entries the exact
+    # route clamps to 0 or 1 must be clamped in the AIS result too
+    assert np.any(e == 0) and np.any(e == 1)  # the pin has teeth
+    assert np.all(a[e == 0] == 0)
+    assert np.all(a[e == 1] == 1)
 
 
 @pytest.mark.slow  # same K27 compile as test_ais_past_both_exact_caps
