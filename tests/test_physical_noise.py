@@ -271,8 +271,15 @@ def test_predictive_model_structure(reference_root, scale, backend):
         want = float(np.clip(model.p2q * ncx, 0.0, physical.ANCHORS[-1]))
         assert abs(model.lam[j] - want) < 1e-9, (j, model.lam[j], want)
     assert float(np.median(np.abs(model.anc_drift))) <= 0.1
-    # var_drift is a bounded physical rate, not an unbounded fudge
-    assert max(model.var_drift) <= 0.75
+    # verdict round-4 item 5: the variable-bit readout excess is ONE
+    # per-backend asymmetric rate (var_e01) with small signed per-graph
+    # residuals — a 0.13-0.20 per-graph knob wearing a physical name is
+    # gone; what remains per graph is routing-level calibration wiggle
+    assert model.var_e01 > 0.0
+    assert float(np.median(np.abs(model.var_drift))) <= 0.05
+    # the total excess stays a bounded physical rate
+    assert model.var_e01 + max(model.var_drift) <= 0.75
+    assert min(model.var_drift) >= -model.var_e01 - 1e-9
     # jitter is second-moment-only: the population mean of the lognormal
     # multipliers is exactly 1 at any sigma (E[e^{s xi - s^2/2}] = 1)
     for j in range(len(suite.graphs)):
@@ -353,3 +360,14 @@ def test_calibrated_engine_uses_physical_model(reference_root, tmp_path):
     d = json.load(open(tmp_path / files[0]))
     assert set(d.keys()) == {"quasi_dists", "metadata"}
     assert len(d["quasi_dists"]) == 70
+
+
+def test_var_e01_is_backend_level():
+    """torino's fitted var_e01 agrees across all three stored scales
+    (spread <= 0.05): the variable-bit readout excess really is a
+    backend property, which is what justifies parameterizing it as one
+    per-backend number instead of seven per-graph knobs."""
+    vals = [physical.load_physical("torino", s).var_e01
+            for s in (0.1, 0.25, 0.5)]
+    assert min(vals) > 0.0
+    assert max(vals) - min(vals) <= 0.05
