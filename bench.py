@@ -364,6 +364,43 @@ def main():
         except Exception as e:
             extra["lane_study_error"] = f"{type(e).__name__}: {e}"
 
+        # measured peak compute rates (VERDICT round-4 item 8): the
+        # normalizers for the *_flops_util fields below, measured in the
+        # SAME run so tunnel drift cancels in the ratios. MXU: one
+        # 8192^3 bf16 matmul (1.1 TFLOP/dispatch). VPU: a 64-deep fused
+        # f32 FMA chain (128 FLOP/byte — compute-bound by construction,
+        # XLA fuses the chain into one elementwise kernel).
+        try:
+            A_mm = jnp.ones((8192, 8192), jnp.bfloat16)
+            mm = jax.jit(lambda s: A_mm @ A_mm + 0 * s)
+            t_mm = _t(mm, reps=3)
+            extra["mxu_peak_tflops"] = round(2 * 8192**3 / t_mm / 1e12, 1)
+
+            v0 = jnp.ones((1 << 24,), jnp.float32)
+
+            def _fma_chain(s):
+                x = v0 + 0.0 * s
+                for _ in range(64):
+                    x = x * np.float32(1.0000001) + np.float32(1e-9)
+                return x
+
+            ch = jax.jit(_fma_chain)
+            t_ch = _t(ch, reps=5)
+            extra["vpu_peak_gflops"] = round(
+                64 * 2 * (1 << 24) / t_ch / 1e9, 1)
+
+            # sampler ceiling as arithmetic, not assertion: FMAs/shot is
+            # the per-clique multilinear acceptance evaluation (2 FLOPs
+            # per padded Moebius coefficient = 2 * dimension; the PRNG
+            # and bit-logic ops — the kernel's real majority — are NOT
+            # FLOPs, so this utilization is a deliberate lower bound)
+            samp_gflops = no_output_rate * 2 * mrf.dimension / 1e9
+            extra["sampler_ceiling_fma_gflops"] = round(samp_gflops, 1)
+            extra["sampler_ceiling_flops_util"] = round(
+                samp_gflops / extra["vpu_peak_gflops"], 3)
+        except Exception as e:
+            extra["peak_rate_error"] = f"{type(e).__name__}: {e}"
+
         # fused-ops plane engine: full 20-qubit QCMRF circuit (gate-level)
         from qcmrf_tpu.circuits.compiler import compile_qcmrf
         from qcmrf_tpu.models.mrf import MRF
@@ -529,6 +566,34 @@ def main():
             # more shots (the sampler does 9 G/s) — both are recorded
             extra["kl_suite_max_10k_shots"] = suite_max_kl(10_240)
             extra["kl_suite_max_1m_shots"] = suite_max_kl(1 << 20)
+
+            # the stored Aer files' OWN max 10k-shot KL-to-exact, same
+            # sweep shape (rep 0 per graph): 10k-shot KL is shot-noise-
+            # floored above the 1e-3 target, and this floor in the same
+            # artifact makes our 10k number read against it instead of
+            # against the (1M-shot-achievable) target (VERDICT round-4
+            # item 7)
+            try:
+                from qcmrf_tpu.evaluation.harness import load_result_dists
+                from qcmrf_tpu.evaluation.metrics import extract_probs
+                from qcmrf_tpu.models.suite import reference_results_path
+
+                dists_ref, _n0 = load_result_dists(
+                    reference_results_path(0.1, "simulation"))
+                reps_ref = len(suite.thetas[0])
+                kls_ref = []
+                for j, C in enumerate(suite.graphs):
+                    m = MRF.create(C, theta=suite.thetas[j][0])
+                    # a = K + 1: per-clique ancillas plus the workspace
+                    # clbit (key width n + K + 1, SURVEY.md Appendix A)
+                    P, _ = extract_probs(
+                        dists_ref[j * reps_ref], m.n, m.num_cliques + 1)
+                    kls_ref.append(float(emetrics.kl(
+                        np.asarray(m.gibbs_probs(), np.float64), P)))
+                extra["kl_suite_max_10k_shots_reference_floor"] = round(
+                    max(kls_ref), 6)
+            except Exception as e:
+                extra["kl_floor_error"] = f"{type(e).__name__}: {e}"
         except Exception as e:
             extra["suite_error"] = f"{type(e).__name__}: {e}"
             _recover_hbm()
@@ -577,6 +642,16 @@ def main():
                 lnz = jax.jit(
                     lambda s, m=gm: kernels.log_partition(m) + 0 * s)
                 extra[f"lnZ_n{g.n}_ms"] = round(_t(lnz, reps=5) * 1e3, 2)
+                if g.n == 28 and "vpu_peak_gflops" in extra:
+                    # FLOP-based utilization (VERDICT round-4 item 8):
+                    # 2 FLOPs per padded Moebius coefficient per state
+                    # (the kernel's multilinear FMA chain); exp and the
+                    # logsumexp reduction excluded -> a lower bound
+                    ach = (2.0 * g.dimension * g.num_states
+                           / (extra["lnZ_n28_ms"] / 1e3) / 1e9)
+                    extra["lnZ_n28_fma_gflops"] = round(ach, 1)
+                    extra["lnZ_n28_flops_util"] = round(
+                        ach / extra["vpu_peak_gflops"], 3)
         except Exception as e:
             extra["lnz_error"] = f"{type(e).__name__}: {e}"
             _recover_hbm()
@@ -635,6 +710,17 @@ def main():
 
             extra["moments_k24_ms"] = round(
                 _t(jax.jit(msweep), reps=5) * 1e3, 2)
+            if "mxu_peak_tflops" in extra:
+                # the Gram split-dot kernel's FLOPs are the monomial
+                # matmul: 2 * m_monomials per state (K24 complete
+                # pairwise: m = 1 + 24 + 276 = 301); normalized by the
+                # same-run measured MXU peak
+                m_mono = mmo._monomial_layout(kM.cliques).m
+                ach_t = (2.0 * m_mono * kM.num_states
+                         / (extra["moments_k24_ms"] / 1e3) / 1e12)
+                extra["moments_k24_matmul_tflops"] = round(ach_t, 2)
+                extra["moments_k24_flops_util"] = round(
+                    ach_t / extra["mxu_peak_tflops"], 3)
         except Exception as e:
             extra["moments_error"] = f"{type(e).__name__}: {e}"
             _recover_hbm()

@@ -9,8 +9,9 @@ then refit the survivors penalty-free. Standard estimate-then-debias
 group lasso (Schmidt/Murphy-style hierarchy); the selection signal is
 exact because the NLL gradient routes through the same exact
 partition-function backends training uses (enumeration, differentiable
-variable elimination, or the streaming custom-VJP sweep — see
-``models.train._nll``), so it scales wherever training does.
+variable elimination at any n, or the mesh-shardable streaming
+custom-VJP sweep — ``models.train.make_lnz_fn``), so it scales
+wherever exact training does: the round-4 n<=30 confinement is gone.
 
 What "interaction content" means here: a clique block ``theta_C`` is a
 function on {0,1}^|C|, decomposable in the Walsh (parity-character)
@@ -35,7 +36,24 @@ import numpy as np
 import optax
 
 from qcmrf_tpu.models.mrf import MRF
-from qcmrf_tpu.models.train import _from_theta, _nll, _to_theta, fit_mle
+from qcmrf_tpu.models.train import (
+    _from_theta, _to_theta, empirical_moments_from_bits, make_lnz_fn)
+
+
+def _data_moments(template: MRF, data) -> jnp.ndarray:
+    """Empirical ``E_data[phi]`` over the template's cliques, from
+    either state ids (1-D; the historical interface, n <= 30) or
+    per-variable bit rows (2-D ``(S, n)``; any n). All the NLL needs
+    is this vector: ``mean NLL = lnZ - beta * theta^T mu_hat``."""
+    arr = np.asarray(data)
+    if arr.ndim == 2:
+        return jnp.asarray(
+            empirical_moments_from_bits(template, arr), jnp.float32)
+    from qcmrf_tpu.evaluation.estimators import (
+        clique_marginals_from_samples)
+
+    return jnp.asarray(
+        clique_marginals_from_samples(template, arr), jnp.float32)
 
 
 def candidate_pairs(n: int) -> List[List[int]]:
@@ -133,6 +151,7 @@ def fit_structure(
     prune_tol: float = 0.05,
     refit_steps: int = 300,
     beta: float = 1.0,
+    mesh=None,
 ) -> StructureFit:
     """Select an MRF structure from ``candidates`` by group-lasso MLE.
 
@@ -154,10 +173,19 @@ def fit_structure(
     honestly undetectable), too small lets sampling noise through —
     raise ``data`` size rather than the threshold in that regime.
 
-    ``data`` is state ids (the ``fit_mle`` convention). Adam's diagonal
-    scaling does not solve the nonsmooth problem to a sparse point the
-    way proximal methods do — shrunk groups land NEAR zero, not AT it —
-    which is why selection is by threshold, not by exact zeros.
+    ``data`` is state ids (1-D, the historical interface) or bit rows
+    (2-D ``(S, n)``, any n) — either way it reduces to the template's
+    empirical moments, and the NLL is ``lnZ(theta) - beta * theta^T
+    mu_hat`` with ``lnZ`` routed by structure exactly as training's
+    (``models.train.make_lnz_fn``: enumeration / differentiable
+    elimination at any n / streaming custom-VJP sweep to the streaming
+    cap, the last optionally sharded over ``mesh``). All-pairs
+    candidates make the template a complete graph, so past n = 26 the
+    selection runs on the streaming branch by construction. Adam's
+    diagonal scaling does not solve the nonsmooth problem to a sparse
+    point the way proximal methods do — shrunk groups land NEAR zero,
+    not AT it — which is why selection is by threshold, not by exact
+    zeros.
     """
     cands = [sorted(set(int(v) for v in C)) for C in candidates]
     if any(len(C) < 2 for C in cands):
@@ -167,6 +195,8 @@ def fit_structure(
     template = MRF.create(
         cliques, theta=np.full(sum(1 << len(C) for C in cliques), -0.1),
         beta=beta, n=n)
+    mu_hat = _data_moments(template, data)
+    lnZ_fn = make_lnz_fn(template, mesh=mesh)
     penalty = _interaction_penalty(template)
     opt = optax.adam(learning_rate)
     raw = _from_theta(template.theta, nonpositive)
@@ -176,7 +206,8 @@ def fit_structure(
     def step(raw, opt_state):
         def loss_fn(r):
             theta = _to_theta(r, nonpositive)
-            return _nll(template, theta, data) + lam * penalty(theta)
+            nll = lnZ_fn(theta) - beta * jnp.vdot(theta, mu_hat)
+            return nll + lam * penalty(theta)
 
         loss, g = jax.value_and_grad(loss_fn)(raw)
         updates, opt_state = opt.update(g, opt_state, raw)
@@ -195,8 +226,25 @@ def fit_structure(
     refit = MRF.create(
         keep, theta=np.full(sum(1 << len(C) for C in keep), -0.1),
         beta=beta, n=n)
-    fitted, nll = fit_mle(refit, data, steps=refit_steps,
-                          learning_rate=learning_rate,
-                          nonpositive=nonpositive)
+    mu_refit = _data_moments(refit, data)
+    lnZ_refit = make_lnz_fn(refit, mesh=mesh)
+    raw2 = _from_theta(refit.theta, nonpositive)
+    opt2 = optax.adam(learning_rate)
+    st2 = opt2.init(raw2)
+
+    @jax.jit
+    def refit_step(raw, opt_state):
+        def loss_fn(r):
+            theta = _to_theta(r, nonpositive)
+            return lnZ_refit(theta) - beta * jnp.vdot(theta, mu_refit)
+
+        loss, g = jax.value_and_grad(loss_fn)(raw)
+        updates, opt_state = opt2.update(g, opt_state, raw)
+        return optax.apply_updates(raw, updates), opt_state, loss
+
+    nll = jnp.inf
+    for _ in range(refit_steps):
+        raw2, st2, nll = refit_step(raw2, st2)
+    fitted = refit.with_theta(_to_theta(raw2, nonpositive))
     return StructureFit(mrf=fitted, selected=selected, group_norm=norms,
                         cliques=cliques, threshold=cut, nll=float(nll))

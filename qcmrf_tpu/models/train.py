@@ -405,6 +405,51 @@ def empirical_moments_from_bits(template: MRF, bits) -> jax.Array:
     return jnp.asarray(mu / max(S, 1), jnp.float32)
 
 
+def make_lnz_fn(template: MRF, mesh: Optional[Mesh] = None,
+                enumerate_max_n: int = 22) -> Callable:
+    """``lnZ(theta) -> scalar`` routed by structure, differentiable on
+    every branch — the one lnZ router shared by moment training and
+    structure learning (verdict item 4: the selection NLL must reach
+    wherever training's does).
+
+    Routing: enumeration below ``2^enumerate_max_n`` states (fast,
+    well-fused XLA logsumexp), differentiable variable elimination for
+    bounded induced width at any n, else the streaming custom-VJP sweep
+    (arbitrary structure, n <= the streaming cap) — which optionally
+    SHARDS over ``mesh`` (ignored on the other branches, whose reach a
+    2^n sweep cannot match). Raises ``ValueError`` past both exact
+    backends (the AIS route has no deterministic lnZ to offer here).
+    """
+    from qcmrf_tpu.models import elimination
+
+    beta_c = float(template.beta)
+    if template.n <= enumerate_max_n:
+        def lnZ_fn(theta):
+            return template.with_theta(theta).log_partition()
+    elif (elimination.induced_width(template.cliques, template.n)
+          <= _ELIM_WIDTH_CAP):
+        elim = elimination._build_lnZ(template.cliques, template.n)
+
+        def lnZ_fn(theta):
+            return elim(theta, template.beta)
+    else:
+        from qcmrf_tpu.models import moments
+
+        if template.n > moments._MAX_N:
+            raise ValueError(
+                f"no exact lnZ: induced width > {_ELIM_WIDTH_CAP} and "
+                f"n={template.n} > streaming cap {moments._MAX_N}")
+
+        def lnZ_fn(theta):
+            if mesh is None:
+                return moments._lnZ_streaming(
+                    template.cliques, template.n, beta_c, theta)
+            return moments._lnZ_streaming_sharded(
+                template.cliques, template.n, beta_c, mesh, theta)
+
+    return lnZ_fn
+
+
 def make_moment_train_step(
     template: MRF,
     optimizer: optax.GradientTransformation,
@@ -424,31 +469,16 @@ def make_moment_train_step(
     cannot match). Signature matches make_train_step's
     (raw, opt_state, batch) -> (raw, opt_state, loss); ``batch`` is
     ignored (the moments are baked in)."""
-    from qcmrf_tpu.models import elimination
-
     mu_hat = jnp.asarray(mu_hat, jnp.float32)
-    width = elimination.induced_width(template.cliques, template.n)
-    if width <= _ELIM_WIDTH_CAP:
-        lnZ_fn = elimination._build_lnZ(template.cliques, template.n)
-    else:
-        from qcmrf_tpu.models import moments
-
-        beta_c = float(template.beta)
-
-        def lnZ_fn(theta, beta):
-            if mesh is None:
-                return moments._lnZ_streaming(
-                    template.cliques, template.n, beta_c, theta
-                )
-            return moments._lnZ_streaming_sharded(
-                template.cliques, template.n, beta_c, mesh, theta
-            )
+    # enumerate_max_n=-1: route by width/streaming only (this step
+    # exists for the past-int32 big-n regime; enumeration never applies)
+    lnZ_fn = make_lnz_fn(template, mesh=mesh, enumerate_max_n=-1)
 
     @jax.jit
     def step(raw, opt_state, batch=None):
         def loss_fn(r):
             theta = _to_theta(r, nonpositive)
-            return (lnZ_fn(theta, template.beta)
+            return (lnZ_fn(theta)
                     - template.beta * jnp.vdot(theta, mu_hat))
 
         loss, g = jax.value_and_grad(loss_fn)(raw)

@@ -165,7 +165,11 @@ def main(argv: Optional[List[str]] = None) -> str:
                 f"n={moments._MAX_N} (int32 block ids) — pass --grad ais "
                 "to train on AIS moment estimates (ESS-gated, no "
                 "structural cap)")
-    if big and args.mesh and not wide and args.grad != "ais":
+    if (big and args.mesh and not wide and args.grad != "ais"
+            and not args.learn_structure):
+        # structure learning is exempt: ITS width is the candidate
+        # template's (singletons + candidates), not --graph's, and the
+        # selection sweep shards over the mesh when that template is wide
         raise SystemExit("--mesh is for the enumerated state table "
                          "(n <= 30), wide structures (streaming sweep), "
                          "or --grad ais (sharded chains); elimination "
@@ -173,10 +177,14 @@ def main(argv: Optional[List[str]] = None) -> str:
     if big and args.grad == "shots":
         raise SystemExit("--grad shots needs the circuit sampler's int32 "
                          "state ids (n <= 30)")
-    if args.learn_structure and (big or args.mesh or args.grad != "exact"):
-        raise SystemExit("--learn-structure runs the single-device exact "
-                         "NLL (n <= 30, no --mesh, --grad exact); the "
-                         "selection gradient needs the exact backends")
+    if args.learn_structure and args.grad != "exact":
+        raise SystemExit("--learn-structure selects by the exact NLL "
+                         "gradient (--grad exact); shots/ais gradients "
+                         "serve fixed structures. The selection itself "
+                         "scales wherever exact training does: "
+                         "elimination at any n for bounded width, the "
+                         "streaming sweep (mesh-shardable) to n=47 for "
+                         "wide candidate sets")
     os.makedirs(args.outdir, exist_ok=True)
     dump_effective_config(args, os.path.join(args.outdir, "train_config.json"))
 
@@ -245,9 +253,16 @@ def main(argv: Optional[List[str]] = None) -> str:
         else:
             with open(args.candidates) as f:
                 cands = json.load(f)
-        fit = mstruct.fit_structure(
-            cands, data, template.n, lam=args.l1, steps=args.steps,
-            learning_rate=args.lr, prune_tol=args.prune_tol)
+        mesh = _make_mesh(args.mesh) if args.mesh else None
+        try:
+            fit = mstruct.fit_structure(
+                cands, data, template.n, lam=args.l1, steps=args.steps,
+                learning_rate=args.lr, prune_tol=args.prune_tol,
+                mesh=mesh)
+        except ValueError as e:
+            # the lnZ router's past-both-caps refusal, as a clean CLI
+            # error (reduce the candidate set or n)
+            raise SystemExit(str(e))
         out_path = os.path.join(args.outdir, "fitted_model.json")
         with open(out_path, "w") as f:
             json.dump(

