@@ -170,27 +170,36 @@ def test_big_n_guards(tmp_path):
                         "--grad", "shots", "--outdir", str(tmp_path)])
 
 
-def test_big_n_wide_structure_guards(tmp_path):
+def test_big_n_wide_structure_guards(tmp_path, monkeypatch):
     """Past n=30 with induced width above the elimination cap, the CLI
-    requires --data (perturb-and-MAP synthesis needs elimination) and
-    refuses widths past the streaming sweep's int32 block-id cap."""
+    refuses widths past the streaming sweep's int32 block-id cap
+    (pointing at --grad ais, the round-5 route), and synthesizes
+    bit-array Gibbs ground truth when --data is absent (the round-4
+    'pass --data' refusal is gone). The synthesis path is driven at
+    tiny n via the env threshold — at real n=31 a CPU test would take
+    minutes."""
     import itertools
 
     import pytest
 
-    k31 = tmp_path / "k31.json"
-    k31.write_text(json.dumps(
-        [list(p) for p in itertools.combinations(range(31), 2)]))
-    with pytest.raises(SystemExit, match="perturb-and-MAP"):
-        train_cli.main(["--graph", str(k31), "--steps", "1",
-                        "--outdir", str(tmp_path)])
-
     k48 = tmp_path / "k48.json"
     k48.write_text(json.dumps(
         [list(p) for p in itertools.combinations(range(48), 2)]))
-    with pytest.raises(SystemExit, match="tops out"):
+    with pytest.raises(SystemExit, match="tops out") as e:
         train_cli.main(["--graph", str(k48), "--steps", "1",
                         "--outdir", str(tmp_path)])
+    assert "--grad ais" in str(e.value)
+
+    from qcmrf_tpu.models import train as mtrain
+
+    monkeypatch.setenv("QCMRF_BIG_N_THRESHOLD", "5")
+    monkeypatch.setattr(mtrain, "_ELIM_WIDTH_CAP", 1)
+    out = train_cli.main(["--graph", "chain:7", "--steps", "3",
+                          "--samples", "300", "--platform", "cpu",
+                          "--outdir", str(tmp_path)])
+    data = json.load(open(tmp_path / "data.json"))
+    assert np.asarray(data).shape == (300, 7)  # bit rows, Gibbs-synthesized
+    assert np.isfinite(json.load(open(out))["final_nll"])
 
 
 def test_big_wide_mesh_training(tmp_path, monkeypatch):
@@ -272,7 +281,11 @@ def test_learn_structure_mode(tmp_path):
 def test_learn_structure_guards(tmp_path):
     import pytest
 
-    with pytest.raises(SystemExit, match="learn-structure"):
-        _run(tmp_path, "--learn-structure", "--mesh", "4x2")
+    # round 5: --mesh is ALLOWED with --learn-structure (the selection
+    # sweep shards when the candidate template is wide; pinned in
+    # tests/test_structure.py::test_structure_cli_mesh_and_big_threshold)
+    # — only non-exact gradients refuse
     with pytest.raises(SystemExit, match="learn-structure"):
         _run(tmp_path, "--learn-structure", "--grad", "shots")
+    with pytest.raises(SystemExit, match="learn-structure"):
+        _run(tmp_path, "--learn-structure", "--grad", "ais")
