@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from qcmrf_tpu.models.mrf import MRF
 from qcmrf_tpu.models.sample import bits_site_delta_fn
 
-__all__ = ["ais_log_partition", "ais_clique_marginals", "logpot_bits"]
+__all__ = ["ais_log_partition", "ais_clique_marginals",
+           "ais_event_prob", "logpot_bits"]
 
 
 def logpot_bits(mrf: MRF, bits: jax.Array) -> jax.Array:
@@ -184,6 +185,34 @@ def ais_log_partition(
     r = jnp.exp(logw - jnp.max(logw))
     stderr = jnp.std(r) / (jnp.mean(r) * jnp.sqrt(float(M)))
     return lnZ, {"ess": ess, "stderr": stderr, "log_weights": logw}
+
+
+def ais_event_prob(
+    key: jax.Array,
+    mrf: MRF,
+    v: int,
+    value: int,
+    num_chains: int = 256,
+    num_temps: int = 128,
+    sweeps_per_temp: int = 1,
+    return_diagnostics: bool = False,
+    mesh=None,
+):
+    """Self-normalized IS estimate of ``P(x_v = value)`` under the model.
+
+    Same machinery and no-cap reach as :func:`ais_clique_marginals`
+    (the final annealed states reweighted by their normalized
+    importance weights), specialized to a single-variable event — the
+    ``prob`` query's route where both exact backends refuse. Biased at
+    finite M (ratio estimator); ``ess`` is the health signal."""
+    logw, bits = _run_any(key, mrf, num_chains, num_temps,
+                          sweeps_per_temp, mesh)
+    wn = jax.nn.softmax(logw)
+    p = jnp.sum(wn * (bits[:, int(v)] == int(value)))
+    if not return_diagnostics:
+        return p
+    ess = 1.0 / jnp.sum(wn * wn)
+    return p, {"ess": ess, "log_weights": logw}
 
 
 def ais_clique_marginals(

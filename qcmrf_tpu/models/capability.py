@@ -109,11 +109,12 @@ def explain(cliques: Sequence[Sequence[int]], n: int,
         f"n={n} <= {STREAMING_MAX_N} (exact at any width; "
         "mesh-shardable)" if n <= STREAMING_MAX_N else
         f"n={n} > {STREAMING_MAX_N} (int32 block ids)")
+    ais_queries = ("lnz", "marginals", "prob")
     b["ais"] = _entry(
-        query in ("lnz", "marginals"),
+        query in ais_queries,
         "stochastic estimate, no structural cap (diagnosed by ESS/"
-        "stderr)" if query in ("lnz", "marginals") else
-        f"serves lnz and marginals only, not {query!r}")
+        "stderr)" if query in ais_queries else
+        f"serves lnz, marginals and prob only, not {query!r}")
 
     selected = None
     if query in ("lnz", "prob", "map", "marginals"):
@@ -121,7 +122,7 @@ def explain(cliques: Sequence[Sequence[int]], n: int,
             selected = "elimination"
         elif n <= STREAMING_MAX_N:
             selected = "streaming"
-        elif query in ("lnz", "marginals"):
+        elif query in ais_queries:
             selected = "ais"
     elif query == "mmap":
         M = [v for v in (max_vars or []) if v not in evidence]

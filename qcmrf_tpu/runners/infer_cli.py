@@ -83,11 +83,11 @@ def _validate_method(query: str, method: str, where: str = "") -> None:
     """Reject method/query combinations up front (round-4 advisor: an
     ignored '--method ais' on an exact query silently answered with the
     exact backend while reporting success)."""
-    if method == "ais" and query not in ("lnz", "marginals"):
+    if method == "ais" and query not in ("lnz", "marginals", "prob"):
         raise SystemExit(
-            f"{where}--method ais serves --query lnz and marginals only "
-            f"(the stochastic no-cap estimator has no {query!r} form); "
-            "drop --method or change --query")
+            f"{where}--method ais serves --query lnz, marginals and "
+            f"prob only (the stochastic no-cap estimator has no "
+            f"{query!r} form); drop --method or change --query")
     if method in ("gibbs", "pam") and query != "sample":
         raise SystemExit(
             f"{where}--method {method} applies to --query sample only "
@@ -147,8 +147,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
     parser.add_argument("--method", type=str, default="exact",
                         choices=["exact", "gibbs", "pam", "ais"],
                         help="sampler for --query sample; 'ais' on "
-                             "--query lnz estimates by annealed "
-                             "importance sampling (any structure/size)")
+                             "--query lnz/marginals/prob estimates by "
+                             "annealed importance sampling (any "
+                             "structure/size)")
     parser.add_argument("--ais-chains", type=int, default=256)
     parser.add_argument("--ais-temps", type=int, default=128)
     parser.add_argument("--sample-seed", type=int, default=0)
@@ -326,7 +327,8 @@ def _answer(mrf, args, mesh, beta) -> dict:
     # ---- backend routing (mirrors models.train._nll) ----------------------
     width = elimination.induced_width(mrf.cliques, mrf.n)
     wide = width > mtrain._ELIM_WIDTH_CAP
-    ais_q = args.method == "ais" and args.query in ("lnz", "marginals")
+    ais_q = args.method == "ais" and args.query in ("lnz", "marginals",
+                                                    "prob")
     if (wide or mesh is not None) and mrf.n > moments._MAX_N \
             and args.query not in ("mmap", "sample") and not ais_q:
         # mmap routes on its own (constrained) width below, sample
@@ -384,10 +386,41 @@ def _answer(mrf, args, mesh, beta) -> dict:
         if len(of) != 1:
             raise SystemExit("--of takes exactly one assignment")
         (v, b), = of.items()
-        fn = (moments.conditional_prob_streaming if use_streaming
-              else elimination.conditional_prob)
-        p = (fn(mrf, v, b, evidence, mesh) if use_streaming
-             else fn(mrf, v, b, evidence))
+        if ais_q:
+            # stochastic P(x_v = b | evidence) in the same no-cap
+            # regime as AIS lnz/marginals: weighted indicator of the
+            # final chain states on the evidence-reduced model
+            from qcmrf_tpu.models import ais as mais
+
+            chains, chains_note = _ais_chains(args, mesh)
+            result["backend"] = "ais"
+            if v in evidence:
+                p = 1.0 if evidence[v] == b else 0.0
+                diag = {"ess": float(chains)}
+            else:
+                red, _ = (moments.reduce_evidence(mrf, evidence)
+                          if evidence else (mrf, 0.0))
+                if red is None:  # every variable observed, v not among
+                    raise SystemExit("--query prob: all variables are "
+                                     "observed but the queried one is "
+                                     "not in the evidence — impossible")
+                free = [u for u in range(mrf.n)
+                        if u not in {int(w) for w in evidence}]
+                p, diag = mais.ais_event_prob(
+                    jax.random.PRNGKey(args.sample_seed), red,
+                    free.index(v), b, num_chains=chains,
+                    num_temps=args.ais_temps,
+                    return_diagnostics=True, mesh=mesh)
+            result["ais"] = {"chains": chains, "temps": args.ais_temps,
+                             "seed": args.sample_seed,
+                             "ess": float(diag["ess"])}
+            if chains_note:
+                result["note"] = chains_note
+        else:
+            fn = (moments.conditional_prob_streaming if use_streaming
+                  else elimination.conditional_prob)
+            p = (fn(mrf, v, b, evidence, mesh) if use_streaming
+                 else fn(mrf, v, b, evidence))
         result["of"] = f"{v}={b}"
         result["prob"] = float(p)
     elif args.query == "map":

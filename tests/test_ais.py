@@ -333,3 +333,46 @@ def test_infer_cli_ais_past_cap(tmp_path):
                         "--ais-chains", "8", "--ais-temps", "4"])
     # theta = 0: every weight is exactly 0, lnZ = 48 ln 2 bit-exactly
     assert r["lnz"] == pytest.approx(48 * np.log(2.0), abs=1e-4)
+
+
+def test_ais_event_prob_matches_exact():
+    from qcmrf_tpu.models import elimination as ve
+
+    rng = np.random.RandomState(8)
+    cliques = [[i, i + 1] for i in range(5)] + [[0, 3]]
+    probe = MRF.create(cliques)
+    m = probe.with_theta(jnp.asarray(
+        -np.abs(rng.randn(probe.dimension)).astype(np.float32) * 0.4))
+    p, diag = ais.ais_event_prob(
+        jax.random.PRNGKey(0), m, 2, 1, num_chains=512, num_temps=64,
+        return_diagnostics=True)
+    exact = float(ve.conditional_prob(m, 2, 1, {}))
+    assert float(diag["ess"]) > 51.2
+    assert abs(float(p) - exact) < 0.05
+
+
+def test_infer_cli_ais_prob(tmp_path):
+    from qcmrf_tpu.models import elimination as ve
+
+    rng = np.random.RandomState(9)
+    cliques = [[i, i + 1] for i in range(5)]
+    probe = MRF.create(cliques)
+    theta = (-np.abs(rng.randn(probe.dimension)) * 0.3)
+    path = tmp_path / "m.json"
+    path.write_text(json.dumps(
+        {"cliques": cliques, "theta": theta.tolist()}))
+    m = MRF.create(cliques, theta=theta)
+
+    r = infer_cli.main(["--model", str(path), "--query", "prob",
+                        "--of", "3=1", "--evidence", "0=1",
+                        "--method", "ais", "--ais-chains", "512",
+                        "--ais-temps", "64"])
+    assert r["backend"] == "ais" and r["ais"]["ess"] > 51.2
+    exact = float(ve.conditional_prob(m, 3, 1, {0: 1}))
+    assert abs(r["prob"] - exact) < 0.05
+
+    # a queried variable that IS observed answers exactly, no sampling
+    r = infer_cli.main(["--model", str(path), "--query", "prob",
+                        "--of", "0=1", "--evidence", "0=1",
+                        "--method", "ais"])
+    assert r["prob"] == 1.0 and r["backend"] == "ais"

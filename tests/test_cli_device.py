@@ -174,7 +174,7 @@ def test_infer_method_query_validation():
     with pytest.raises(SystemExit) as e:
         infer_cli.main(["--graph", "chain:4", "--query", "map",
                         "--method", "ais"])
-    assert "lnz and marginals only" in str(e.value)
+    assert "lnz, marginals and prob only" in str(e.value)
     with pytest.raises(SystemExit) as e:
         infer_cli.main(["--graph", "chain:4", "--query", "lnz",
                         "--method", "gibbs"])
@@ -182,7 +182,7 @@ def test_infer_method_query_validation():
     with pytest.raises(SystemExit) as e:
         infer_cli.main(["--graph", "chain:4", "--query", "sample",
                         "--method", "ais"])
-    assert "lnz and marginals only" in str(e.value)
+    assert "lnz, marginals and prob only" in str(e.value)
 
 
 def test_infer_batch_validates_methods_up_front(tmp_path, capsys):
