@@ -198,11 +198,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
         if args.theta:
             # inline JSON list or a file path holding one (sniff the '[')
             s = args.theta.strip()
-            if s.startswith("["):
-                theta = np.asarray(json.loads(s), np.float64)
-            else:
-                with open(args.theta) as f:
-                    theta = np.asarray(json.load(f), np.float64)
+            try:
+                if s.startswith("["):
+                    theta = np.asarray(json.loads(s), np.float64)
+                else:
+                    with open(args.theta) as f:
+                        theta = np.asarray(json.load(f), np.float64)
+            except (OSError, json.JSONDecodeError) as e:
+                raise SystemExit(
+                    f"--theta {args.theta!r}: not a readable JSON file "
+                    f"nor an inline JSON list ({e})")
         elif args.theta_scale is not None:
             rng = np.random.RandomState(args.theta_seed)
             theta = -np.abs(rng.randn(dim)) * float(args.theta_scale)

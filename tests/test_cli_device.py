@@ -213,3 +213,14 @@ def test_infer_ais_chains_round_up_on_mesh():
                         "--platform", "cpu"])
     assert r["ais"]["chains"] == 12
     assert "rounded up" in r["note"]
+
+
+def test_infer_theta_bad_input_clean_error(tmp_path):
+    from qcmrf_tpu.runners import infer_cli
+
+    with pytest.raises(SystemExit, match="not a readable"):
+        infer_cli.main(["--graph", "chain:3", "--query", "lnz",
+                        "--theta", str(tmp_path / "missing.json")])
+    with pytest.raises(SystemExit, match="not a readable"):
+        infer_cli.main(["--graph", "chain:3", "--query", "lnz",
+                        "--theta", "[not json"])

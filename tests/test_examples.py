@@ -27,6 +27,7 @@ _EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
         ("06_wide_structure_training.py", None),
         ("07_inference_serving.py", None),
         ("08_structure_learning.py", None),
+        ("09_past_caps_ais.py", None),
     ],
 )
 def test_example_smoke(name, output):
