@@ -26,7 +26,12 @@ from qcmrf_tpu.models.elimination import (
     marginal_map,
     sample_exact_elim,
 )
-from qcmrf_tpu.models.ais import ais_clique_marginals, ais_log_partition
+from qcmrf_tpu.models.ais import (
+    ais_clique_marginals,
+    ais_event_prob,
+    ais_log_partition,
+)
+from qcmrf_tpu.models.capability import explain as explain_capabilities
 from qcmrf_tpu.models.sample import (
     map_state_clamped,
     sample_conditional,
@@ -82,6 +87,8 @@ __all__ = [
     "sample_exact_elim",
     "ais_log_partition",
     "ais_clique_marginals",
+    "ais_event_prob",
+    "explain_capabilities",
     "map_state_clamped",
     "sample_conditional",
     "CalibratedNoiseModel",
