@@ -5,6 +5,8 @@ structures, /root/reference/run_experiment.py:20-38); this pins the new
 capability's selection correctness and its gauge/unary invariances.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -178,27 +180,60 @@ def test_structure_mesh_matches_single_device(monkeypatch):
                                atol=0.01)
 
 
+_BIT_DATA_CHILD = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+from qcmrf_tpu.models import elimination
+from qcmrf_tpu.models import structure as mstruct
+from test_structure import planted_chain
+
+n = 34
+true, edges = planted_chain(n, seed=2)
+bits = np.asarray(elimination.sample_pam(
+    jax.random.PRNGKey(4), true, 6000), np.uint8)
+assert bits.shape == (6000, n)
+rng = np.random.RandomState(9)
+decoys = []
+while len(decoys) < 8:
+    i, j = sorted(rng.randint(0, n, 2).tolist())
+    if j - i > 1 and [i, j] not in decoys:
+        decoys.append([i, j])
+fit = mstruct.fit_structure(edges + decoys, bits, n, steps=250)
+assert fit.selected == edges, fit.selected
+print("RECOVERED")
+"""
+
+
 @pytest.mark.slow
-def test_structure_bit_data_past_int32(tmp_path):
+def test_structure_bit_data_past_int32():
     """Structure learning at n=34 on BIT-ARRAY data (past the int32
     state-id ceiling): planted chain, candidates = chain + decoys
     (bounded width -> the elimination branch at any n), exact PAM
-    ground-truth samples. The round-4 hard refusal at n>30 is gone."""
-    from qcmrf_tpu.models import elimination
+    ground-truth samples. The round-4 hard refusal at n>30 is gone.
 
-    n = 34
-    true, edges = planted_chain(n, seed=2)
-    bits = np.asarray(elimination.sample_pam(
-        jax.random.PRNGKey(4), true, 6000), np.uint8)
-    assert bits.shape == (6000, n)
-    rng = np.random.RandomState(9)
-    decoys = []
-    while len(decoys) < 8:
-        i, j = sorted(rng.randint(0, n, 2).tolist())
-        if j - i > 1 and [i, j] not in decoys:
-            decoys.append([i, j])
-    fit = mstruct.fit_structure(edges + decoys, bits, n, steps=250)
-    assert fit.selected == edges
+    Runs in a FRESH interpreter: inside a long pytest process, XLA:CPU
+    intermittently SEGFAULTS while compiling this n=34 selection
+    program (reproduced 2026-08-20 — the same test is green in
+    isolation; LLVM/compile-state dependent), and a segfault mid-compile
+    wedges the whole suite until an external timeout. Subprocess
+    isolation makes the crash impossible to inherit."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         _BIT_DATA_CHILD.format(repo=os.path.abspath(repo))],
+        env=dict(os.environ), capture_output=True, text=True,
+        timeout=900, cwd=os.path.abspath(repo))
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "RECOVERED" in r.stdout
 
 
 def test_structure_cli_mesh_and_big_threshold(monkeypatch, tmp_path):
