@@ -40,3 +40,20 @@ def reference_root():
 @pytest.fixture(autouse=True)
 def _seed_numpy():
     np.random.seed(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_compile_state():
+    """XLA:CPU segfaults inside ``backend_compile_and_load`` once a
+    single process has accumulated several hundred compiled executables
+    (reproduced 3x on 2026-08-20, ~25-40 min into the full suite, each
+    time mid-compile of a DIFFERENT — sometimes trivial — program; the
+    wedged post-segfault process is what looked like a suite timeout).
+    Dropping every cached executable between test modules keeps the
+    process-global JIT state bounded; module-local recompiles are the
+    price."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
